@@ -1,0 +1,29 @@
+"""The TPU execution engine.
+
+Three tiers, all consuming the same sampler specs from
+:mod:`skrample_tpu.sampling`:
+
+* :mod:`.compiler` — runs a structured sampler *symbolically* (linear
+  combination tracing) to extract per-step scalar coefficient tables.
+* :mod:`.fused` — applies one step's table as a single fused elementwise
+  FMA (XLA fusion by default, a Pallas kernel on TPU for the hot path).
+* :mod:`.loop` — ``lax.scan`` denoise loops: table-driven multistep solvers,
+  generic RK tableau loops, and a fallback that traces the polymorphic
+  sampler code directly.
+"""
+
+from .compiler import CompiledSampler, NonlinearSamplerError, compile_sampler
+from .fused import fused_step, fused_step_pallas
+from .loop import CompiledDenoiser, generic_sample_loop, rk_sample_loop, sample_loop
+
+__all__ = [
+    "CompiledDenoiser",
+    "CompiledSampler",
+    "NonlinearSamplerError",
+    "compile_sampler",
+    "fused_step",
+    "fused_step_pallas",
+    "generic_sample_loop",
+    "rk_sample_loop",
+    "sample_loop",
+]

@@ -1,0 +1,356 @@
+"""``lax.scan`` denoise loops and the single-step device API.
+
+Three execution strategies, fastest first:
+
+* :class:`CompiledDenoiser` — table-compiled multistep samplers (Euler, DPM,
+  Adams, UniP/UniPC, SPC...).  The scan body is ``model call + one fused
+  FMA + ring roll``; all solver scalars were precomputed host-side in
+  float64 by :mod:`skrample_tpu.ops.compiler`.
+* :func:`rk_sample_loop` — tableau solvers (RKUltra / DynasauRK).  Stage
+  structure unrolls at trace time; per-step stage points and update
+  coefficients stream in as scan inputs, so DynasauRK's per-step tableaux
+  compile into the same single executable.
+* :func:`generic_sample_loop` — fallback that traces the polymorphic sampler
+  spec directly (unrolled); needed only for non-affine samplers like
+  ``SPC(power != 1)``.
+
+No host syncs occur inside any loop; sample buffers are donated.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import DeltaPoint, Point, Step
+from ..sampling import functional, interface, models, structured
+from ..scheduling import SkrampleSchedule
+from .compiler import CompiledSampler, compile_sampler
+from .fused import fused_step
+
+type DeviceModel = Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]
+"(sample, timestep, sigma, alpha) -> prediction, all traced."
+
+
+@dataclass
+class CompiledDenoiser:
+    """Device-ready form of a :class:`CompiledSampler`.
+
+    Compacts the canonical weight table to the active columns
+    (``[x, o, (hs, hp[, hz]) x H, z?]``), uploads it once, and provides both
+    the full-scan loop and a reusable single-step function for wrappers."""
+
+    compiled: CompiledSampler
+    weights: jax.Array
+    "(steps, rows, device_width)"
+    points: jax.Array
+    "(steps, 3)"
+    slots: int
+    "Ring entries per history slot (2, or 3 when past noise is read)."
+    rows: int
+    "1 when history stores raw (x, o); 3 when stored values are synthesized."
+    _jitted_step: Callable | None = None
+
+    @classmethod
+    def build(cls, compiled: CompiledSampler, dtype: Any = jnp.float32) -> "CompiledDenoiser":
+        H = compiled.history
+        slots = 3 if compiled.ring_noise else 2
+        rows = 1 if compiled.trivial_store else 3
+
+        columns: list[int] = [0, 1]  # x, o
+        for age in range(1, H + 1):
+            base = 2 + 3 * (age - 1)
+            columns.extend([base, base + 1])
+            if compiled.ring_noise:
+                columns.append(base + 2)
+        if compiled.requires_noise:
+            columns.append(compiled.width - 1)
+
+        weights = compiled.weights[:, :rows, :][:, :, columns]
+        return cls(
+            compiled=compiled,
+            weights=jnp.asarray(weights, dtype=dtype),
+            points=jnp.asarray(compiled.points, dtype=dtype),
+            slots=slots,
+            rows=rows,
+        )
+
+    @property
+    def history(self) -> int:
+        return self.compiled.history
+
+    @property
+    def requires_noise(self) -> bool:
+        return self.compiled.requires_noise
+
+    def init_ring(self, sample: jax.Array) -> jax.Array:
+        return jnp.zeros((max(self.history, 1), self.slots, *sample.shape), sample.dtype)
+
+    def _stack(self, x: jax.Array, o: jax.Array, ring: jax.Array, noise: jax.Array | None) -> jax.Array:
+        parts = [x[None], o[None]]
+        if self.history:
+            parts.append(ring.reshape(self.history * self.slots, *x.shape))
+        if self.requires_noise:
+            assert noise is not None, "sampler requires per-step noise"
+            parts.append(noise[None])
+        return jnp.concatenate(parts, axis=0)
+
+    def step(
+        self,
+        step_weights: jax.Array,
+        x: jax.Array,
+        o: jax.Array,
+        ring: jax.Array,
+        noise: jax.Array | None = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        "One update: returns (next sample, next ring). Pure; jit/scan friendly."
+        stack = self._stack(x, o, ring, noise)
+        outs = fused_step(step_weights, stack)
+        return self._finish(x, o, ring, noise, outs)
+
+    def _finish(self, x, o, ring, noise, outs) -> tuple[jax.Array, jax.Array]:
+
+        if self.rows == 1:
+            x_new, store_sample, store_pred = outs[0], x, o
+        else:
+            x_new, store_sample, store_pred = outs[0], outs[1], outs[2]
+
+        if self.history:
+            slot = [store_sample, store_pred]
+            if self.slots == 3:
+                slot.append(noise if noise is not None else jnp.zeros_like(x))
+            ring = jnp.concatenate([jnp.stack(slot)[None], ring[:-1]], axis=0)
+        return x_new, ring
+
+    def jitted_step(self) -> Callable:
+        """Single-step executable for wrappers: (step_weights, x, o, ring,
+        noise?) -> (next x, next ring).  Compiled once, reused every step."""
+        if self._jitted_step is None:
+            if self.requires_noise:
+                self._jitted_step = jax.jit(lambda w, x, o, ring, z: self.step(w, x, o, ring, z))
+            else:
+                self._jitted_step = jax.jit(lambda w, x, o, ring: self.step(w, x, o, ring))
+        return self._jitted_step
+
+    def run(
+        self,
+        model_fn: DeviceModel,
+        sample: jax.Array,
+        key: jax.Array | None = None,
+        noises: jax.Array | None = None,
+        return_trajectory: bool = False,
+        unroll: int = 1,
+    ) -> jax.Array:
+        """The full denoise loop as one ``lax.scan``.
+
+        Per-step noise comes from ``noises`` (precomputed ``(steps, *shape)``,
+        e.g. Brownian/colored generators) or i.i.d. normal from ``key``."""
+        steps = self.compiled.steps
+        if self.requires_noise and noises is None:
+            if key is None:
+                raise ValueError("sampler requires noise: pass key= or noises=")
+            noises = jax.vmap(lambda k: jax.random.normal(k, sample.shape, sample.dtype))(
+                jax.random.split(key, steps)
+            )
+
+        xs: tuple = (self.weights, self.points)
+        if self.requires_noise:
+            xs = (*xs, noises)
+
+        def body(carry, inp):
+            x, ring = carry
+            if self.requires_noise:
+                w, point, z = inp
+            else:
+                (w, point), z = inp, None
+            o = model_fn(x, point[0], point[1], point[2])
+            x_new, ring_new = self.step(w, x, o, ring, z)
+            return (x_new, ring_new), (x_new if return_trajectory else None)
+
+        (final, _ring), traj = jax.lax.scan(body, (sample, self.init_ring(sample)), xs, unroll=unroll)
+        return traj if return_trajectory else final
+
+
+def sample_loop(
+    sampler: structured.StructuredSampler,
+    schedule: SkrampleSchedule,
+    model_transform: models.DiffusionModel,
+    steps: int,
+    model_fn: DeviceModel,
+    sample: jax.Array,
+    key: jax.Array | None = None,
+    noises: jax.Array | None = None,
+    dtype: Any = None,
+    return_trajectory: bool = False,
+) -> jax.Array:
+    "Compile + run a structured sampler as one fused scan loop."
+    compiled = compile_sampler(sampler, schedule, model_transform, steps)
+    denoiser = CompiledDenoiser.build(compiled, dtype=dtype or sample.dtype)
+    return denoiser.run(model_fn, sample, key=key, noises=noises, return_trajectory=return_trajectory)
+
+
+# --- Runge-Kutta scan loops ------------------------------------------------
+
+
+def _wrap_device_model(
+    model_fn: DeviceModel,
+    model_transform: models.DiffusionModel,
+    derivative_transform: models.DiffusionModel | None,
+) -> DeviceModel:
+    if not derivative_transform:
+        return model_fn
+    convert = models.ModelConvert(model_transform, derivative_transform)
+
+    def wrapped(x, t, s, a):
+        return convert.output_to(x, model_fn(x, t, s, a), Point(t, s, a))
+
+    return wrapped
+
+
+def rk_sample_loop(
+    sampler: functional.RKUltra | functional.DynasauRK,
+    schedule: SkrampleSchedule,
+    model_transform: models.DiffusionModel,
+    steps: int,
+    model_fn: DeviceModel,
+    sample: jax.Array,
+    key: jax.Array | None = None,
+    noises: jax.Array | None = None,
+) -> jax.Array:
+    """Tableau solvers as a ``lax.scan``.
+
+    Stage structure (counts, which rows exist) is static; stage points and
+    all gamma/delta/zeta coefficients are precomputed host-side in float64
+    and stream through the scan as per-step arrays — so DynasauRK's per-step
+    tableaux share one compiled executable.  Steps whose stages touch
+    t=0 / sigma=0 (the final step) run outside the scan through the generic
+    :func:`~skrample_tpu.sampling.functional.step_tableau`, which handles the
+    model-call skip at trace time."""
+    dtype = sample.dtype
+    epsilon = 1e-8
+
+    tableaus = [
+        sampler.tableau(Step.from_int(n, steps)) if isinstance(sampler, functional.DynasauRK) else sampler.tableau()
+        for n in range(steps)
+    ]
+    stages = len(tableaus[0].stages)
+    assert all(len(t.stages) == stages for t in tableaus), "stage structure must be uniform"
+
+    transform = sampler.derivative_transform or model_transform
+    wrapped_model = _wrap_device_model(model_fn, model_transform, sampler.derivative_transform)
+
+    # Host-side coefficient extraction, float64 throughout
+    stage_points = np.zeros((steps, stages, 3))
+    stage_gamma = np.zeros((steps, stages))
+    stage_delta = np.zeros((steps, stages))
+    a_norm = np.zeros((steps, stages, stages))  # a-row / fsum(a-row)
+    b_weights = np.zeros((steps, stages))
+    final_gamma = np.zeros(steps)
+    final_delta = np.zeros(steps)
+    final_zeta = np.zeros(steps)
+    scan_mask = np.ones(steps, dtype=bool)
+
+    for n in range(steps):
+        tab = tableaus[n]
+        step = Step.from_int(n, steps)
+        S0, S1, *points = schedule.ipoints([*step, *(step[0] + st.c * (step[1] - step[0]) for st in tab.stages)])
+        delta = DeltaPoint(S0, S1)
+        for i, (point, stage) in enumerate(zip(points, tab.stages, strict=True)):
+            if abs(point.timestep) < epsilon or abs(point.sigma) < epsilon:
+                scan_mask[n] = False  # needs the generic call-skip path
+            stage_points[n, i] = point
+            if stage.a:
+                part = DeltaPoint(S0, point)
+                stage_gamma[n, i] = transform.gamma(part)
+                stage_delta[n, i] = transform.delta(part)
+                a_norm[n, i, : len(stage.a)] = np.asarray(stage.a) / math.fsum(stage.a)
+        b_weights[n] = tab.weights
+        final_gamma[n] = transform.gamma(delta, sampler.stochasticity)
+        final_delta[n] = transform.delta(delta, sampler.stochasticity)
+        final_zeta[n] = transform.zeta(delta, sampler.stochasticity)
+
+    requires_noise = abs(sampler.stochasticity) > 1e-8
+    if requires_noise and noises is None:
+        if key is None:
+            raise ValueError("stochastic sampler: pass key= or noises=")
+        noises = jax.vmap(lambda k: jax.random.normal(k, sample.shape, dtype))(jax.random.split(key, steps))
+
+    # Which stages synthesize an intermediate sample (static structure)
+    has_a = [bool(tab.a) for tab in tableaus[0].stages]
+
+    def stage_body(x, inp):
+        pts, s_g, s_d, a_n, b_w, f_g, f_d, f_z, z = inp
+        derivatives: list[jax.Array] = []
+        for i in range(stages):
+            if has_a[i]:
+                mean_d = sum(derivatives[j] * a_n[i, j] for j in range(i))
+                X = x * s_g[i] + mean_d * s_d[i]
+            else:
+                X = x
+            derivatives.append(wrapped_model(X, pts[i, 0], pts[i, 1], pts[i, 2]))
+        combined = sum(derivatives[i] * b_w[i] for i in range(stages))
+        x_new = x * f_g + combined * f_d
+        if requires_noise:
+            x_new = x_new + z * f_z
+        return x_new
+
+    # Scan over the prefix of steps that never touch t=0; run the rest generically.
+    n_scan = int(np.argmin(scan_mask)) if not scan_mask.all() else steps
+
+    if n_scan:
+        xs = tuple(
+            jnp.asarray(arr[:n_scan], dtype=dtype)
+            for arr in (stage_points, stage_gamma, stage_delta, a_norm, b_weights, final_gamma, final_delta, final_zeta)
+        )
+        z_xs = noises[:n_scan] if requires_noise else jnp.zeros((n_scan, 1), dtype)
+
+        def body(x, inp):
+            return stage_body(x, inp), None
+
+        sample, _ = jax.lax.scan(body, sample, (*xs, z_xs))
+
+    for n in range(n_scan, steps):
+        step = Step.from_int(n, steps)
+        sample = functional.step_tableau(
+            tableaus[n],
+            sample,
+            model_fn,  # step_tableau applies the derivative conversion itself
+            model_transform,
+            schedule,
+            step,
+            sampler.derivative_transform,
+            noises[n] if requires_noise else None,
+            sampler.stochasticity,
+        )[0]
+
+    return sample
+
+
+def generic_sample_loop(
+    sampler: structured.StructuredSampler,
+    schedule: SkrampleSchedule,
+    model_transform: models.DiffusionModel,
+    steps: int,
+    model_fn: DeviceModel,
+    sample: jax.Array,
+    noises: jax.Array | None = None,
+) -> jax.Array:
+    """Fallback: trace the polymorphic sampler spec directly (unrolled loop).
+
+    Works for every sampler including non-affine ones; compile time grows
+    with ``steps``."""
+    adapter = interface.StructuredFunctionalAdapter(sampler)
+    if noises is not None:
+        counter = iter(range(steps))
+        rng = lambda _step: noises[next(counter)]  # noqa: E731
+    else:
+        rng = None
+    return adapter.sample_model(sample, model_fn, model_transform, schedule, steps, rng=rng)
+
+

@@ -1,0 +1,210 @@
+"""TPU engine: the table compiler and scan loops must reproduce the
+polymorphic sampler spec exactly (float64 on CPU) for every compilable
+sampler, schedule, and predictor family."""
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+from fixture_common import MODEL_TYPES
+from skrample_tpu import ops, scheduling
+from skrample_tpu.ops.lincomb import Lin, NonlinearOperation
+from skrample_tpu.sampling import functional, interface, models, structured, tableaux
+
+SHAPE = (2, 4, 4)
+
+COMPILABLE = {
+    "Euler": structured.Euler(),
+    "Euler(sde)": structured.Euler(stochasticity=1),
+    "DPM(1)": structured.DPM(order=1),
+    "DPM(2)": structured.DPM(order=2),
+    "DPM(3)": structured.DPM(order=3),
+    "DPM(2,sde)": structured.DPM(order=2, stochasticity=1),
+    "DPM(1,sde)": structured.DPM(order=1, stochasticity=1),
+    "Adams(4)": structured.Adams(order=4),
+    "Adams(9)": structured.Adams(order=9),
+    "UniP(2)": structured.UniP(order=2),
+    "UniP(3)": structured.UniP(order=3),
+    "UniPC(2)": structured.UniPC(order=2),
+    "UniPC(3)": structured.UniPC(order=3),
+    "UniPC(2,sde)": structured.UniPC(order=2, stochasticity=1),
+    "UniPC(2,adams3)": structured.UniPC(order=2, predictor=structured.Adams(order=3)),
+    "SPC": structured.SPC(),
+    "SPC(dpm2)": structured.SPC(predictor=structured.DPM(order=2)),
+    "DPM(2,noderiv)": structured.DPM(order=2, derivative_transform=None),
+    "DPM(3,velderiv)": structured.DPM(order=3, derivative_transform=models.VelocityModel()),
+}
+
+SCHEDULES = {
+    "Linear": scheduling.Linear(),
+    "Scaled": scheduling.Scaled(),
+    "FlowShift(Linear)": scheduling.FlowShift(scheduling.Linear()),
+    "Karras(Scaled)": scheduling.Karras(scheduling.Scaled()),
+}
+
+
+def device_model(x, t, s, a):
+    "Deterministic nonlinear pseudo-model usable both traced and with floats."
+    return x * 0.9 + jnp.sin(x * 0.7) * s - t * 1e-4
+
+
+def oracle_run(sampler, schedule, transform, steps, x0, noises):
+    "The polymorphic spec run eagerly on jnp arrays (float64)."
+    adapter = interface.StructuredFunctionalAdapter(sampler)
+    counter = iter(range(steps))
+    rng = (lambda _s: noises[next(counter)]) if sampler.require_noise else None
+    return adapter.sample_model(x0, device_model, transform, schedule, steps, rng=rng)
+
+
+@pytest.mark.parametrize(
+    ("s_name", "sch_name", "m_name"),
+    [
+        (s, sch, m)
+        for s, sch, m in itertools.product(COMPILABLE, SCHEDULES, ["DataModel", "FlowModel", "VelocityModel"])
+        # thin the matrix: full sampler sweep on one schedule/model, spot sweep elsewhere
+        if (sch == "Linear" and m == "FlowModel") or s in ("DPM(2)", "UniPC(2)", "SPC", "Euler(sde)")
+    ],
+)
+def test_compiled_matches_oracle(s_name, sch_name, m_name) -> None:
+    sampler = COMPILABLE[s_name]
+    schedule = SCHEDULES[sch_name]
+    transform = MODEL_TYPES[m_name]
+    steps = 9
+
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, SHAPE, jnp.float64)
+    noises = jax.random.normal(jax.random.fold_in(key, 1), (steps, *SHAPE), jnp.float64)
+
+    expected = oracle_run(sampler, schedule, transform, steps, x0, noises)
+    actual = ops.sample_loop(sampler, schedule, transform, steps, device_model, x0, noises=noises)
+
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=1e-12, atol=1e-12)
+
+
+def test_compiled_start_offset() -> None:
+    "start= must reproduce the adapter's include=slice(start, None) semantics."
+    sampler = structured.DPM(order=2)
+    schedule = SCHEDULES["Linear"]
+    transform = MODEL_TYPES["FlowModel"]
+    steps, start = 10, 4
+
+    x0 = jax.random.normal(jax.random.PRNGKey(2), SHAPE, jnp.float64)
+    adapter = interface.StructuredFunctionalAdapter(sampler)
+    expected = adapter.sample_model(x0, device_model, transform, schedule, steps, include=slice(start, None))
+
+    compiled = ops.compile_sampler(sampler, schedule, transform, steps, start=start)
+    denoiser = ops.CompiledDenoiser.build(compiled, dtype=jnp.float64)
+    x = x0
+    ring = denoiser.init_ring(x)
+    jit_step = denoiser.jitted_step()
+    for n in range(start, steps):
+        point = compiled.points[n]
+        o = device_model(x, *point)
+        x, ring = jit_step(denoiser.weights[n], x, o, ring)
+
+    np.testing.assert_allclose(np.asarray(x), np.asarray(expected), rtol=1e-12, atol=1e-12)
+
+
+def test_single_step_equals_scan() -> None:
+    sampler = structured.UniPC(order=3)
+    schedule = SCHEDULES["Scaled"]
+    transform = MODEL_TYPES["VelocityModel"]
+    steps = 8
+
+    x0 = jax.random.normal(jax.random.PRNGKey(3), SHAPE, jnp.float64)
+    compiled = ops.compile_sampler(sampler, schedule, transform, steps)
+    denoiser = ops.CompiledDenoiser.build(compiled, dtype=jnp.float64)
+
+    scan_result = denoiser.run(device_model, x0)
+
+    x, ring = x0, denoiser.init_ring(x0)
+    jit_step = denoiser.jitted_step()
+    for n in range(steps):
+        o = device_model(x, *compiled.points[n])
+        x, ring = jit_step(denoiser.weights[n], x, o, ring)
+
+    np.testing.assert_allclose(np.asarray(x), np.asarray(scan_result), rtol=1e-12, atol=1e-12)
+
+
+def test_nonlinear_sampler_rejected() -> None:
+    with pytest.raises(ops.NonlinearSamplerError):
+        ops.compile_sampler(
+            structured.SPC(power=2), SCHEDULES["Linear"], MODEL_TYPES["DataModel"], 8
+        )
+
+
+def test_generic_loop_handles_nonlinear() -> None:
+    sampler = structured.SPC(power=2)
+    schedule = SCHEDULES["Linear"]
+    transform = MODEL_TYPES["DataModel"]
+    steps = 6
+    x0 = jax.random.normal(jax.random.PRNGKey(4), SHAPE, jnp.float64)
+    expected = oracle_run(sampler, schedule, transform, steps, x0, None)
+    actual = jax.jit(
+        lambda x: ops.generic_sample_loop(sampler, schedule, transform, steps, device_model, x)
+    )(x0)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    ("rk", "sch_name", "m_name"),
+    [
+        (functional.RKUltra(order=2, providers={2: tableaux.RKE2.Heun}), "Linear", "FlowModel"),
+        (functional.RKUltra(order=4), "Linear", "FlowModel"),
+        (functional.RKUltra(order=4), "Scaled", "VelocityModel"),
+        (functional.RKUltra(order=8), "Karras(Scaled)", "DataModel"),
+        (functional.RKUltra(order=2, providers={2: tableaux.RKE2.Heun}, stochasticity=1), "Linear", "FlowModel"),
+        (functional.RKUltra(order=3, derivative_transform=models.VelocityModel()), "Linear", "FlowModel"),
+        (functional.DynasauRK(order=2), "Linear", "FlowModel"),
+        (functional.DynasauRK(order=3), "Scaled", "DataModel"),
+        (functional.DynasauRK(order=4), "FlowShift(Linear)", "FlowModel"),
+    ],
+    ids=str,
+)
+def test_rk_loop_matches_generic(rk, sch_name, m_name) -> None:
+    schedule = SCHEDULES[sch_name]
+    transform = MODEL_TYPES[m_name]
+    steps = 7
+
+    x0 = jax.random.normal(jax.random.PRNGKey(5), SHAPE, jnp.float64)
+    noises = jax.random.normal(jax.random.PRNGKey(6), (steps, *SHAPE), jnp.float64)
+
+    counter = iter(range(steps))
+    rng = (lambda _s: noises[next(counter)]) if abs(rk.stochasticity) > 1e-8 else None
+    expected = rk.sample_model(x0, device_model, transform, schedule, steps, rng=rng)
+
+    actual = ops.rk_sample_loop(rk, schedule, transform, steps, device_model, x0, noises=noises)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=1e-10, atol=1e-10)
+
+
+def test_lincomb_algebra() -> None:
+    a, b = Lin("a"), Lin("b")
+    expr = (a * 2 + b) / 4 - a * 0.25
+    assert expr.coefficient("a") == pytest.approx(0.25)
+    assert expr.coefficient("b") == pytest.approx(0.25)
+    assert (-expr).coefficient("a") == pytest.approx(-0.25)
+    assert math.sumprod((a, b), (2.0, 3.0)).coefficient("b") == 3.0
+    with pytest.raises(NonlinearOperation):
+        abs(a)
+    with pytest.raises(NonlinearOperation):
+        a * b  # type: ignore[operator]
+    with pytest.raises(NonlinearOperation):
+        float(a)
+
+
+def test_fused_pallas_interpret_matches_xla() -> None:
+    "Pallas kernel (interpret mode on CPU) must equal the XLA tensordot."
+    key = jax.random.PRNGKey(9)
+    stack = jax.random.normal(key, (7, 4, 33, 65), jnp.float32)  # non-aligned on purpose
+    weights = jax.random.normal(jax.random.fold_in(key, 1), (3, 7), jnp.float32)
+
+    expected = ops.fused_step(weights, stack)
+    actual = ops.fused_step_pallas(weights, stack, interpret=True)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=1e-6, atol=1e-6)
