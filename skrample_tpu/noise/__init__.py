@@ -63,6 +63,10 @@ class JaxNoise(abc.ABC):
         raise NotImplementedError
 
 
+_STATIC_SALT = 0x5EED_57A7
+"fold_in salt reserving a key stream for static (step-invariant) components."
+
+
 def _as_key(seed: int | jax.Array) -> jax.Array:
     if isinstance(seed, int):
         return jax.random.PRNGKey(seed)
@@ -125,7 +129,7 @@ class Offset(NoiseCommon[OffsetProps]):
 
     def generate(self, index: int, step: Step | None) -> jax.Array:
         props = self.props or OffsetProps()
-        offset_key = jax.random.fold_in(self.seed, -1) if props.static else self._key(index, salt=1)
+        offset_key = jax.random.fold_in(self.seed, _STATIC_SALT) if props.static else self._key(index, salt=1)
         return self._randn(self._key(index)) + self._offset(offset_key)
 
 
@@ -170,7 +174,7 @@ class Pyramid(NoiseCommon[PyramidProps]):
 
     def generate(self, index: int, step: Step | None) -> jax.Array:
         props = self.props or PyramidProps()
-        pyr_key = jax.random.fold_in(self.seed, -1) if props.static else self._key(index, salt=1)
+        pyr_key = jax.random.fold_in(self.seed, _STATIC_SALT) if props.static else self._key(index, salt=1)
         noise = self._randn(self._key(index)) + self._pyramid(pyr_key)
         return noise / noise.std()  # back to roughly unit variance
 
