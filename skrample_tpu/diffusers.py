@@ -1,0 +1,1044 @@
+"""Best-effort diffusers compatibility layer.
+
+Presents this library's samplers/schedules behind the duck-type that
+``diffusers.DiffusionPipeline`` expects (``set_timesteps`` / ``timesteps`` /
+``sigmas`` / ``step`` / ``add_noise`` / ``.config``), so pipelines swap
+schedulers unchanged.  Works against plain config dicts — the ``diffusers``
+package itself is not required.
+
+Architecture difference from the reference (``skrample/diffusers.py``): the
+reference re-runs the full scalar solver per ``step()`` call; here
+``SkrampleWrapperScheduler`` compiles the whole run into per-step coefficient
+tables once (:mod:`skrample_tpu.ops.compiler`) and each ``step()`` is a plain
+FMA over the latent — the scalar math (including UniPC's per-step matrix
+solves) happens exactly once per ``set_timesteps``.  Non-affine samplers
+(e.g. ``SPC(power!=1)``) transparently fall back to the polymorphic path.
+
+Noise comes from :mod:`skrample_tpu.noise` (jax.random, counter-based),
+bridged to torch tensors at the boundary.
+"""
+
+from __future__ import annotations
+
+import abc
+import dataclasses
+import math
+from collections import OrderedDict
+from collections.abc import Hashable, Mapping, Sequence
+from types import MappingProxyType
+from typing import TYPE_CHECKING, Any
+
+import numpy as np
+import torch
+from torch import Tensor
+
+from . import noise as jaxnoise
+from . import scheduling
+from .common import DeltaPoint, MergeStrategy, Point, Step, sumprod
+from .ops.compiler import CompiledSampler, NonlinearSamplerError, compile_sampler
+from .sampling import functional, interface, models, structured, tableaux, traits
+from .sampling.models import DataModel, DiffusionModel, FlowModel, NoiseModel, VelocityModel
+from .sampling.structured import SampleInput, SKSamples, StructuredSampler
+from .scheduling import ScheduleCommon, ScheduleModifier, SkrampleSchedule, SubSchedule
+
+if TYPE_CHECKING:
+    from diffusers.configuration_utils import ConfigMixin
+
+
+# --- config translation tables --------------------------------------------
+
+DIFFUSERS_CLASS_MAP: dict[str, tuple[type[StructuredSampler], dict[str, Any]]] = {
+    "DDIMScheduler": (structured.Euler, {}),
+    "DDPMScheduler": (structured.DPM, {"stochasticity": True, "order": 1}),
+    "DPMSolverMultistepScheduler": (structured.DPM, {}),
+    "DPMSolverSDEScheduler": (structured.DPM, {"stochasticity": True, "order": 1}),
+    "EulerAncestralDiscreteScheduler": (structured.DPM, {"stochasticity": True, "order": 1}),
+    "EulerDiscreteScheduler": (structured.Euler, {}),
+    "FlowMatchEulerDiscreteScheduler": (structured.Euler, {}),
+    "IPNDMScheduler": (structured.Adams, {"order": 4}),
+    "UniPCMultistepScheduler": (structured.UniPC, {}),
+}
+
+DIFFUSERS_KEY_MAP: dict[str, str] = {
+    "shift": "shift",  # scheduling.FlowShift
+    "flow_shift": "shift",  # non-FlowMatch schedulers use this name
+    "solver_order": "order",
+    "num_train_timesteps": "base_timesteps",
+}
+"Key renames, values passed through."
+
+DIFFUSERS_KEY_MAP_REV: dict[str, str] = {v: k for k, v in DIFFUSERS_KEY_MAP.items()}
+
+DIFFUSERS_VALUE_MAP: dict[tuple[str, Any], tuple[str, Any]] = {
+    ("beta_schedule", "linear"): ("beta_scale", 1),
+    ("beta_schedule", "scaled_linear"): ("beta_scale", 2),
+    ("algorithm_type", "dpmsolver"): ("stochasticity", False),
+    ("algorithm_type", "dpmsolver++"): ("stochasticity", False),
+    ("algorithm_type", "sde-dpmsolver"): ("stochasticity", True),
+    ("algorithm_type", "sde-dpmsolver++"): ("stochasticity", True),
+    ("prediction_type", "epsilon"): ("skrample_predictor", NoiseModel()),
+    ("prediction_type", "flow"): ("skrample_predictor", FlowModel()),
+    ("prediction_type", "sample"): ("skrample_predictor", DataModel()),
+    ("prediction_type", "v_prediction"): ("skrample_predictor", VelocityModel()),
+    # later entries take priority over earlier ones
+    ("use_flow_sigmas", True): ("skrample_subschedule", None),
+    ("use_beta_sigmas", True): ("skrample_subschedule", scheduling.Beta),
+    ("use_exponential_sigmas", True): ("skrample_subschedule", scheduling.Exponential),
+    ("use_karras_sigmas", True): ("skrample_subschedule", scheduling.Karras),
+}
+"Key/value -> key/value map for structured translations."
+
+DIFFUSERS_VALUE_MAP_REV: dict[tuple[str, Any], tuple[str, Any]] = {v: k for k, v in DIFFUSERS_VALUE_MAP.items()}
+
+DEFAULT_FAKE_CONFIG = {
+    "base_image_seq_len": 256,
+    "base_shift": 0.5,
+    "max_image_seq_len": 4096,
+    "max_shift": 1.15,
+    "use_dynamic_shifting": True,
+}
+"Baseline config keys pipelines poke at; presented so they don't raise."
+
+
+@dataclasses.dataclass(frozen=True)
+class ParsedDiffusersConfig:
+    "Skrample classes + props read from a diffusers scheduler config."
+
+    sampler: type[StructuredSampler]
+    sampler_props: dict[str, Any]
+    schedule: type[SkrampleSchedule]
+    schedule_props: dict[str, Any]
+    subschedule: type[SubSchedule] | None
+    subschedule_props: dict[str, Any]
+    schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]]
+    model: DiffusionModel
+
+
+def parse_diffusers_config(
+    config: "dict[str, Any] | ConfigMixin",
+    sampler: type[StructuredSampler] | None = None,
+    schedule: type[SkrampleSchedule] | None = None,
+) -> ParsedDiffusersConfig:
+    """Interpret a diffusers scheduler (or its config dict) as skrample
+    classes + properties.  User-provided sampler/schedule types suppress the
+    corresponding inference."""
+    diffusers_class = config.get("_class_name", "") if isinstance(config, dict) else type(config).__name__
+    if not isinstance(config, dict):
+        config = dict(config.config)
+
+    remapped = {key_to: config[key_from] for key_from, key_to in DIFFUSERS_KEY_MAP.items() if key_from in config} | {
+        key_to: value_to
+        for (key_from, value_from), (key_to, value_to) in DIFFUSERS_VALUE_MAP.items()
+        if key_from in config and config[key_from] == value_from
+    }
+
+    if "skrample_predictor" in remapped:
+        model: DiffusionModel = remapped.pop("skrample_predictor")
+    elif "shift" in remapped:  # only flow configs carry shift
+        model = FlowModel()
+    else:
+        model = NoiseModel()
+
+    if not sampler:
+        sampler, sampler_props = DIFFUSERS_CLASS_MAP.get(diffusers_class, (structured.DPM, {}))
+    else:
+        sampler_props = {}
+
+    if not schedule:
+        if isinstance(model, FlowModel):
+            schedule = scheduling.Linear
+        elif config.get("rescale_betas_zero_snr", False):
+            schedule = scheduling.ZSNR
+        else:
+            schedule = scheduling.Scaled
+
+    # Linear-on-VP (e.g. sd1/xl "flow sigmas"): anchor sigma_start at the
+    # scaled schedule's terminal sigma
+    if "sigma_start" not in remapped and not isinstance(model, FlowModel) and issubclass(schedule, scheduling.Linear):
+        scaled_keys = [f.name for f in dataclasses.fields(scheduling.Scaled)]
+        scaled = scheduling.Scaled(**{k: v for k, v in remapped.items() if k in scaled_keys})
+        remapped["sigma_start"] = scaled.space.regularize(scaled.point_1.sigma).item()
+
+    schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]] = []
+
+    if "skrample_subschedule" in remapped:
+        subschedule: type[SubSchedule] | None = remapped.pop("skrample_subschedule")
+        # Cosmos-style configs combine use_flow_sigmas with karras/exponential;
+        # results degrade badly, so flow wins and the subschedule is dropped.
+        if config.get("use_flow_sigmas", False) is True and subschedule in (scheduling.Karras, scheduling.Exponential):
+            subschedule = None
+        modifier_keys = [f.name for f in dataclasses.fields(subschedule)] if subschedule else []
+        subschedule_props = {k: v for k, v in remapped.items() if k in modifier_keys}
+    else:
+        subschedule, subschedule_props = None, {}
+
+    if isinstance(model, FlowModel) and not subschedule:
+        flow_keys = [f.name for f in dataclasses.fields(scheduling.FlowShift)]
+        schedule_modifiers.append((scheduling.FlowShift, {k: v for k, v in remapped.items() if k in flow_keys}))
+
+    sampler_keys = [f.name for f in dataclasses.fields(sampler)]
+    schedule_keys = [f.name for f in dataclasses.fields(schedule)]
+
+    return ParsedDiffusersConfig(
+        sampler=sampler,
+        sampler_props=sampler_props | {k: v for k, v in remapped.items() if k in sampler_keys},
+        schedule=schedule,
+        schedule_props={k: v for k, v in remapped.items() if k in schedule_keys},
+        subschedule=subschedule,
+        subschedule_props=subschedule_props,
+        schedule_modifiers=schedule_modifiers,
+        model=model,
+    )
+
+
+def attr_dict[T: Any](**kwargs: T) -> OrderedDict[str, T]:
+    "An OrderedDict whose items are also attributes (diffusers config duck-type)."
+    od = OrderedDict(**kwargs)
+    for k, v in od.items():
+        setattr(od, k, v)
+    return od
+
+
+def as_diffusers_config(
+    sampler: StructuredSampler,
+    schedule: SkrampleSchedule,
+    model: DiffusionModel,
+) -> dict[str, Any]:
+    "Reverse translation back to diffusers-readable keys. Not exhaustive."
+    skrample_config = dataclasses.asdict(sampler)
+    skrample_config["skrample_predictor"] = model
+
+    if isinstance(schedule, ScheduleModifier):
+        _, subschedule, _ = schedule.all_split
+        if subschedule is not None:
+            skrample_config["skrample_subschedule"] = type(subschedule)
+    else:
+        skrample_config |= dataclasses.asdict(schedule)
+
+    return (
+        skrample_config
+        | {DIFFUSERS_KEY_MAP_REV[k]: v for k, v in skrample_config.items() if k in DIFFUSERS_KEY_MAP_REV}
+        | {
+            DIFFUSERS_VALUE_MAP_REV[(k, v)][0]: DIFFUSERS_VALUE_MAP_REV[(k, v)][1]
+            for k, v in skrample_config.items()
+            if isinstance(v, Hashable) and (k, v) in DIFFUSERS_VALUE_MAP_REV
+        }
+    )
+
+
+def _build_schedule(
+    parsed: ParsedDiffusersConfig,
+    schedule: type[SkrampleSchedule] | None,
+    subschedule: type[SubSchedule] | None,
+    schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]],
+    schedule_props: dict[str, Any],
+    subschedule_props: dict[str, Any],
+    merge: MergeStrategy,
+) -> SkrampleSchedule:
+    "Shared schedule assembly used by every from_diffusers_config."
+    built = (schedule or parsed.schedule)(**parsed.schedule_props | schedule_props)
+
+    if (sub := subschedule or parsed.subschedule) is not None and isinstance(built, ScheduleCommon):
+        built = sub(built, **parsed.subschedule_props | subschedule_props)
+
+    if isinstance(built, ScheduleCommon | SubSchedule | ScheduleModifier):
+        for modifier, modifier_props in merge.merge(
+            ours=schedule_modifiers,
+            theirs=parsed.schedule_modifiers,
+            cmp=lambda a, b: a[0] is b[0],
+        ):
+            built = modifier(base=built, **modifier_props)
+
+    return built
+
+
+def _tensor_from_jax(array: Any, dtype: torch.dtype, device: torch.device) -> Tensor:
+    return torch.from_numpy(np.asarray(array)).to(dtype=dtype, device=device)
+
+
+# --- wrapper cores ----------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SkrampleWrapperCore(abc.ABC):
+    """Shared state + the diffusers scheduler duck-type surface.
+
+    Best effort: most ``.config`` items are fake and several function inputs
+    are ignored; skrample properties always win over incoming ones."""
+
+    def __post_init__(self) -> None:
+        self._steps: int = 50
+        self._index: int = 0
+        self._device: torch.device = torch.device("cpu")
+        self._noise_generator: jaxnoise.BatchNoise | None = None
+
+    @property
+    @abc.abstractmethod
+    def sigma_space(self) -> scheduling.SigmaSpace: ...
+
+    @property
+    @abc.abstractmethod
+    def schedule_np(self) -> np.ndarray: ...
+
+    @property
+    @abc.abstractmethod
+    def config(self) -> OrderedDict[str, Any]: ...
+
+    @property
+    def schedule_pt(self) -> Tensor:
+        return torch.from_numpy(self.schedule_np).to(self._device)
+
+    @property
+    def timesteps(self) -> Tensor:
+        return torch.from_numpy(self.schedule_np[:, 0]).to(self._device)
+
+    @property
+    def sigmas(self) -> Tensor:
+        sigmas = torch.from_numpy(self.sigma_space.regularize(self.schedule_np[:, 1])).to(self._device)
+        # diffusers expects a trailing zero
+        return torch.cat([sigmas, torch.zeros([1], device=sigmas.device, dtype=sigmas.dtype)])
+
+    @property
+    def init_noise_sigma(self) -> float:
+        return 1
+
+    @property
+    def order(self) -> int:
+        return 1
+
+    @abc.abstractmethod
+    def functional_interface(
+        self,
+    ) -> tuple[functional.FunctionalSampler, SkrampleSchedule, DiffusionModel]:
+        "Equivalent functional sampler built from the wrapper settings."
+
+    def functional_sample_model(
+        self,
+        sample,
+        model,
+        steps: int,
+        include: slice = slice(None),
+        rng=None,
+        callback=None,
+    ):
+        "See :meth:`functional.FunctionalSampler.sample_model`."
+        sampler, schedule, transform = self.functional_interface()
+        return sampler.sample_model(sample, model, transform, schedule, steps, include, rng, callback)
+
+    def functional_generate_model(
+        self,
+        model,
+        rng,
+        steps: int,
+        include: slice = slice(None),
+        initial=None,
+        callback=None,
+    ):
+        "See :meth:`functional.FunctionalSampler.generate_model`."
+        sampler, schedule, transform = self.functional_interface()
+        return sampler.generate_model(model, transform, schedule, rng, steps, include, initial, callback)
+
+    def get_step_noise(
+        self,
+        step: Step,
+        sample: Tensor,
+        noise_type: type[jaxnoise.NoiseCommon],
+        noise_props: jaxnoise.NoiseProps | None,
+        generator: torch.Generator | list[torch.Generator] | None = None,
+        dtype: torch.dtype | None = None,
+    ) -> Tensor:
+        "Lazy per-batch-item noise: seeds from generators, else from the latent itself."
+        if self._noise_generator is None:
+            if isinstance(generator, list) and len(generator) == sample.shape[0]:
+                seeds: list[int] = [g.initial_seed() for g in generator]
+            elif isinstance(generator, torch.Generator) and sample.shape[0] == 1:
+                seeds = [generator.initial_seed()]
+            else:
+                # median element +4 decimals x step index: deterministic-ish
+                # without seed collisions across the batch
+                seeds = [
+                    int(b.reshape(b.numel())[b.numel() // 2].item() * 1e4 * (step.position() + 1))
+                    for b in sample
+                ]
+
+            self._noise_generator = jaxnoise.BatchNoise.from_batch_inputs(
+                noise_type,
+                unit_shape=tuple(sample.shape[1:]),
+                seeds=seeds,  # type: ignore[arg-type]
+                props=noise_props,
+            )
+
+        index = round(step.position())
+        out = self._noise_generator.generate(index, step)
+        return _tensor_from_jax(out, dtype or sample.dtype, sample.device)
+
+    @abc.abstractmethod
+    def scale_noise(self, sample: Tensor, timestep: Tensor, noise: Tensor) -> Tensor: ...
+
+    @abc.abstractmethod
+    def set_timesteps(
+        self,
+        num_inference_steps: int | None = None,
+        device: torch.device | str | None = None,
+        timesteps: Tensor | list[int] | None = None,
+        sigmas: Tensor | list[float] | None = None,
+        mu: float | None = None,
+    ) -> None: ...
+
+    @abc.abstractmethod
+    def step(
+        self,
+        model_output: Tensor,
+        timestep: float | Tensor,
+        sample: Tensor,
+        s_churn: float = 0.0,
+        s_tmin: float = 0.0,
+        s_tmax: float = float("inf"),
+        s_noise: float = 1.0,
+        generator: torch.Generator | list[torch.Generator] | None = None,
+        return_dict: bool = True,
+    ) -> tuple[Tensor, Tensor] | OrderedDict[str, Tensor]: ...
+
+    def set_begin_index(self, begin_index: int = 0) -> None:
+        self._index = begin_index
+
+    def add_noise(self, original_samples: Tensor, noise: Tensor, timesteps: Tensor) -> Tensor:
+        if len(timesteps) == 0:
+            return original_samples
+        return self.scale_noise(original_samples, timesteps[0], noise)
+
+    def scale_model_input(self, sample: Tensor, timestep: float | Tensor) -> Tensor:
+        return sample
+
+    def time_shift(self, mu: float, sigma: float, t: Tensor) -> Tensor:
+        return math.exp(mu) / (math.exp(mu) + (1 / t - 1) ** sigma)
+
+    def _apply_dynamic(self, mu: float | None) -> None:
+        "FlowShift hot-swap on mu + Karras/Exponential step-count rewrite."
+        if (
+            mu is not None
+            and isinstance(self.schedule, ScheduleModifier)
+            and (found := self.schedule.find_split(scheduling.FlowShift)) is not None
+        ):
+            before, flow, after, sub, base = found
+            self.schedule = self.schedule.stack(
+                [*before, dataclasses.replace(flow, shift=math.exp(mu)), *after], sub, base
+            )
+
+        if isinstance(self.schedule, scheduling.Karras | scheduling.Exponential):
+            self.schedule = dataclasses.replace(self.schedule, steps=self._steps)
+        elif isinstance(self.schedule, ScheduleModifier):
+            mods, sub, base = self.schedule.all_split
+            if isinstance(sub, scheduling.Karras | scheduling.Exponential):
+                sub = dataclasses.replace(sub, steps=self._steps)
+                self.schedule = self.schedule.stack(mods, sub, base)
+
+
+@dataclasses.dataclass
+class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCore):
+    """Structured-sampler wrapper.
+
+    ``set_timesteps`` compiles the full run into coefficient tables; each
+    ``step()`` is then a pure FMA over the latent plus a history ring roll —
+    no per-step scalar solver math.  Samplers the compiler rejects fall back
+    to the polymorphic path transparently."""
+
+    sampler: StructuredSampler
+    schedule: SkrampleSchedule
+    model: DiffusionModel = NoiseModel()  # noqa: RUF009 — immutable
+    noise_type: type[jaxnoise.NoiseCommon[T]] = jaxnoise.Random  # type: ignore[assignment]
+    noise_props: T | None = None
+    compute_scale: torch.dtype | None = torch.float32
+    allow_dynamic: bool = True
+    "Permit runtime overrides (FlowShift via mu, sub-schedule step counts)."
+    fake_config: dict[str, Any] = dataclasses.field(default_factory=DEFAULT_FAKE_CONFIG.copy)
+    "Extra .config entries shown to the pipeline; prefer a real scheduler config."
+
+    def __post_init__(self) -> None:
+        super().__post_init__()
+        self._previous: list[SKSamples[Tensor]] = []
+        self._schedule = self.schedule  # pristine copy for set_timesteps restore
+        self._compiled: CompiledSampler | None = None
+        self._ring: list[tuple[Tensor, Tensor, Tensor | None]] = []
+
+    @classmethod
+    def from_diffusers_config[N: jaxnoise.NoiseProps | None](
+        cls,
+        config: "dict[str, Any] | ConfigMixin",
+        sampler: type[StructuredSampler] | None = None,
+        schedule: type[SkrampleSchedule] | None = None,
+        subschedule: type[SubSchedule] | None = None,
+        schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]] = [],
+        model: DiffusionModel | None = None,
+        noise_type: type[jaxnoise.NoiseCommon[N]] = jaxnoise.Random,  # type: ignore[assignment]
+        compute_scale: torch.dtype | None = torch.float32,
+        sampler_props: dict[str, Any] = {},
+        noise_props: N | None = None,
+        schedule_props: dict[str, Any] = {},
+        subschedule_props: dict[str, Any] = {},
+        modifier_merge_strategy: MergeStrategy = MergeStrategy.UniqueBefore,
+        allow_dynamic: bool = True,
+    ) -> "SkrampleWrapperScheduler[N]":
+        "Build a complete wrapper from a diffusers config with optional overrides."
+        parsed = parse_diffusers_config(config=config, sampler=sampler, schedule=schedule)
+
+        built_sampler = (sampler or parsed.sampler)(**parsed.sampler_props | sampler_props)
+        built_schedule = _build_schedule(
+            parsed, schedule, subschedule, schedule_modifiers, schedule_props, subschedule_props,
+            modifier_merge_strategy,
+        )
+
+        return cls(  # type: ignore[return-value]
+            built_sampler,
+            built_schedule,
+            model or parsed.model,
+            noise_type=noise_type,  # type: ignore[arg-type]
+            noise_props=noise_props,
+            compute_scale=compute_scale,
+            fake_config=config.copy() if isinstance(config, dict) else dict(config.config),
+            allow_dynamic=allow_dynamic,
+        )
+
+    def functional_interface(
+        self,
+    ) -> tuple[interface.StructuredFunctionalAdapter, SkrampleSchedule, DiffusionModel]:
+        return interface.StructuredFunctionalAdapter(self.sampler), self._schedule, self.model
+
+    @property
+    def sigma_space(self) -> scheduling.SigmaSpace:
+        return self.schedule.space
+
+    @property
+    def schedule_np(self) -> np.ndarray:
+        return scheduling.np_schedule_lru(self.schedule, self._steps)
+
+    @property
+    def init_noise_sigma(self) -> float:
+        return self.sampler.scale_input(1, Point(*self.schedule_np[0]))
+
+    @property
+    def order(self) -> int:
+        return 1  # multistep samplers still present one call per timestep
+
+    @property
+    def config(self) -> OrderedDict[str, Any]:
+        return attr_dict(**(self.fake_config | as_diffusers_config(self.sampler, self._schedule, self.model)))
+
+    def set_begin_index(self, begin_index: int = 0) -> None:
+        super().set_begin_index(begin_index)
+        self.fake_config["begin_index"] = begin_index
+        self._compiled = None  # history ramp restarts at the new begin index
+
+    def set_timesteps(
+        self,
+        num_inference_steps: int | None = None,
+        device: torch.device | str | None = None,
+        timesteps: Tensor | list[int] | None = None,
+        sigmas: Tensor | list[float] | None = None,
+        mu: float | None = None,
+    ) -> None:
+        self._index = 0
+        self.schedule = self._schedule  # restore pristine props
+
+        if num_inference_steps is None:
+            if timesteps is not None:
+                num_inference_steps = len(timesteps)
+            elif sigmas is not None:
+                num_inference_steps = len(sigmas)
+            else:
+                return
+
+        self._steps = num_inference_steps
+
+        if self.allow_dynamic:
+            self._apply_dynamic(mu)
+
+        self._previous = []
+        self._ring = []
+        self._noise_generator = None
+        self._compiled = None
+
+        if device is not None:
+            self._device = torch.device(device)
+
+    def scale_noise(self, sample: Tensor, timestep: Tensor, noise: Tensor) -> Tensor:
+        schedule = self.schedule_np
+        step = schedule[:, 0].tolist().index(timestep.item())
+        return self.sampler.add_noise(sample, noise, Point(*schedule[step]))
+
+    def scale_model_input(self, sample: Tensor, timestep: float | Tensor) -> Tensor:
+        schedule = self.schedule_np
+        step = schedule[:, 0].tolist().index(timestep if isinstance(timestep, int | float) else timestep.item())
+        return self.sampler.scale_input(sample, Point(*schedule[step]))
+
+    def _ensure_compiled(self, start: int) -> CompiledSampler | None:
+        if self._compiled is None:
+            try:
+                self._compiled = compile_sampler(self.sampler, self.schedule, self.model, self._steps, start=start)
+            except NonlinearSamplerError:
+                self._compiled = None
+                return None
+        return self._compiled
+
+    def _compiled_step(
+        self,
+        compiled: CompiledSampler,
+        index: int,
+        sample: Tensor,
+        prediction: Tensor,
+        noise: Tensor | None,
+    ) -> tuple[Tensor, Tensor]:
+        "Apply one step of the compiled tables to torch tensors (pure FMA)."
+        w = compiled.weights[index]
+        H = compiled.history
+
+        basis: list[Tensor | None] = [sample, prediction]
+        for age in range(1, H + 1):
+            if age <= len(self._ring):
+                hs, hp, hz = self._ring[age - 1]
+                basis.extend([hs, hp, hz])
+            else:
+                basis.extend([None, None, None])
+        basis.append(noise)
+
+        def fma(row: np.ndarray) -> Tensor:
+            acc: Tensor | None = None
+            for value, coeff in zip(basis, row, strict=True):
+                if value is None or coeff == 0.0:
+                    continue
+                acc = value * coeff if acc is None else acc + value * coeff
+            assert acc is not None
+            return acc
+
+        final = fma(w[0])
+        # store_pred is also the pred_original_sample surface (e.g. UniPC
+        # reports its derivative-space conversion, matching the spec)
+        store_sample = sample if compiled.trivial_store else fma(w[1])
+        store_pred = prediction if compiled.trivial_store else fma(w[2])
+        if H:
+            self._ring.insert(0, (store_sample, store_pred, noise))
+            del self._ring[H:]
+        return final, store_pred
+
+    def step(
+        self,
+        model_output: Tensor,
+        timestep: float | Tensor,
+        sample: Tensor,
+        s_churn: float = 0.0,
+        s_tmin: float = 0.0,
+        s_tmax: float = float("inf"),
+        s_noise: float = 1.0,
+        generator: torch.Generator | list[torch.Generator] | None = None,
+        return_dict: bool = True,
+    ) -> tuple[Tensor, Tensor] | OrderedDict[str, Tensor]:
+        schedule = self.schedule_np
+        index = schedule[:, 0].tolist().index(timestep if isinstance(timestep, int | float) else timestep.item())
+        step = Step.from_int(index, len(schedule))
+
+        if self.sampler.require_noise:
+            noise = self.get_step_noise(step, sample, self.noise_type, self.noise_props, generator, self.compute_scale)
+        else:
+            noise = None
+
+        sample_cast = sample.to(dtype=self.compute_scale)
+        output_cast = model_output.to(dtype=self.compute_scale)
+
+        compiled = self._ensure_compiled(start=index if not self._ring and not self._previous else 0)
+        if compiled is not None:
+            final, prediction = self._compiled_step(compiled, index, sample_cast, output_cast, noise)
+        else:  # non-affine sampler: polymorphic fallback
+            sampled = self.sampler.sample_packed(
+                packed=SampleInput(sample=sample_cast, prediction=output_cast, step=step, noise=noise),
+                model_transform=self.model,
+                schedule=self.schedule,
+                previous=self._previous,
+            )
+            self._previous.append(sampled)
+            self._previous = self._previous[max(len(self._previous) - self.sampler.require_previous, 0) :]
+            final, prediction = sampled.final, sampled.prediction
+
+        if return_dict:
+            return attr_dict(
+                prev_sample=final.to(device=model_output.device, dtype=model_output.dtype),
+                pred_original_sample=prediction.to(device=model_output.device, dtype=model_output.dtype),
+            )
+        return (
+            final.to(device=model_output.device, dtype=model_output.dtype),
+            prediction.to(device=model_output.device, dtype=model_output.dtype),
+        )
+
+
+@dataclasses.dataclass
+class RKWrapperCore[T: jaxnoise.NoiseProps | None, U: functional.FunctionalUnified](SkrampleWrapperCore):
+    """Runs a multi-NFE-per-step RK solver inside-out under diffusers' one
+    call per timestep: the *stage points* are presented as timesteps, model
+    outputs accumulate into the derivative buffer, and trailing t=0 stages
+    are flushed by back-computing derivatives without model calls."""
+
+    schedule: SkrampleSchedule
+    sampler_order: int = traits.UnifiedModelling.order
+    stochasticity: float = 0
+    model: DiffusionModel = NoiseModel()  # noqa: RUF009 — immutable
+    derivative_transform: DiffusionModel | None = traits.UnifiedModelling.derivative_transform
+    noise_type: type[jaxnoise.NoiseCommon[T]] = jaxnoise.Random  # type: ignore[assignment]
+    noise_props: T | None = None
+    compute_scale: torch.dtype | None = torch.float32
+    allow_dynamic: bool = True
+    fake_config: dict[str, Any] = dataclasses.field(default_factory=DEFAULT_FAKE_CONFIG.copy)
+
+    def __post_init__(self) -> None:
+        super().__post_init__()
+        self._index: int = 0
+        self._derivatives: list[Tensor] = []
+        self._sample: Tensor | None = None
+        self._schedule = self.schedule
+        self._all_points: Sequence[Point] | None = None
+        self._schedule_np_trim: np.ndarray | None = None
+
+    @abc.abstractmethod
+    def functional_sampler(self) -> U: ...
+
+    def functional_interface(self) -> tuple[U, SkrampleSchedule, DiffusionModel]:
+        return (self.functional_sampler(), self._schedule, self.model)
+
+    @abc.abstractmethod
+    def tableau(self) -> tableaux.Tableau: ...
+
+    def adjust_steps(self, steps: int) -> int:
+        return self.functional_interface()[0].adjust_steps(steps)
+
+    @abc.abstractmethod
+    def _schedule_full(self, steps: int) -> Sequence[Point]: ...
+
+    @property
+    def all_points(self) -> Sequence[Point]:
+        "Every stage point, T=1 end included."
+        if self._all_points is None:
+            self._all_points = self._schedule_full(self._steps)
+        return self._all_points
+
+    @property
+    def schedule_np_trim(self) -> np.ndarray:
+        "Stage points with t=0 / sigma=0 trimmed (what the pipeline iterates)."
+        if self._schedule_np_trim is None:
+            self._schedule_np_trim = np.asarray(
+                [p for p in self.all_points if p.timestep > 1e-8 and p.sigma > 1e-8], dtype=np.float64
+            )
+        return self._schedule_np_trim
+
+    @property
+    def sigma_space(self) -> scheduling.SigmaSpace:
+        return self.schedule.space
+
+    @property
+    def schedule_np(self) -> np.ndarray:
+        return self.schedule_np_trim
+
+    @property
+    def order(self) -> int:
+        return len(self.tableau().stages)
+
+    @property
+    def config(self) -> OrderedDict[str, Any]:
+        return attr_dict(**self.fake_config)
+
+    def set_begin_index(self, begin_index: int = 0) -> None:
+        assert begin_index % self.order == 0
+        super().set_begin_index(begin_index)
+        self.fake_config["begin_index"] = begin_index
+
+    def set_timesteps(
+        self,
+        num_inference_steps: int | None = None,
+        device: torch.device | str | None = None,
+        timesteps: Tensor | list[int] | None = None,
+        sigmas: Tensor | list[float] | None = None,
+        mu: float | None = None,
+    ) -> None:
+        self._index = 0
+        self._derivatives.clear()
+        self._all_points = None
+        self._schedule_np_trim = None
+        self.schedule = self._schedule
+
+        if num_inference_steps is None:
+            if timesteps is not None:
+                num_inference_steps = len(timesteps)
+            elif sigmas is not None:
+                num_inference_steps = len(sigmas)
+            else:
+                return
+
+        self._steps = num_inference_steps
+
+        if self.allow_dynamic:
+            self._apply_dynamic(mu)
+
+        self._noise_generator = None
+
+        if device is not None:
+            self._device = torch.device(device)
+
+    def scale_noise(self, sample: Tensor, timestep: Tensor, noise: Tensor) -> Tensor:
+        schedule = self.schedule_np
+        step = schedule[:, 0].tolist().index(timestep.item())
+        return Point(*schedule[step]).add_noise(sample, noise)
+
+    def step_tableau_inside_out(
+        self,
+        sample: Tensor,
+        output: Tensor,
+        model_transform: DiffusionModel,
+        S0: Point,
+        S1: Point,
+        SN: Point,
+        generator: torch.Generator | list[torch.Generator] | None,
+    ) -> Tensor:
+        nodes, weights = self.tableau()
+
+        self._derivatives.append(output)
+        if self._sample is None:
+            self._sample = sample
+        sample = self._sample
+
+        if len(self._derivatives) == len(weights):
+            if abs(self.stochasticity) > 1e-8:
+                noise = self.get_step_noise(
+                    Step.from_int(self._index // self.order, self._steps),
+                    sample,
+                    self.noise_type,
+                    self.noise_props,
+                    generator,
+                    self.compute_scale,
+                )
+            else:
+                noise = None
+            final: Tensor = model_transform.forward(
+                sample,
+                sumprod(self._derivatives, weights),
+                DeltaPoint(S0, S1),
+                noise,
+                self.stochasticity,
+            )
+            self._derivatives.clear()
+            self._sample = None
+            return final
+
+        if (node := nodes[len(self._derivatives)]).a:
+            return model_transform.forward(
+                sample,
+                sumprod(self._derivatives, node.a) / math.fsum(node.a),
+                DeltaPoint(S0, SN),
+            )
+
+        raise ValueError("RK stage with empty coefficients mid-step")
+
+    def step(
+        self,
+        model_output: Tensor,
+        timestep: float | Tensor,
+        sample: Tensor,
+        s_churn: float = 0.0,
+        s_tmin: float = 0.0,
+        s_tmax: float = float("inf"),
+        s_noise: float = 1.0,
+        generator: torch.Generator | list[torch.Generator] | None = None,
+        return_dict: bool = True,
+    ) -> tuple[Tensor, Tensor] | OrderedDict[str, Tensor]:
+        assert timestep == self.all_points[self._index].timestep
+
+        points = [*self.all_points, Point(0, 0, 1)]
+
+        if self.derivative_transform:
+            model_output = models.ModelConvert(self.model, self.derivative_transform).output_to(
+                sample, model_output, points[self._index]
+            )
+            model_transform = self.derivative_transform
+        else:
+            model_transform = self.model
+
+        S0_idx = self._index - len(self._derivatives)
+        S1_idx = self._index + self.order - len(self._derivatives)
+        SN_idx = self._index + 1
+
+        sampled = self.step_tableau_inside_out(
+            sample=sample.to(dtype=self.compute_scale),
+            output=model_output.to(dtype=self.compute_scale),
+            model_transform=model_transform,
+            S0=points[S0_idx],
+            S1=points[S1_idx],
+            SN=points[SN_idx],
+            generator=generator,
+        )
+
+        self._index += 1
+
+        # Flush trailing t=0 / sigma=0 stages: their derivatives come from
+        # backward() instead of model calls (the model must not see t=0)
+        while self._index < len(self.all_points) and (
+            abs(self.all_points[self._index].timestep) < 1e-8 or abs(self.all_points[self._index].sigma) < 1e-8
+        ):
+            sampled = self.step_tableau_inside_out(
+                sample=sample.to(dtype=self.compute_scale),
+                output=model_transform.backward(
+                    (sample if self._sample is None else self._sample).to(dtype=self.compute_scale),
+                    sampled,
+                    DeltaPoint(points[S0_idx], points[S1_idx]),
+                ),
+                model_transform=model_transform,
+                S0=points[S0_idx],
+                S1=points[S1_idx],
+                SN=points[SN_idx + 1],
+                generator=generator,
+            )
+            self._index += 1
+
+        if return_dict:
+            return attr_dict(
+                prev_sample=sampled.to(device=model_output.device, dtype=model_output.dtype),
+                pred_original_sample=model_output.to(device=model_output.device, dtype=model_output.dtype),
+            )
+        return (
+            sampled.to(device=model_output.device, dtype=model_output.dtype),
+            model_output.to(device=model_output.device, dtype=model_output.dtype),
+        )
+
+
+@dataclasses.dataclass
+class RKUltraWrapperScheduler[T: jaxnoise.NoiseProps | None](RKWrapperCore[T, functional.RKUltra]):
+    providers: Mapping[int, tableaux.TableauProvider] = functional.RKUltra.providers
+
+    @classmethod
+    def from_diffusers_config[N: jaxnoise.NoiseProps | None](
+        cls,
+        config: "dict[str, Any] | ConfigMixin",
+        schedule: type[SkrampleSchedule] | None = None,
+        sampler_order: int = functional.RKUltra.order,
+        stochasticity: float = 0,
+        subschedule: type[SubSchedule] | None = None,
+        schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]] = [],
+        providers: Mapping[int, tableaux.TableauProvider] = functional.RKUltra.providers,
+        model: DiffusionModel | None = None,
+        noise_type: type[jaxnoise.NoiseCommon[N]] = jaxnoise.Random,  # type: ignore[assignment]
+        derivative_transform: DiffusionModel | None = functional.RKUltra.derivative_transform,
+        compute_scale: torch.dtype | None = torch.float32,
+        schedule_props: dict[str, Any] = {},
+        subschedule_props: dict[str, Any] = {},
+        noise_props: N | None = None,
+        modifier_merge_strategy: MergeStrategy = MergeStrategy.UniqueBefore,
+        allow_dynamic: bool = True,
+    ) -> "RKUltraWrapperScheduler[N]":
+        parsed = parse_diffusers_config(config=config, sampler=None, schedule=schedule)
+        built_schedule = _build_schedule(
+            parsed, schedule, subschedule, schedule_modifiers, schedule_props, subschedule_props,
+            modifier_merge_strategy,
+        )
+        return cls(  # type: ignore[return-value]
+            built_schedule,
+            sampler_order,
+            stochasticity,
+            model or parsed.model,
+            providers=providers,
+            derivative_transform=derivative_transform,
+            noise_type=noise_type,  # type: ignore[arg-type]
+            noise_props=noise_props,
+            compute_scale=compute_scale,
+            fake_config=config.copy() if isinstance(config, dict) else dict(config.config),
+            allow_dynamic=allow_dynamic,
+        )
+
+    def functional_sampler(self) -> functional.RKUltra:
+        return functional.RKUltra(
+            order=self.sampler_order,
+            stochasticity=self.stochasticity,
+            derivative_transform=self.derivative_transform,
+            providers=MappingProxyType(self.providers),
+        )
+
+    def tableau(self) -> tableaux.Tableau:
+        return self.functional_sampler().tableau()
+
+    def _schedule_full(self, steps: int) -> Sequence[Point]:
+        "Record every stage point by replaying step_tableau against a stub model."
+        tableau = self.tableau()
+        recorded: list[Point] = []
+
+        def record_call(x: float, t: float, s: float, a: float) -> float:
+            recorded.append(Point(t, s, a))
+            return x
+
+        for n in range(steps):
+            functional.step_tableau(
+                tableau,
+                1,
+                record_call,
+                models.DataModel(),
+                self.schedule,
+                Step.from_int(n, steps),
+                epsilon=-math.inf,  # force T=0 stages to be recorded too
+            )
+
+        return recorded
+
+
+@dataclasses.dataclass
+class DynasauRKWrapperScheduler[T: jaxnoise.NoiseProps | None](RKWrapperCore[T, functional.DynasauRK]):
+    @classmethod
+    def from_diffusers_config[N: jaxnoise.NoiseProps | None](
+        cls,
+        config: "dict[str, Any] | ConfigMixin",
+        schedule: type[SkrampleSchedule] | None = None,
+        sampler_order: int = functional.RKUltra.order,
+        stochasticity: float = 0,
+        subschedule: type[SubSchedule] | None = None,
+        schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]] = [],
+        model: DiffusionModel | None = None,
+        noise_type: type[jaxnoise.NoiseCommon[N]] = jaxnoise.Random,  # type: ignore[assignment]
+        derivative_transform: DiffusionModel | None = functional.RKUltra.derivative_transform,
+        compute_scale: torch.dtype | None = torch.float32,
+        schedule_props: dict[str, Any] = {},
+        subschedule_props: dict[str, Any] = {},
+        noise_props: N | None = None,
+        modifier_merge_strategy: MergeStrategy = MergeStrategy.UniqueBefore,
+        allow_dynamic: bool = True,
+    ) -> "DynasauRKWrapperScheduler[N]":
+        parsed = parse_diffusers_config(config=config, sampler=None, schedule=schedule)
+        built_schedule = _build_schedule(
+            parsed, schedule, subschedule, schedule_modifiers, schedule_props, subschedule_props,
+            modifier_merge_strategy,
+        )
+        return cls(  # type: ignore[return-value]
+            built_schedule,
+            sampler_order,
+            stochasticity,
+            model or parsed.model,
+            derivative_transform=derivative_transform,
+            noise_type=noise_type,  # type: ignore[arg-type]
+            noise_props=noise_props,
+            compute_scale=compute_scale,
+            fake_config=config.copy() if isinstance(config, dict) else dict(config.config),
+            allow_dynamic=allow_dynamic,
+        )
+
+    def functional_sampler(self) -> functional.DynasauRK:
+        return functional.DynasauRK(
+            order=self.sampler_order,
+            stochasticity=self.stochasticity,
+            derivative_transform=self.derivative_transform,
+        )
+
+    def tableau(self) -> tableaux.Tableau:
+        stages = len(self.functional_sampler().tableau(Step(0, 1)).stages)
+        return self.functional_sampler().tableau(Step.from_int(self._index // stages, self._steps))
+
+    def _schedule_full(self, steps: int) -> Sequence[Point]:
+        recorded: list[Point] = []
+
+        def record_call(x: float, t: float, s: float, a: float) -> float:
+            recorded.append(Point(t, s, a))
+            return x
+
+        self.functional_sample_model(1, record_call, steps)
+        assert len(recorded) == self.order * steps
+        return recorded
