@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark: fused sampler step latency at SDXL latent shape.
+
+Times the table-compiled DPM-Solver++(2M) update — the per-step sampler work
+excluding the model — inside a device-resident ``lax.scan`` at SDXL
+``1x4x128x128`` float32 latents, plus correctness guards: sigma tables vs the
+committed reference goldens (max |dSigma|) and the compiled device trajectory
+vs the float64 host oracle (latent MSE).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <us/step>, "unit": "us", "vs_baseline": <5us / value>, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from skrample_tpu import scheduling
+    from skrample_tpu.ops import CompiledDenoiser, compile_sampler
+    from skrample_tpu.sampling import interface, models, structured
+
+    sampler = structured.DPM(order=2)
+    schedule = scheduling.FlowShift(scheduling.Linear())
+    transform = models.FlowModel()
+
+    steps = 1000
+    shape = (1, 4, 128, 128)
+
+    compiled = compile_sampler(sampler, schedule, transform, steps)
+    denoiser = CompiledDenoiser.build(compiled, dtype=jnp.float32)
+
+    def model_fn(x, t, s, a):
+        # minimal elementwise stand-in: isolates sampler-update cost
+        return x * jnp.float32(0.999)
+
+    @jax.jit
+    def run(x):
+        return denoiser.run(model_fn, x)
+
+    x = jnp.ones(shape, jnp.float32)
+    run(x).block_until_ready()  # compile
+
+    reps = 5
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(x).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    step_us = min(times) / steps * 1e6
+
+    # --- correctness guards -------------------------------------------------
+    # 1. sigma tables bit-match the committed reference goldens
+    import pathlib
+
+    golden_path = pathlib.Path(__file__).parent / "tests" / "fixtures" / "schedules.json"
+    max_dsigma = float("nan")
+    if golden_path.exists():
+        golden = json.loads(golden_path.read_text())
+        deltas = []
+        from tests.fixture_common import SCHEDULE_STACKS  # noqa: PLC0415
+
+        for name, tables in golden.items():
+            mine = SCHEDULE_STACKS[name].points_np(np.linspace(1, 0, 7))
+            deltas.append(np.abs(mine[:, 1] - np.asarray(tables["points7"])[:, 1]).max())
+        max_dsigma = float(max(deltas))
+
+    # 2. compiled device trajectory vs float64 host oracle
+    oracle_steps = 25
+    small = (1, 4, 16, 16)
+    x64 = np.random.default_rng(0).normal(size=small)
+    compiled_small = compile_sampler(sampler, schedule, transform, oracle_steps)
+    denoiser_small = CompiledDenoiser.build(compiled_small, dtype=jnp.float32)
+
+    def np_model(x, t, s, a):
+        return x * 0.9 + np.sin(np.float64(t) / 500) * 0.05
+
+    def jx_model(x, t, s, a):
+        return x * jnp.float32(0.9) + jnp.sin(t / 500) * jnp.float32(0.05)
+
+    oracle = interface.StructuredFunctionalAdapter(sampler).sample_model(
+        x64, np_model, transform, schedule, oracle_steps
+    )
+    device = np.asarray(denoiser_small.run(jx_model, jnp.asarray(x64, jnp.float32)))
+    latent_mse = float(np.mean((device - oracle) ** 2))
+
+    baseline_us = 5.0
+    print(
+        json.dumps(
+            {
+                "metric": "fused sampler step (DPM++2M, FlowShift(Linear), SDXL 1x4x128x128 f32, scan/1000)",
+                "value": round(step_us, 4),
+                "unit": "us",
+                "vs_baseline": round(baseline_us / step_us, 3),
+                "max_dsigma_vs_reference": max_dsigma,
+                "latent_mse_vs_f64_oracle": latent_mse,
+                "backend": jax.default_backend(),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,7 @@
+"""Reference diffusion models for end-to-end runs, benchmarks, and the
+multi-chip dry runs.  The sampling framework itself is model-agnostic — any
+``(x, t, sigma, alpha) -> prediction`` closure works."""
+
+from .dit import DiT, DiTConfig
+
+__all__ = ["DiT", "DiTConfig"]

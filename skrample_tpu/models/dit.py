@@ -1,0 +1,186 @@
+"""A compact diffusion transformer (DiT) in pure JAX.
+
+Used as the flagship model for benchmarks and the multi-chip dry runs: the
+params are a plain pytree, and :meth:`DiT.param_spec` gives megatron-style
+tensor-parallel PartitionSpecs (qkv/mlp-in column-parallel over "tp",
+proj/mlp-out row-parallel) so ``jax.jit`` + ``NamedSharding`` lets XLA insert
+the all-reduces over ICI.
+
+Design notes for the MXU: all matmuls are batched over (batch x tokens) and
+sized in multiples of 128; compute runs in bfloat16 with float32 accumulation
+(``preferred_element_type``) and float32 layer norms.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class DiTConfig:
+    patch: int = 2
+    channels: int = 4
+    dim: int = 384
+    depth: int = 6
+    heads: int = 6
+    mlp_ratio: int = 4
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+
+def _dense_init(key: jax.Array, d_in: int, d_out: int, scale: float | None = None) -> dict:
+    scale = scale if scale is not None else 1 / math.sqrt(d_in)
+    return {
+        "w": jax.random.normal(key, (d_in, d_out), jnp.float32) * scale,
+        "b": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def _dense(params: dict, x: jax.Array, dtype: Any) -> jax.Array:
+    return (
+        jnp.dot(x, params["w"].astype(dtype), preferred_element_type=jnp.float32) + params["b"]
+    ).astype(dtype)
+
+
+def _layernorm(x: jax.Array) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+
+
+def _modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    return x * (1 + scale[:, None]) + shift[:, None]
+
+
+def _timestep_embedding(t: jax.Array, dim: int) -> jax.Array:
+    "Sinusoidal features of the (continuous) timestep."
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class DiT:
+    "Functional model: ``init`` -> params pytree, ``apply(params, x, t)``."
+
+    def __init__(self, config: DiTConfig = DiTConfig()):
+        self.config = config
+
+    def init(self, key: jax.Array) -> dict:
+        c = self.config
+        patch_dim = c.channels * c.patch * c.patch
+        keys = iter(jax.random.split(key, 6 + 7 * c.depth))
+
+        params: dict = {
+            "patch_in": _dense_init(next(keys), patch_dim, c.dim),
+            "t_mlp1": _dense_init(next(keys), 256, c.dim),
+            "t_mlp2": _dense_init(next(keys), c.dim, c.dim),
+            "final_mod": _dense_init(next(keys), c.dim, 2 * c.dim, scale=0.0),
+            "final_out": _dense_init(next(keys), c.dim, patch_dim, scale=0.0),
+            "blocks": [],
+        }
+        for _ in range(c.depth):
+            params["blocks"].append(
+                {
+                    "qkv": _dense_init(next(keys), c.dim, 3 * c.dim),
+                    "proj": _dense_init(next(keys), c.dim, c.dim),
+                    "mlp_in": _dense_init(next(keys), c.dim, c.mlp_ratio * c.dim),
+                    "mlp_out": _dense_init(next(keys), c.mlp_ratio * c.dim, c.dim),
+                    # adaLN-zero: 6 modulation vectors, initialized to zero
+                    "ada": _dense_init(next(keys), c.dim, 6 * c.dim, scale=0.0),
+                }
+            )
+        return params
+
+    def param_spec(self) -> dict:
+        "Tensor-parallel PartitionSpecs over mesh axis 'tp' (megatron layout)."
+        col = {"w": P(None, "tp"), "b": P("tp")}  # column parallel
+        row = {"w": P("tp", None), "b": P()}  # row parallel
+        rep = {"w": P(), "b": P()}
+        c = self.config
+        return {
+            "patch_in": rep,
+            "t_mlp1": rep,
+            "t_mlp2": rep,
+            "final_mod": rep,
+            "final_out": rep,
+            "blocks": [
+                {"qkv": col, "proj": row, "mlp_in": col, "mlp_out": row, "ada": rep}
+                for _ in range(c.depth)
+            ],
+        }
+
+    def patchify(self, x: jax.Array) -> jax.Array:
+        "(B, C, H, W) -> (B, N, patch_dim)"
+        c = self.config
+        B, C, H, W = x.shape
+        x = x.reshape(B, C, H // c.patch, c.patch, W // c.patch, c.patch)
+        x = x.transpose(0, 2, 4, 1, 3, 5)
+        return x.reshape(B, (H // c.patch) * (W // c.patch), C * c.patch * c.patch)
+
+    def unpatchify(self, x: jax.Array, H: int, W: int) -> jax.Array:
+        c = self.config
+        B = x.shape[0]
+        x = x.reshape(B, H // c.patch, W // c.patch, c.channels, c.patch, c.patch)
+        x = x.transpose(0, 3, 1, 4, 2, 5)
+        return x.reshape(B, c.channels, H, W)
+
+    def apply(self, params: dict, x: jax.Array, t: jax.Array) -> jax.Array:
+        "(B, C, H, W), (B,) or scalar timestep -> prediction of the same shape."
+        c = self.config
+        dtype = c.compute_dtype
+        B, _C, H, W = x.shape
+        in_dtype = x.dtype
+
+        if jnp.ndim(t) == 0:
+            t = jnp.broadcast_to(t, (B,))
+
+        tokens = _dense(params["patch_in"], self.patchify(x).astype(dtype), dtype)
+
+        temb = _timestep_embedding(t, 256)
+        temb = _dense(params["t_mlp2"], jax.nn.silu(_dense(params["t_mlp1"], temb.astype(dtype), dtype)), dtype)
+        temb = jax.nn.silu(temb)
+
+        for block in params["blocks"]:
+            mods = _dense(block["ada"], temb, dtype)
+            (s_attn, g_attn, sc_attn, s_mlp, g_mlp, sc_mlp) = jnp.split(mods, 6, axis=-1)
+
+            h = _modulate(_layernorm(tokens), s_attn, sc_attn)
+            qkv = _dense(block["qkv"], h, dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            N = q.shape[1]
+            q = q.reshape(B, N, c.heads, c.head_dim).transpose(0, 2, 1, 3)
+            k = k.reshape(B, N, c.heads, c.head_dim).transpose(0, 2, 1, 3)
+            v = v.reshape(B, N, c.heads, c.head_dim).transpose(0, 2, 1, 3)
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn / math.sqrt(c.head_dim), axis=-1).astype(dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32).astype(dtype)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, c.dim)
+            tokens = tokens + g_attn[:, None] * _dense(block["proj"], out, dtype)
+
+            h = _modulate(_layernorm(tokens), s_mlp, sc_mlp)
+            h = _dense(block["mlp_out"], jax.nn.gelu(_dense(block["mlp_in"], h, dtype)), dtype)
+            tokens = tokens + g_mlp[:, None] * h
+
+        shift, scale = jnp.split(_dense(params["final_mod"], temb, dtype), 2, axis=-1)
+        tokens = _modulate(_layernorm(tokens), shift, scale)
+        out = _dense(params["final_out"], tokens, dtype)
+        return self.unpatchify(out, H, W).astype(in_dtype)
+
+    def as_sampleable(self, params: dict):
+        "Adapter to the sampling closure signature (x, t, sigma, alpha) -> pred."
+
+        def model_fn(x: jax.Array, t: jax.Array, s: jax.Array, a: jax.Array) -> jax.Array:
+            return self.apply(params, x, t)
+
+        return model_fn
