@@ -460,6 +460,13 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
         self._schedule = self.schedule  # pristine copy for set_timesteps restore
         self._compiled: CompiledSampler | None = None
         self._ring: list[tuple[Tensor, Tensor, Tensor | None]] = []
+        self._t_lut: dict[float, int] | None = None
+
+    def _lookup_index(self, timestep: float | Tensor) -> int:
+        "O(1) timestep -> schedule index (the reference rescans the table per step)."
+        if self._t_lut is None:
+            self._t_lut = {t: n for n, t in enumerate(self.schedule_np[:, 0].tolist())}
+        return self._t_lut[timestep if isinstance(timestep, int | float) else timestep.item()]
 
     @classmethod
     def from_diffusers_config[N: jaxnoise.NoiseProps | None](
@@ -557,19 +564,16 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
         self._ring = []
         self._noise_generator = None
         self._compiled = None
+        self._t_lut = None
 
         if device is not None:
             self._device = torch.device(device)
 
     def scale_noise(self, sample: Tensor, timestep: Tensor, noise: Tensor) -> Tensor:
-        schedule = self.schedule_np
-        step = schedule[:, 0].tolist().index(timestep.item())
-        return self.sampler.add_noise(sample, noise, Point(*schedule[step]))
+        return self.sampler.add_noise(sample, noise, Point(*self.schedule_np[self._lookup_index(timestep)]))
 
     def scale_model_input(self, sample: Tensor, timestep: float | Tensor) -> Tensor:
-        schedule = self.schedule_np
-        step = schedule[:, 0].tolist().index(timestep if isinstance(timestep, int | float) else timestep.item())
-        return self.sampler.scale_input(sample, Point(*schedule[step]))
+        return self.sampler.scale_input(sample, Point(*self.schedule_np[self._lookup_index(timestep)]))
 
     def _ensure_compiled(self, start: int) -> CompiledSampler | None:
         if self._compiled is None:
@@ -632,9 +636,8 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
         generator: torch.Generator | list[torch.Generator] | None = None,
         return_dict: bool = True,
     ) -> tuple[Tensor, Tensor] | OrderedDict[str, Tensor]:
-        schedule = self.schedule_np
-        index = schedule[:, 0].tolist().index(timestep if isinstance(timestep, int | float) else timestep.item())
-        step = Step.from_int(index, len(schedule))
+        index = self._lookup_index(timestep)
+        step = Step.from_int(index, len(self.schedule_np))
 
         if self.sampler.require_noise:
             noise = self.get_step_noise(step, sample, self.noise_type, self.noise_props, generator, self.compute_scale)
