@@ -32,7 +32,7 @@ from ..common import DeltaPoint, Point, Step
 from ..sampling import functional, interface, models, structured
 from ..scheduling import SkrampleSchedule
 from .compiler import CompiledSampler, compile_sampler
-from .fused import fused_step
+from .fused import fused_step  # noqa: F401 — re-exported for benches
 
 type DeviceModel = Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]
 "(sample, timestep, sigma, alpha) -> prediction, all traced."
@@ -89,43 +89,45 @@ class CompiledDenoiser:
     def requires_noise(self) -> bool:
         return self.compiled.requires_noise
 
-    def init_ring(self, sample: jax.Array) -> jax.Array:
-        return jnp.zeros((max(self.history, 1), self.slots, *sample.shape), sample.dtype)
-
-    def _stack(self, x: jax.Array, o: jax.Array, ring: jax.Array, noise: jax.Array | None) -> jax.Array:
-        parts = [x[None], o[None]]
-        if self.history:
-            parts.append(ring.reshape(self.history * self.slots, *x.shape))
-        if self.requires_noise:
-            assert noise is not None, "sampler requires per-step noise"
-            parts.append(noise[None])
-        return jnp.concatenate(parts, axis=0)
+    def init_ring(self, sample: jax.Array) -> tuple[jax.Array, ...]:
+        """History as a flat tuple ``(hs1, hp1[, hz1], hs2, ...)``: the ring
+        roll is then pure pytree shuffling — zero data movement per step,
+        unlike a stacked ring array which would copy itself every roll."""
+        return tuple(jnp.zeros_like(sample) for _ in range(self.history * self.slots))
 
     def step(
         self,
         step_weights: jax.Array,
         x: jax.Array,
         o: jax.Array,
-        ring: jax.Array,
+        ring: tuple[jax.Array, ...],
         noise: jax.Array | None = None,
-    ) -> tuple[jax.Array, jax.Array]:
+    ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
         "One update: returns (next sample, next ring). Pure; jit/scan friendly."
-        stack = self._stack(x, o, ring, noise)
-        outs = fused_step(step_weights, stack)
-        return self._finish(x, o, ring, noise, outs)
+        basis: list[jax.Array] = [x, o, *ring]
+        if self.requires_noise:
+            assert noise is not None, "sampler requires per-step noise"
+            basis.append(noise)
 
-    def _finish(self, x, o, ring, noise, outs) -> tuple[jax.Array, jax.Array]:
+        w = step_weights.astype(x.dtype)
 
+        def fma(r: int) -> jax.Array:
+            acc = basis[0] * w[r, 0]
+            for k in range(1, len(basis)):
+                acc = acc + basis[k] * w[r, k]
+            return acc
+
+        x_new = fma(0)
         if self.rows == 1:
-            x_new, store_sample, store_pred = outs[0], x, o
+            store_sample, store_pred = x, o
         else:
-            x_new, store_sample, store_pred = outs[0], outs[1], outs[2]
+            store_sample, store_pred = fma(1), fma(2)
 
         if self.history:
             slot = [store_sample, store_pred]
             if self.slots == 3:
                 slot.append(noise if noise is not None else jnp.zeros_like(x))
-            ring = jnp.concatenate([jnp.stack(slot)[None], ring[:-1]], axis=0)
+            ring = (*slot, *ring[: -self.slots])
         return x_new, ring
 
     def jitted_step(self) -> Callable:
