@@ -32,30 +32,31 @@ def main() -> None:
     schedule = scheduling.FlowShift(scheduling.Linear())
     transform = models.FlowModel()
 
-    steps = 1000
     shape = (1, 4, 128, 128)
-
-    compiled = compile_sampler(sampler, schedule, transform, steps)
-    denoiser = CompiledDenoiser.build(compiled, dtype=jnp.float32)
+    x = jnp.ones(shape, jnp.float32)
 
     def model_fn(x, t, s, a):
         # minimal elementwise stand-in: isolates sampler-update cost
         return x * jnp.float32(0.999)
 
-    @jax.jit
-    def run(x):
-        return denoiser.run(model_fn, x)
+    def timed_loop(steps: int) -> float:
+        compiled = compile_sampler(sampler, schedule, transform, steps)
+        denoiser = CompiledDenoiser.build(compiled, dtype=jnp.float32)
+        run = jax.jit(lambda x: denoiser.run(model_fn, x))
+        run(x).block_until_ready()  # compile
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run(x).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    x = jnp.ones(shape, jnp.float32)
-    run(x).block_until_ready()  # compile
-
-    reps = 5
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run(x).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    step_us = min(times) / steps * 1e6
+    # Marginal us/step between two scan lengths cancels the constant
+    # dispatch/transfer cost — the true device-resident per-step latency.
+    n1, n2 = 500, 4000
+    t1, t2 = timed_loop(n1), timed_loop(n2)
+    step_us = (t2 - t1) / (n2 - n1) * 1e6
+    total_us_1000 = (t1 + (t2 - t1) * (1000 - n1) / (n2 - n1)) / 1000 * 1e6
 
     # --- correctness guards -------------------------------------------------
     # 1. sigma tables bit-match the committed reference goldens
@@ -96,10 +97,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "fused sampler step (DPM++2M, FlowShift(Linear), SDXL 1x4x128x128 f32, scan/1000)",
+                "metric": "fused sampler step (DPM++2M, FlowShift(Linear), SDXL 1x4x128x128 f32, marginal in scan)",
                 "value": round(step_us, 4),
                 "unit": "us",
                 "vs_baseline": round(baseline_us / step_us, 3),
+                "us_per_step_incl_dispatch_1000": round(total_us_1000, 3),
                 "max_dsigma_vs_reference": max_dsigma,
                 "latent_mse_vs_f64_oracle": latent_mse,
                 "backend": jax.default_backend(),
