@@ -148,11 +148,15 @@ class CompiledDenoiser:
         noises: jax.Array | None = None,
         return_trajectory: bool = False,
         unroll: int = 1,
+        start: int = 0,
     ) -> jax.Array:
         """The full denoise loop as one ``lax.scan``.
 
         Per-step noise comes from ``noises`` (precomputed ``(steps, *shape)``,
-        e.g. Brownian/colored generators) or i.i.d. normal from ``key``."""
+        e.g. Brownian/colored generators) or i.i.d. normal from ``key``.
+        ``start`` skips the leading steps (img2img); pass the same value to
+        :func:`~skrample_tpu.ops.compiler.compile_sampler` so the history
+        ramp matches."""
         steps = self.compiled.steps
         if self.requires_noise and noises is None:
             if key is None:
@@ -161,9 +165,9 @@ class CompiledDenoiser:
                 jax.random.split(key, steps)
             )
 
-        xs: tuple = (self.weights, self.points)
+        xs: tuple = (self.weights[start:], self.points[start:])
         if self.requires_noise:
-            xs = (*xs, noises)
+            xs = (*xs, noises[start:])
 
         def body(carry, inp):
             x, ring = carry
@@ -190,11 +194,14 @@ def sample_loop(
     noises: jax.Array | None = None,
     dtype: Any = None,
     return_trajectory: bool = False,
+    start: int = 0,
 ) -> jax.Array:
     "Compile + run a structured sampler as one fused scan loop."
-    compiled = compile_sampler(sampler, schedule, model_transform, steps)
+    compiled = compile_sampler(sampler, schedule, model_transform, steps, start=start)
     denoiser = CompiledDenoiser.build(compiled, dtype=dtype or sample.dtype)
-    return denoiser.run(model_fn, sample, key=key, noises=noises, return_trajectory=return_trajectory)
+    return denoiser.run(
+        model_fn, sample, key=key, noises=noises, return_trajectory=return_trajectory, start=start
+    )
 
 
 # --- Runge-Kutta scan loops ------------------------------------------------

@@ -208,3 +208,35 @@ def test_fused_pallas_interpret_matches_xla() -> None:
     expected = ops.fused_step(weights, stack)
     actual = ops.fused_step_pallas(weights, stack, interpret=True)
     np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=1e-6, atol=1e-6)
+
+
+def test_sample_loop_start_matches_adapter() -> None:
+    "sample_loop(start=) == adapter include=slice(start, None)."
+    sampler = structured.UniPC(order=2)
+    schedule = SCHEDULES["Scaled"]
+    transform = MODEL_TYPES["VelocityModel"]
+    steps, start = 9, 3
+    x0 = jax.random.normal(jax.random.PRNGKey(11), SHAPE, jnp.float64)
+    expected = interface.StructuredFunctionalAdapter(sampler).sample_model(
+        x0, device_model, transform, schedule, steps, include=slice(start, None)
+    )
+    actual = ops.sample_loop(sampler, schedule, transform, steps, device_model, x0, start=start)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=1e-12, atol=1e-12)
+
+
+def test_brownian_shared_prefix_regression() -> None:
+    "The shared-prefix increment must equal the naive two-descent form."
+    import math as _math
+
+    from skrample_tpu.noise import brownian_at, brownian_increment
+
+    key = jax.random.PRNGKey(123)
+    depth, shape = 11, (32,)
+    for t0, t1 in ((0.1, 0.8), (0.3, 0.31), (0.0, 0.5), (0.5, 1.0), (0.24, 0.26)):
+        scale = 1 << depth
+        g0, g1 = round(t0 * scale), round(t1 * scale)
+        naive = (
+            brownian_at(key, g1 / scale, depth, shape) - brownian_at(key, g0 / scale, depth, shape)
+        ) / _math.sqrt((g1 - g0) / scale)
+        shared = brownian_increment(key, t0, t1, depth, shape)
+        np.testing.assert_array_equal(np.asarray(shared), np.asarray(naive))
