@@ -253,7 +253,7 @@ def _build_schedule(
 
 
 def _tensor_from_jax(array: Any, dtype: torch.dtype, device: torch.device) -> Tensor:
-    return torch.from_numpy(np.asarray(array)).to(dtype=dtype, device=device)
+    return torch.from_numpy(np.array(array)).to(dtype=dtype, device=device)
 
 
 # --- wrapper cores ----------------------------------------------------------

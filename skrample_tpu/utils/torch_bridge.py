@@ -32,7 +32,7 @@ def to_torch(array: "jax.Array | np.ndarray", dtype: Any = None, device: Any = N
     "jax.Array -> torch.Tensor (host)."
     import torch
 
-    out = torch.from_numpy(np.asarray(array))
+    out = torch.from_numpy(np.array(array))
     if dtype is not None or device is not None:
         out = out.to(dtype=dtype, device=device)
     return out
