@@ -158,21 +158,26 @@ class CompiledDenoiser:
         :func:`~skrample_tpu.ops.compiler.compile_sampler` so the history
         ramp matches."""
         steps = self.compiled.steps
-        if self.requires_noise and noises is None:
-            if key is None:
-                raise ValueError("sampler requires noise: pass key= or noises=")
-            noises = jax.vmap(lambda k: jax.random.normal(k, sample.shape, sample.dtype))(
-                jax.random.split(key, steps)
-            )
 
         xs: tuple = (self.weights[start:], self.points[start:])
+        fold_keys = False
         if self.requires_noise:
-            xs = (*xs, noises[start:])
+            if noises is not None:
+                xs = (*xs, noises[start:])
+            elif key is not None:
+                # Generate i.i.d. normal in-body from folded keys: no
+                # (steps x latent) noise buffer in HBM.
+                fold_keys = True
+                xs = (*xs, jax.random.split(key, steps)[start:])
+            else:
+                raise ValueError("sampler requires noise: pass key= or noises=")
 
         def body(carry, inp):
             x, ring = carry
             if self.requires_noise:
                 w, point, z = inp
+                if fold_keys:
+                    z = jax.random.normal(z, x.shape, x.dtype)
             else:
                 (w, point), z = inp, None
             o = model_fn(x, point[0], point[1], point[2])

@@ -140,3 +140,28 @@ def test_tableau_catalog_on_model(dit) -> None:
         sampler = functional.RKUltra(order=99, providers={len(provider.tableau().stages): provider})
         out = sampler.sample_model(x0, model.as_sampleable(params), transform, schedule, 3)
         assert bool(jnp.isfinite(out).all()), provider
+
+
+def test_generation_pipeline(dit) -> None:
+    "The serving-shaped pipeline: construct once, generate repeatedly."
+    from skrample_tpu.pipeline import GenerationPipeline
+    from skrample_tpu.sampling import models as sk_models
+    from skrample_tpu import scheduling as sched
+
+    model, params = dit
+    pipe = GenerationPipeline(
+        model_fn=model.as_sampleable(params),
+        sampler=structured.DPM(order=2, stochasticity=0.3),
+        schedule=sched.FlowShift(sched.Linear()),
+        model_transform=sk_models.FlowModel(),
+        steps=6,
+        latent_shape=(1, 4, 16, 16),
+    )
+    out1 = pipe.generate(jax.random.PRNGKey(0))
+    out2 = pipe.generate(jax.random.PRNGKey(1))
+    assert out1.shape == (1, 4, 16, 16)
+    assert bool(jnp.isfinite(out1).all())
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+    # same key -> same image
+    out1b = pipe.generate(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out1b))
