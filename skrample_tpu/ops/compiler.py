@@ -34,7 +34,7 @@ import numpy as np
 
 from ..common import Step
 from ..sampling import models, structured
-from ..scheduling import SkrampleSchedule, np_schedule_lru
+from ..scheduling import SkrampleSchedule, np_schedule_lru, warm_point_cache
 from .lincomb import Lin, NonlinearOperation
 
 
@@ -120,6 +120,10 @@ def compile_sampler(
     width = 2 + 3 * history + 1
     weights = np.zeros((steps, 3, width), dtype=np.float64)
     requires_noise = sampler.require_noise
+
+    # One batched schedule evaluation covers every grid point the samplers
+    # will query (scipy-backed stacks cost ~ms per single-point call)
+    warm_point_cache(schedule, [n / steps for n in range(steps + 1)])
 
     for n in range(start, steps):
         packed = structured.SampleInput(

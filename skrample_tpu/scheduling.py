@@ -98,6 +98,36 @@ def schedule_lru(schedule: SkrampleSchedule, steps: int) -> Sequence[Point]:
     return tuple(Point(*row) for row in np_schedule_lru(schedule, steps).tolist())
 
 
+_POINT_CACHE: dict[tuple[SkrampleSchedule, float, bool], Point] = {}
+_POINT_CACHE_MAX = 1 << 20
+
+
+def point_lru(schedule: SkrampleSchedule, t: float, inverse: bool) -> Point:
+    """Per-point evaluation cache behind the Point-returning schedule APIs.
+
+    Samplers query the same handful of grid points over and over (the
+    reference re-evaluates the whole modifier stack each time — its dominant
+    per-step cost).  Batch-vs-single bit-equality is an invariant of every
+    schedule (tested), so caching single evaluations is sound, and keying
+    globally is sound because schedules are frozen/hashable."""
+    key = (schedule, t, inverse)
+    hit = _POINT_CACHE.get(key)
+    if hit is None:
+        if len(_POINT_CACHE) >= _POINT_CACHE_MAX:
+            _POINT_CACHE.clear()
+        rows = schedule.ipoints_np([t]) if inverse else schedule.points_np([t])
+        hit = Point(*rows[0].tolist())
+        _POINT_CACHE[key] = hit
+    return hit
+
+
+def warm_point_cache(schedule: SkrampleSchedule, ts: Sequence[float], inverse: bool = True) -> None:
+    "Batch-evaluate a grid once and seed the point cache (scipy-heavy stacks)."
+    rows = (schedule.ipoints_np(ts) if inverse else schedule.points_np(ts)).tolist()
+    for t, row in zip(ts, rows, strict=True):
+        _POINT_CACHE.setdefault((schedule, float(t), inverse), Point(*row))
+
+
 # --- schedule base classes -------------------------------------------------
 
 
@@ -125,10 +155,10 @@ class SkrampleSchedule(abc.ABC):
         return self._points(np.asarray(t, dtype=np.float64).clip(0, 1))
 
     def points(self, t: Sequence[float] | NPSequence) -> Sequence[Point]:
-        return [Point(*row) for row in self.points_np(t).tolist()]
+        return [point_lru(self, float(x), False) for x in t]
 
     def point(self, t: float) -> Point:
-        return Point(*self._points(np.expand_dims(np.float64(t).clip(0, 1), 0))[0].tolist())
+        return point_lru(self, float(t), False)
 
     # inverse / "inference" views (0 = noise, 1 = clean)
 
@@ -136,10 +166,10 @@ class SkrampleSchedule(abc.ABC):
         return self._points(1 - np.asarray(t, dtype=np.float64).clip(0, 1))
 
     def ipoints(self, t: Sequence[float] | NPSequence) -> Sequence[Point]:
-        return [Point(*row) for row in self.ipoints_np(t).tolist()]
+        return [point_lru(self, float(x), True) for x in t]
 
     def ipoint(self, t: float) -> Point:
-        return Point(*self._points(np.expand_dims(1 - np.float64(t).clip(0, 1), 0))[0].tolist())
+        return point_lru(self, float(t), True)
 
     @functools.cached_property
     def point_0(self) -> Point:
