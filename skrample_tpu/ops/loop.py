@@ -147,7 +147,7 @@ class CompiledDenoiser:
         key: jax.Array | None = None,
         noises: jax.Array | None = None,
         return_trajectory: bool = False,
-        unroll: int = 1,
+        unroll: int = 4,
         start: int = 0,
     ) -> jax.Array:
         """The full denoise loop as one ``lax.scan``.
