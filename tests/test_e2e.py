@@ -165,3 +165,29 @@ def test_generation_pipeline(dit) -> None:
     # same key -> same image
     out1b = pipe.generate(jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out1b))
+
+
+def test_video_latents_rank_agnostic() -> None:
+    "Samplers are elementwise: 5D video latents pass through untouched."
+    steps = 5
+    sampler = structured.DPM(order=2, stochasticity=0.5)
+    schedule = scheduling.FlowShift(scheduling.Linear())
+    transform = models.FlowModel()
+
+    compiled = compile_sampler(sampler, schedule, transform, steps)
+    denoiser = CompiledDenoiser.build(compiled)
+
+    shape = (1, 16, 7, 16, 16)  # B, C, T, H, W
+    x0 = jax.random.normal(jax.random.PRNGKey(8), shape, jnp.float32)
+
+    def model_fn(x, t, s, a):
+        return x * 0.9
+
+    out = jax.jit(lambda x, k: denoiser.run(model_fn, x, key=k))(x0, jax.random.PRNGKey(9))
+    assert out.shape == shape
+    assert bool(jnp.isfinite(out).all())
+
+    # 1D latents too
+    x1 = jax.random.normal(jax.random.PRNGKey(10), (64,), jnp.float32)
+    out1 = denoiser.run(model_fn, x1, key=jax.random.PRNGKey(11))
+    assert out1.shape == (64,)
