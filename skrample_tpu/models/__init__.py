@@ -3,5 +3,6 @@ multi-chip dry runs.  The sampling framework itself is model-agnostic — any
 ``(x, t, sigma, alpha) -> prediction`` closure works."""
 
 from .dit import DiT, DiTConfig
+from .unet import UNet, UNetConfig
 
-__all__ = ["DiT", "DiTConfig"]
+__all__ = ["DiT", "DiTConfig", "UNet", "UNetConfig"]

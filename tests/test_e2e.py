@@ -191,3 +191,30 @@ def test_video_latents_rank_agnostic() -> None:
     x1 = jax.random.normal(jax.random.PRNGKey(10), (64,), jnp.float32)
     out1 = denoiser.run(model_fn, x1, key=jax.random.PRNGKey(11))
     assert out1.shape == (64,)
+
+
+def test_unet_generation() -> None:
+    "Conv UNet model family end-to-end with DPM + Karras."
+    from skrample_tpu.models import UNet, UNetConfig
+
+    unet = UNet(UNetConfig(base=32, levels=2, groups=8, compute_dtype=jnp.float32))
+    params = unet.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16, 16), jnp.float32)
+
+    # raw forward sanity
+    out = unet.apply(params, x, jnp.float32(500.0))
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+
+    steps = 5
+    sampler = structured.DPM(order=2)
+    schedule = scheduling.Karras(scheduling.Scaled())
+    transform = models.NoiseModel()
+    compiled = compile_sampler(sampler, schedule, transform, steps)
+    denoiser = CompiledDenoiser.build(compiled)
+    latent = jax.jit(lambda x: denoiser.run(unet.as_sampleable(params), x))(x)
+    assert bool(jnp.isfinite(latent).all())
+
+    oracle = interface.StructuredFunctionalAdapter(sampler).sample_model(
+        x, unet.as_sampleable(params), transform, schedule, steps
+    )
+    np.testing.assert_allclose(np.asarray(latent), np.asarray(oracle), rtol=1e-4, atol=1e-5)
