@@ -149,6 +149,7 @@ class CompiledDenoiser:
         return_trajectory: bool = False,
         unroll: int = 4,
         start: int = 0,
+        callback: Callable[[np.ndarray, int], Any] | None = None,
     ) -> jax.Array:
         """The full denoise loop as one ``lax.scan``.
 
@@ -156,10 +157,11 @@ class CompiledDenoiser:
         e.g. Brownian/colored generators) or i.i.d. normal from ``key``.
         ``start`` skips the leading steps (img2img); pass the same value to
         :func:`~skrample_tpu.ops.compiler.compile_sampler` so the history
-        ramp matches."""
+        ramp matches.  ``callback(sample, step_index)`` fires per step via
+        ``jax.debug.callback`` (host-side, unordered w.r.t. device work)."""
         steps = self.compiled.steps
 
-        xs: tuple = (self.weights[start:], self.points[start:])
+        xs: tuple = (jnp.arange(start, steps), self.weights[start:], self.points[start:])
         fold_keys = False
         if self.requires_noise:
             if noises is not None:
@@ -175,13 +177,15 @@ class CompiledDenoiser:
         def body(carry, inp):
             x, ring = carry
             if self.requires_noise:
-                w, point, z = inp
+                n, w, point, z = inp
                 if fold_keys:
                     z = jax.random.normal(z, x.shape, x.dtype)
             else:
-                (w, point), z = inp, None
+                (n, w, point), z = inp, None
             o = model_fn(x, point[0], point[1], point[2])
             x_new, ring_new = self.step(w, x, o, ring, z)
+            if callback is not None:
+                jax.debug.callback(callback, x_new, n)
             return (x_new, ring_new), (x_new if return_trajectory else None)
 
         (final, _ring), traj = jax.lax.scan(body, (sample, self.init_ring(sample)), xs, unroll=unroll)

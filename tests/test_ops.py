@@ -240,3 +240,22 @@ def test_brownian_shared_prefix_regression() -> None:
         ) / _math.sqrt((g1 - g0) / scale)
         shared = brownian_increment(key, t0, t1, depth, shape)
         np.testing.assert_array_equal(np.asarray(shared), np.asarray(naive))
+
+
+def test_scan_callback() -> None:
+    "Per-step observer hook through jax.debug.callback."
+    sampler = structured.DPM(order=2)
+    schedule = SCHEDULES["Linear"]
+    transform = MODEL_TYPES["FlowModel"]
+    steps = 6
+    compiled = ops.compile_sampler(sampler, schedule, transform, steps)
+    denoiser = ops.CompiledDenoiser.build(compiled, dtype=jnp.float64)
+
+    seen: list[int] = []
+
+    def observer(sample, n):
+        seen.append(int(n))
+
+    x0 = jax.random.normal(jax.random.PRNGKey(12), SHAPE, jnp.float64)
+    denoiser.run(device_model, x0, callback=observer).block_until_ready()
+    assert sorted(seen) == list(range(steps))

@@ -100,3 +100,24 @@ def test_graft_entry_single_and_multichip() -> None:
     assert bool(jnp.isfinite(x_new).all())
 
     dryrun_multichip(8)
+
+
+def test_sp_spatial_sharding() -> None:
+    "Latent spatial dim sharded over 'sp' — still numerically inert."
+    mesh = make_mesh(dp=2, sp=4)
+    sampler = structured.DPM(order=2)
+    schedule = scheduling.FlowShift(scheduling.Linear())
+    transform = models.FlowModel()
+    steps = 4
+    compiled = compile_sampler(sampler, schedule, transform, steps)
+    denoiser = CompiledDenoiser.build(compiled, dtype=jnp.float32)
+
+    def model_fn(x, t, s, a):
+        return x * 0.9
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 8, 16), jnp.float32)
+    single = np.asarray(jax.jit(lambda x: denoiser.run(model_fn, x))(x))
+    with mesh:
+        xs = jax.device_put(x, latent_sharding(mesh, 0, spatial_axis=3, ndim=4))
+        sharded = jax.jit(lambda x: denoiser.run(model_fn, x))(xs)
+    np.testing.assert_allclose(np.asarray(sharded), single, rtol=1e-6, atol=1e-6)
