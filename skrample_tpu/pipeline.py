@@ -10,7 +10,6 @@ dispatch per request, no host work in the loop.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -52,12 +51,14 @@ class GenerationPipeline:
         compiled = compile_sampler(self.sampler, self.schedule, self.model_transform, self.steps)
         self._denoiser = CompiledDenoiser.build(compiled, dtype=self.dtype)
 
+        noises = self.step_noises()
+
         def _generate(x0: jax.Array, key: jax.Array) -> jax.Array:
             if self.mesh is not None:
                 x0 = jax.lax.with_sharding_constraint(
                     x0, latent_sharding(self.mesh, 0, ndim=len(self.latent_shape))
                 )
-            return self._denoiser.run(self.model_fn, x0, key=key)
+            return self._denoiser.run(self.model_fn, x0, key=key, noises=noises)
 
         self._generate = jax.jit(_generate, donate_argnums=(0,) if self.donate else ())
 
@@ -69,7 +70,7 @@ class GenerationPipeline:
     def initial_noise(self, key: jax.Array) -> jax.Array:
         return jax.random.normal(key, self.latent_shape, self.dtype)
 
-    def step_noises(self, key_or_index: int | jax.Array) -> jax.Array | None:
+    def step_noises(self) -> jax.Array | None:
         "Precompute structured per-step noise when a generator is configured."
         if self.noise_generator is None:
             return None
@@ -84,7 +85,7 @@ class GenerationPipeline:
         return self._generate(x0, k_steps)
 
 
-def build_default_pipeline(
+def build_pipeline(
     model_fn: DeviceModel,
     latent_shape: tuple[int, ...],
     steps: int = 25,
@@ -105,7 +106,3 @@ def build_default_pipeline(
         latent_shape=latent_shape,
         mesh=mesh,
     )
-
-
-# re-exported for pipelines that drive the loop themselves
-jit_denoise_scan = partial(jax.jit, donate_argnums=(0,))
