@@ -41,7 +41,6 @@ def fused_step(weights: jax.Array, stack: jax.Array) -> jax.Array:
 # --- Pallas variant --------------------------------------------------------
 
 _LANE = 128
-_SUBLANE = 8
 
 
 def _fused_kernel(weights_ref, stack_ref, out_ref):

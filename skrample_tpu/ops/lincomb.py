@@ -15,9 +15,6 @@ Nonlinear operations (abs, comparisons, powers) raise
 
 from __future__ import annotations
 
-from typing import Self
-
-
 class NonlinearOperation(TypeError):
     "Raised when sampler math is not expressible as a linear combination."
 
@@ -93,8 +90,8 @@ class Lin:
             return Lin({s: c / other for s, c in self.terms.items()})
         raise NonlinearOperation(f"Lin / {type(other).__name__}")
 
-    def __neg__(self) -> Self:
-        return Lin({s: -c for s, c in self.terms.items()})  # type: ignore[return-value]
+    def __neg__(self) -> "Lin":
+        return Lin({s: -c for s, c in self.terms.items()})
 
     def __pos__(self) -> Lin:
         return self

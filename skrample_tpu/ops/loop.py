@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -32,7 +31,6 @@ from ..common import DeltaPoint, Point, Step
 from ..sampling import functional, interface, models, structured
 from ..scheduling import SkrampleSchedule
 from .compiler import CompiledSampler, compile_sampler
-from .fused import fused_step  # noqa: F401 — re-exported for benches
 
 type DeviceModel = Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array]
 "(sample, timestep, sigma, alpha) -> prediction, all traced."
