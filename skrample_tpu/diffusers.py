@@ -459,6 +459,7 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
         self._previous: list[SKSamples[Tensor]] = []
         self._schedule = self.schedule  # pristine copy for set_timesteps restore
         self._compiled: CompiledSampler | None = None
+        self._compile_failed: bool = False
         self._ring: list[tuple[Tensor, Tensor, Tensor | None]] = []
         self._t_lut: dict[float, int] | None = None
 
@@ -535,6 +536,7 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
         super().set_begin_index(begin_index)
         self.fake_config["begin_index"] = begin_index
         self._compiled = None  # history ramp restarts at the new begin index
+        self._compile_failed = False
 
     def set_timesteps(
         self,
@@ -564,6 +566,7 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
         self._ring = []
         self._noise_generator = None
         self._compiled = None
+        self._compile_failed = False
         self._t_lut = None
 
         if device is not None:
@@ -576,12 +579,16 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
         return self.sampler.scale_input(sample, Point(*self.schedule_np[self._lookup_index(timestep)]))
 
     def _ensure_compiled(self, start: int) -> CompiledSampler | None:
-        if self._compiled is None:
+        if self._compiled is None and not self._compile_failed:
             try:
                 self._compiled = compile_sampler(self.sampler, self.schedule, self.model, self._steps, start=start)
             except NonlinearSamplerError:
-                self._compiled = None
-                return None
+                self._compile_failed = True  # non-affine sampler: polymorphic path
+            except (ZeroDivisionError, ValueError, OverflowError):
+                # Degenerate schedule (e.g. duplicate sigmas -> h=0) at SOME
+                # step.  The polymorphic path only fails if that step actually
+                # runs — exactly the reference's behavior.
+                self._compile_failed = True
         return self._compiled
 
     def _compiled_step(
