@@ -34,6 +34,7 @@ from torch import Tensor
 
 from . import noise as jaxnoise
 from . import scheduling
+from . import torch_noise
 from .common import DeltaPoint, MergeStrategy, Point, Step, sumprod
 from .ops.compiler import CompiledSampler, NonlinearSamplerError, compile_sampler
 from .sampling import functional, interface, models, structured, tableaux, traits
@@ -270,7 +271,7 @@ class SkrampleWrapperCore(abc.ABC):
         self._steps: int = 50
         self._index: int = 0
         self._device: torch.device = torch.device("cpu")
-        self._noise_generator: jaxnoise.BatchNoise | None = None
+        self._noise_generator: jaxnoise.BatchNoise | torch_noise.BatchTensorNoise | None = None
 
     @property
     @abc.abstractmethod
@@ -342,31 +343,51 @@ class SkrampleWrapperCore(abc.ABC):
         self,
         step: Step,
         sample: Tensor,
-        noise_type: type[jaxnoise.NoiseCommon],
+        noise_type: type,
         noise_props: jaxnoise.NoiseProps | None,
         generator: torch.Generator | list[torch.Generator] | None = None,
         dtype: torch.dtype | None = None,
     ) -> Tensor:
-        "Lazy per-batch-item noise: seeds from generators, else from the latent itself."
+        """Lazy per-batch-item noise.
+
+        Torch-facing generator classes draw from the *caller's*
+        ``torch.Generator`` stream (reference-exact reproducibility); the
+        jax classes use counter-based streams seeded from it."""
         if self._noise_generator is None:
             if isinstance(generator, list) and len(generator) == sample.shape[0]:
-                seeds: list[int] = [g.initial_seed() for g in generator]
+                torch_gens: list[torch.Generator] | None = generator
             elif isinstance(generator, torch.Generator) and sample.shape[0] == 1:
-                seeds = [generator.initial_seed()]
+                torch_gens = [generator]
             else:
                 # median element +4 decimals x step index: deterministic-ish
                 # without seed collisions across the batch
-                seeds = [
-                    int(b.reshape(b.numel())[b.numel() // 2].item() * 1e4 * (step.position() + 1))
+                torch_gens = [
+                    torch.Generator(torch.get_default_device()).manual_seed(
+                        int(b.reshape(b.numel())[b.numel() // 2].item() * 1e4 * (step.position() + 1))
+                    )
                     for b in sample
                 ]
 
-            self._noise_generator = jaxnoise.BatchNoise.from_batch_inputs(
-                noise_type,
-                unit_shape=tuple(sample.shape[1:]),
-                seeds=seeds,  # type: ignore[arg-type]
-                props=noise_props,
-            )
+            unit_shape = tuple(sample.shape[1:])
+            if isinstance(noise_type, type) and issubclass(noise_type, torch_noise.TensorNoiseCommon):
+                self._noise_generator = torch_noise.BatchTensorNoise.from_batch_inputs(
+                    noise_type,
+                    unit_shape,
+                    torch_gens,
+                    props=noise_props,
+                    # fp32 is both the fast path and the reference's choice on cpu
+                    dtype=torch.float32 if any(g.device.type == "cpu" for g in torch_gens) else sample.dtype,
+                )
+            else:
+                self._noise_generator = jaxnoise.BatchNoise.from_batch_inputs(
+                    noise_type,
+                    unit_shape,
+                    seeds=[g.initial_seed() for g in torch_gens],  # type: ignore[arg-type]
+                    props=noise_props,
+                )
+
+        if isinstance(self._noise_generator, torch_noise.BatchTensorNoise):
+            return self._noise_generator.generate(step).to(dtype=dtype or sample.dtype, device=sample.device)
 
         index = round(step.position())
         out = self._noise_generator.generate(index, step)
@@ -446,7 +467,7 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
     sampler: StructuredSampler
     schedule: SkrampleSchedule
     model: DiffusionModel = NoiseModel()  # noqa: RUF009 — immutable
-    noise_type: type[jaxnoise.NoiseCommon[T]] = jaxnoise.Random  # type: ignore[assignment]
+    noise_type: type = torch_noise.Random
     noise_props: T | None = None
     compute_scale: torch.dtype | None = torch.float32
     allow_dynamic: bool = True
@@ -478,7 +499,7 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
         subschedule: type[SubSchedule] | None = None,
         schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]] = [],
         model: DiffusionModel | None = None,
-        noise_type: type[jaxnoise.NoiseCommon[N]] = jaxnoise.Random,  # type: ignore[assignment]
+        noise_type: type = torch_noise.Random,
         compute_scale: torch.dtype | None = torch.float32,
         sampler_props: dict[str, Any] = {},
         noise_props: N | None = None,
@@ -736,7 +757,7 @@ class RKWrapperCore[T: jaxnoise.NoiseProps | None, U: functional.FunctionalUnifi
     stochasticity: float = 0
     model: DiffusionModel = NoiseModel()  # noqa: RUF009 — immutable
     derivative_transform: DiffusionModel | None = traits.UnifiedModelling.derivative_transform
-    noise_type: type[jaxnoise.NoiseCommon[T]] = jaxnoise.Random  # type: ignore[assignment]
+    noise_type: type = torch_noise.Random
     noise_props: T | None = None
     compute_scale: torch.dtype | None = torch.float32
     allow_dynamic: bool = True
@@ -975,7 +996,7 @@ class RKUltraWrapperScheduler[T: jaxnoise.NoiseProps | None](RKWrapperCore[T, fu
         schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]] = [],
         providers: Mapping[int, tableaux.TableauProvider] = functional.RKUltra.providers,
         model: DiffusionModel | None = None,
-        noise_type: type[jaxnoise.NoiseCommon[N]] = jaxnoise.Random,  # type: ignore[assignment]
+        noise_type: type = torch_noise.Random,
         derivative_transform: DiffusionModel | None = functional.RKUltra.derivative_transform,
         compute_scale: torch.dtype | None = torch.float32,
         schedule_props: dict[str, Any] = {},
@@ -1049,7 +1070,7 @@ class DynasauRKWrapperScheduler[T: jaxnoise.NoiseProps | None](RKWrapperCore[T, 
         subschedule: type[SubSchedule] | None = None,
         schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]] = [],
         model: DiffusionModel | None = None,
-        noise_type: type[jaxnoise.NoiseCommon[N]] = jaxnoise.Random,  # type: ignore[assignment]
+        noise_type: type = torch_noise.Random,
         derivative_transform: DiffusionModel | None = functional.RKUltra.derivative_transform,
         compute_scale: torch.dtype | None = torch.float32,
         schedule_props: dict[str, Any] = {},

@@ -240,9 +240,18 @@ class Colored(NoiseCommon[ColoredProps]):
     PSD ~ f^-exponent, with the exponent interpolated over the schedule."""
 
     @staticmethod
+    def _accurate_std(x: jax.Array):
+        """Bessel-corrected std (torch semantics — the reference normalized
+        with unbiased stds), in f64 on the eager path where f32 reductions
+        miss tight energy targets."""
+        if isinstance(x, jax.core.Tracer):
+            return jnp.std(x, ddof=1)
+        return np.asarray(x, dtype=np.float64).std(ddof=1)
+
+    @staticmethod
     def colorize(white: jax.Array, exponent: float = 0.0, energy: float | None = None) -> jax.Array:
         "Shape existing white noise to the power-law spectrum; std-preserving."
-        wstd = white.std()
+        wstd = Colored._accurate_std(white)
 
         if exponent == 0.0:  # fast path, but keep the energy target
             if energy is None:
@@ -263,7 +272,7 @@ class Colored(NoiseCommon[ColoredProps]):
 
         colored = jnp.fft.irfftn(spectrum * weights, s=w.shape)
 
-        cstd = colored.std()
+        cstd = Colored._accurate_std(colored)
         target = wstd if energy is None else energy
         colored = jnp.where(cstd > 1e-8, colored * (target / cstd), colored)
         return colored.reshape(white.shape).astype(white.dtype)

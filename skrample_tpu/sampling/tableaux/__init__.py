@@ -25,8 +25,11 @@ from .catalog import (
 from .core import ButcherCoeffs, EmbeddedTableau, Stage, Tableau, TableauType, pretty_tableau, validate_tableau
 from .generators import ees25_tableau, ees27_tableau, rk2_tableau, rk3_tableau, rk4_tableau
 
-# Keep a reference-compatible alias so ``tableaux.providers.rk2_tableau`` works
-providers = generators
+# Reference-compatible aliases: ``tableaux.providers`` exposes both the enums
+# and the parametric generator functions (catalog re-imports the generators);
+# ``tableaux.common`` is the value-type module.
+from . import catalog as providers  # noqa: E402
+
 common = core
 
 BUILTIN_TABLEAUX: Sequence[TableauProvider[Tableau]] = [

@@ -1,19 +1,30 @@
-"""Torch-facing adapters over the jax.random noise generators.
+"""Torch-facing noise generators.
 
-For code that consumed the reference's ``skrample.pytorch.noise`` generators
-directly (rather than through the scheduler wrapper): same surface —
-``from_inputs(shape, generator, props, dtype)`` + ``generate(step)`` —
-backed by the counter-based jax generators, so Brownian keeps its
-interval-purity and batch streams stay size-invariant.
+Migration surface for code that used the reference's ``skrample.pytorch.
+noise``: same classes, same ``from_inputs(shape, torch.Generator, props,
+dtype)`` construction, and — crucially — the simple generators draw from the
+*caller's* ``torch.Generator`` stream, so pipelines that compare against
+``torch.randn(..., generator=g)`` sequences reproduce exactly.
 
-Reference parity: ``skrample/pytorch/noise.py`` (class-for-class).
+The two generators whose reference implementations leaned on heavy
+dependencies are TPU-native here:
+
+* ``Brownian`` — the counter-based virtual Brownian tree (replaces
+  torchsde); noise is a pure function of the time interval, seeded from the
+  generator's ``initial_seed``.
+* ``Colored`` — white noise from the torch stream, spectrum shaping through
+  the jax colorizer (the single implementation of the power-law math).
+
+Reference parity: ``skrample/pytorch/noise.py``.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import math
+from dataclasses import dataclass
 from typing import Self
 
+import numpy as np
 import torch
 
 from . import noise as jaxnoise
@@ -39,20 +50,9 @@ __all__ = [
 TensorNoiseProps = NoiseProps
 
 
-def _torch_dtype_to_jax(dtype: torch.dtype):
-    import jax.numpy as jnp
-
-    return {
-        torch.float32: jnp.float32,
-        torch.float64: jnp.float64,
-        torch.bfloat16: jnp.bfloat16,
-        torch.float16: jnp.float16,
-    }.get(dtype, jnp.float32)
-
-
 @dataclass
 class SkrampleTensorNoise:
-    "ABC surface: stateful-looking counter over the pure jax generators."
+    "Stateful generator surface: ``generate(step) -> Tensor``."
 
     def generate(self, step: Step | None) -> torch.Tensor:
         raise NotImplementedError
@@ -62,18 +62,15 @@ class SkrampleTensorNoise:
 class TensorNoiseCommon[T: NoiseProps | None](SkrampleTensorNoise):
     shape: tuple[int, ...]
     seed: torch.Generator
-    dtype: torch.dtype
-    props: T
+    dtype: torch.dtype = torch.float32
+    props: T = None
 
-    _impl_type: type[jaxnoise.NoiseCommon] = field(init=False, default=jaxnoise.Random)
-    _counter: int = field(init=False, default=0)
-
-    def __post_init__(self) -> None:
-        self._impl = self._impl_type.from_inputs(
-            self.shape,
-            self.seed.initial_seed(),
-            self.props,
-            _torch_dtype_to_jax(self.dtype),
+    def _randn(self, shape: tuple[int, ...] | None = None) -> torch.Tensor:
+        return torch.randn(
+            shape if shape is not None else self.shape,
+            generator=self.seed,
+            dtype=self.dtype,
+            device=self.seed.device,
         )
 
     @classmethod
@@ -86,44 +83,97 @@ class TensorNoiseCommon[T: NoiseProps | None](SkrampleTensorNoise):
     ) -> Self:
         return cls(shape, seed, dtype, props)
 
-    def generate(self, step: Step | None) -> torch.Tensor:
-        import numpy as np
-
-        out = self._impl.generate(self._counter, step)
-        self._counter += 1
-        return torch.from_numpy(np.array(out.astype("float32") if out.dtype.itemsize < 4 else out)).to(
-            dtype=self.dtype
-        )
-
 
 @dataclass
 class Random(TensorNoiseCommon[None]):
-    _impl_type = jaxnoise.Random
+    "Pure ``torch.randn`` from the caller's generator stream."
+
+    def generate(self, step: Step | None) -> torch.Tensor:
+        return self._randn()
 
 
 @dataclass
 class Offset(TensorNoiseCommon[OffsetProps]):
-    _impl_type = jaxnoise.Offset
+    "Random mean offset along chosen dims, from the same stream."
+
+    def __post_init__(self) -> None:
+        props = self.props or OffsetProps()
+        self.static_offset: torch.Tensor | None = self._offset() if props.static else None
+
+    def _offset(self) -> torch.Tensor:
+        props = self.props or OffsetProps()
+        shape = tuple(d if n in props.dims else 1 for n, d in enumerate(self.shape))
+        return self._randn(shape) * props.strength**2
+
+    def generate(self, step: Step | None) -> torch.Tensor:
+        offset = self.static_offset if self.static_offset is not None else None
+        base = self._randn()
+        return base + (offset if offset is not None else self._offset())
 
 
 @dataclass
 class Pyramid(TensorNoiseCommon[PyramidProps]):
-    _impl_type = jaxnoise.Pyramid
+    """Multi-resolution noise: the base draw comes from the torch stream;
+    the pyramid component is produced by the jax implementation (single
+    source of truth for the level math), keyed off ``initial_seed``."""
+
+    def __post_init__(self) -> None:
+        props = self.props or PyramidProps()
+        self._impl = jaxnoise.Pyramid.from_inputs(
+            self.shape, self.seed.initial_seed(), props, _torch_to_jax_dtype(self.dtype)
+        )
+        self._counter = 0
+        self._static_pyramid: torch.Tensor | None = self._pyramid() if props.static else None
+
+    def _pyramid(self) -> torch.Tensor:
+        key = self._impl._key(self._counter, salt=1)
+        self._counter += 1
+        return _from_jax(self._impl._pyramid(key), self.dtype)
+
+    def generate(self, step: Step | None) -> torch.Tensor:
+        pyramid = self._static_pyramid if self._static_pyramid is not None else self._pyramid()
+        noise = self._randn() + pyramid
+        return noise / noise.std()
 
 
 @dataclass
 class Brownian(TensorNoiseCommon[BrownianProps]):
-    _impl_type = jaxnoise.Brownian
+    """Deterministic-over-interval noise from the virtual Brownian tree
+    (counter-based; replaces torchsde's stateful C++ interval tree)."""
+
+    def __post_init__(self) -> None:
+        self._impl = jaxnoise.Brownian.from_inputs(
+            self.shape, self.seed.initial_seed(), self.props or BrownianProps(), _torch_to_jax_dtype(self.dtype)
+        )
+
+    def generate(self, step: Step | None) -> torch.Tensor:
+        if not step:
+            return self._randn()
+        return _from_jax(self._impl.generate(0, step), self.dtype)
 
 
 @dataclass
 class Colored(TensorNoiseCommon[ColoredProps]):
-    _impl_type = jaxnoise.Colored
+    "Power-law colored noise: torch-stream white noise, jax spectrum shaping."
+
+    def __post_init__(self) -> None:
+        self._impl = jaxnoise.Colored.from_inputs(
+            self.shape, self.seed.initial_seed(), self.props or ColoredProps(), _torch_to_jax_dtype(self.dtype)
+        )
+
+    def generate(self, step: Step | None) -> torch.Tensor:
+        props = self.props or ColoredProps()
+        white = self._randn()
+        exponent = self._impl.exponent_at(step)
+        import jax.numpy as jnp
+
+        colored = jaxnoise.Colored.colorize(jnp.asarray(white.numpy()), exponent, props.energy)
+        return _from_jax(colored, self.dtype)
 
 
 @dataclass
 class BatchTensorNoise[T: NoiseProps | None](SkrampleTensorNoise):
-    "Per-batch-item generators stacked, seeds preserved across batch sizes."
+    "Per-batch-item generators stacked; item seeds survive batch-size changes."
 
     generators: list[TensorNoiseCommon[T]]
 
@@ -147,3 +197,19 @@ class BatchTensorNoise[T: NoiseProps | None](SkrampleTensorNoise):
                 for seed in seeds
             ]
         )
+
+
+def _torch_to_jax_dtype(dtype: torch.dtype):
+    import jax.numpy as jnp
+
+    return {
+        torch.float32: jnp.float32,
+        torch.float64: jnp.float64,
+        torch.bfloat16: jnp.bfloat16,
+        torch.float16: jnp.float16,
+    }.get(dtype, jnp.float32)
+
+
+def _from_jax(array, dtype: torch.dtype) -> torch.Tensor:
+    out = np.array(array.astype("float32") if array.dtype.itemsize < 4 else array)
+    return torch.from_numpy(out).to(dtype=dtype)

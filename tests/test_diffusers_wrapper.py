@@ -354,25 +354,14 @@ def test_rk_wrapper_inside_out(wrapper_cls, model, transform, schedule, order, s
     data_init = 1 / (rng.random() + 1e-4) * (rng.randint(0, 1) * 2 - 1)
 
     generator = torch.Generator().manual_seed(42)
+    # identical independent stream for the functional reference: the wrapper
+    # draws its noise from `generator`'s stream via torch_noise.Random
+    generator_rng = generator.clone_state()
 
-    # Reference trajectory through the functional interface, using the
-    # wrapper's own noise stream for stochastic runs
     wrapper.set_timesteps(steps)
-    noise_wrapper = wrapper_cls(
-        schedule,
-        sampler_order=order,
-        stochasticity=stochasticity,
-        model=model(),
-        derivative_transform=transform() if transform else None,
-        compute_scale=torch.float64,
-    )
-    noise_wrapper.set_timesteps(steps)
 
     if stochasticity:
-        placeholder = torch.tensor([data_init], dtype=torch.float64).unsqueeze(0)
-        rng_fn = lambda s: noise_wrapper.get_step_noise(  # noqa: E731
-            s, placeholder, noise_wrapper.noise_type, None, generator, torch.float64
-        ).squeeze(0).item()
+        rng_fn = lambda s: torch.randn([1], generator=generator_rng).item()  # noqa: E731
     else:
         rng_fn = None
 

@@ -71,8 +71,9 @@ def test_colored_spectral_slope(exponent: float, shape) -> None:
 def test_colored_energy(energy, shape) -> None:
     start, end = float(np.random.default_rng(1).normal()), float(np.random.default_rng(2).normal())
     gen = Colored(shape, jax.random.PRNGKey(1), jnp.float32, ColoredProps(energy=energy, color_start=start, color_end=end))
-    std0 = float(gen.generate(0, None).std())
-    std1 = float(gen.generate(1, Step(0, 1)).std())
+    # Bessel-corrected (ddof=1): the energy contract uses torch std semantics
+    std0 = float(np.asarray(gen.generate(0, None), dtype=np.float64).std(ddof=1))
+    std1 = float(np.asarray(gen.generate(1, Step(0, 1)), dtype=np.float64).std(ddof=1))
     if energy is None:
         assert abs(1 - std0) < 1e-2
         assert abs(1 - std1) < 1e-2
