@@ -14,8 +14,10 @@ FMA over the latent — the scalar math (including UniPC's per-step matrix
 solves) happens exactly once per ``set_timesteps``.  Non-affine samplers
 (e.g. ``SPC(power!=1)``) transparently fall back to the polymorphic path.
 
-Noise comes from :mod:`skrample_tpu.noise` (jax.random, counter-based),
-bridged to torch tensors at the boundary.
+Noise defaults to the torch-facing generators (:mod:`skrample_tpu.
+torch_noise`), which draw from the caller's ``torch.Generator`` stream for
+reference-exact reproducibility; the counter-based jax generators
+(:mod:`skrample_tpu.noise`) are accepted interchangeably.
 """
 
 from __future__ import annotations
