@@ -24,6 +24,13 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    try:  # warm restarts: persist compiled executables across bench runs
+        from skrample_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache("/tmp/skrample_tpu_xla_cache")
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
     from skrample_tpu import scheduling
     from skrample_tpu.ops import CompiledDenoiser, compile_sampler
     from skrample_tpu.sampling import interface, models, structured
