@@ -14,7 +14,7 @@ Three tiers, all consuming the same sampler specs from
 
 from .compiler import CompiledSampler, NonlinearSamplerError, compile_sampler
 from .fused import fused_step, fused_step_pallas
-from .loop import CompiledDenoiser, generic_sample_loop, rk_sample_loop, sample_loop
+from .loop import CompiledDenoiser, generic_sample_loop, rk_sample_loop, rkmoire_sample_loop, sample_loop
 
 __all__ = [
     "CompiledDenoiser",
@@ -25,5 +25,6 @@ __all__ = [
     "fused_step_pallas",
     "generic_sample_loop",
     "rk_sample_loop",
+    "rkmoire_sample_loop",
     "sample_loop",
 ]

@@ -370,3 +370,122 @@ def generic_sample_loop(
     return adapter.sample_model(sample, model_fn, model_transform, schedule, steps, rng=rng)
 
 
+
+
+def rkmoire_sample_loop(
+    sampler: functional.RKMoire,
+    schedule: SkrampleSchedule,
+    model_transform: models.DiffusionModel,
+    steps: int,
+    model_fn: DeviceModel,
+    sample: jax.Array,
+    include: slice = slice(None),
+) -> jax.Array:
+    """Adaptive embedded RK with the step-size controller on host and ONE
+    jitted embedded-step executable on device.
+
+    Reproduces :meth:`~skrample_tpu.sampling.functional.RKMoire.sample_model`
+    exactly (same controller math, same MSE evaluator — which must be the
+    default for this path), but each trial step is a single device dispatch
+    instead of dozens of eager ops.  Error scalars sync back per iteration —
+    that is inherent to data-dependent step control."""
+    if sampler.evaluator is not functional.FunctionalAdaptive.mse:
+        # custom evaluators are arbitrary host code: use the eager spec path
+        return sampler.sample_model(sample, model_fn, model_transform, schedule, steps, include)
+
+    dtype = sample.dtype
+    tab = sampler.tableau()
+    stages = len(tab.stages)
+    has_a = [bool(st.a) for st in tab.stages]
+    a_norm = np.zeros((stages, stages))
+    for i, st in enumerate(tab.stages):
+        if st.a:
+            a_norm[i, : len(st.a)] = np.asarray(st.a) / math.fsum(st.a)
+    b_w = np.asarray(tab.weights)
+    e_w = np.asarray(tab.error_weights)
+
+    transform = sampler.derivative_transform or model_transform
+    wrapped_model = _wrap_device_model(model_fn, model_transform, sampler.derivative_transform)
+
+    @jax.jit
+    def eval_step(x, pts, s_g, s_d, f_g, f_d):
+        derivatives: list[jax.Array] = []
+        for i in range(stages):
+            if has_a[i]:
+                mean_d = sum(derivatives[j] * float(a_norm[i, j]) for j in range(i))
+                X = x * s_g[i] + mean_d * s_d[i]
+            else:
+                X = x
+            derivatives.append(wrapped_model(X, pts[i, 0], pts[i, 1], pts[i, 2]))
+        high = x * f_g + sum(d * float(w) for d, w in zip(derivatives, b_w)) * f_d
+        low = x * f_g + sum(d * float(w) for d, w in zip(derivatives, e_w)) * f_d
+        # relative error: mse(low, high) / max(mse(0, high), eps) — on device
+        err = jnp.mean(jnp.square(low - high)) / jnp.maximum(jnp.mean(jnp.square(high)), 1e-16)
+        return high, err
+
+    def coefficients(step_from: int, step_to: int):
+        step = Step(step_from / steps, step_to / steps)
+        S0, S1, *points = schedule.ipoints([*step, *(step[0] + st.c * (step[1] - step[0]) for st in tab.stages)])
+        delta = DeltaPoint(S0, S1)
+        pts = np.asarray(points, dtype=np.float64)
+        s_g = np.zeros(stages)
+        s_d = np.zeros(stages)
+        for i, (point, st) in enumerate(zip(points, tab.stages, strict=True)):
+            if st.a:
+                part = DeltaPoint(S0, point)
+                s_g[i] = transform.gamma(part)
+                s_d[i] = transform.delta(part)
+        return (
+            jnp.asarray(pts, dtype),
+            jnp.asarray(s_g, dtype),
+            jnp.asarray(s_d, dtype),
+            jnp.asarray(transform.gamma(delta), dtype),
+            jnp.asarray(transform.delta(delta), dtype),
+        )
+
+    # --- controller: mirrors RKMoire.sample_model exactly -------------------
+    initial = sampler.initial
+    maximum = sampler.maximum
+    if sampler.rescale_init:
+        initial *= stages / 2
+    if sampler.rescale_max:
+        maximum *= stages / 2
+
+    step_size = max(round(steps * initial), 1)
+    epsilon = 1e-16
+    indices = list(range(steps))[include]
+    step = indices[0]
+
+    while step <= indices[-1]:
+        step_next = min(step + step_size, indices[-1] + 1)
+
+        if step_next < steps:
+            sample_high, err_dev = eval_step(sample, *coefficients(step, step_next))
+
+            sigma0, sigma1, sigma2 = schedule.ipoints_np(
+                [step / steps, step_next / steps, (step_next + step_size) / steps]
+            )[:, 1].tolist()
+            slope = abs(sigma0 - sigma1) / abs(sigma1 - sigma2)
+
+            error = float(err_dev)  # the one host sync per trial step
+            adjustment = (sampler.threshold / max(error, epsilon)) ** sampler.adaption / slope
+            step_size = max(round(min(step_size * adjustment, steps * maximum)), 1)
+
+            if step_next - step > step_size and 1 / max(adjustment, epsilon) > sampler.discard:
+                continue  # retry smaller without accepting
+
+        else:  # final step: generic path handles the t=0 stage skip
+            sample_high = functional.step_tableau(
+                tab.unembed(),
+                sample,
+                model_fn,
+                model_transform,
+                schedule,
+                Step(step / steps, 1),
+                sampler.derivative_transform,
+            )[0]
+
+        sample = sample_high
+        step = step_next
+
+    return sample

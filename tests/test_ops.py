@@ -259,3 +259,38 @@ def test_scan_callback() -> None:
     x0 = jax.random.normal(jax.random.PRNGKey(12), SHAPE, jnp.float64)
     denoiser.run(device_model, x0, callback=observer).block_until_ready()
     assert sorted(seen) == list(range(steps))
+
+
+@pytest.mark.parametrize(
+    ("order", "threshold", "steps"),
+    [(2, 1e-3, 40), (3, 1e-4, 60), (5, 1e-3, 50), (2, 1e-2, 30)],
+)
+def test_rkmoire_loop_matches_eager(order, threshold, steps) -> None:
+    "The jitted adaptive loop must reproduce the eager spec path exactly."
+    sampler = functional.RKMoire(order=order, threshold=threshold)
+    schedule = SCHEDULES["FlowShift(Linear)"]
+    transform = MODEL_TYPES["FlowModel"]
+
+    x0 = jax.random.normal(jax.random.PRNGKey(13), SHAPE, jnp.float64)
+    expected = sampler.sample_model(x0, device_model, transform, schedule, steps)
+    actual = ops.rkmoire_sample_loop(sampler, schedule, transform, steps, device_model, x0)
+    np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=1e-9, atol=1e-10)
+
+
+def test_rkmoire_loop_custom_evaluator_fallback() -> None:
+    "Non-default evaluators route through the eager spec path."
+    calls = []
+
+    def max_err(a, b):
+        calls.append(1)
+        from skrample_tpu import common
+
+        return common.mean(abs(a - b) ** 2)
+
+    sampler = functional.RKMoire(order=2, evaluator=max_err)
+    x0 = jax.random.normal(jax.random.PRNGKey(14), SHAPE, jnp.float64)
+    out = ops.rkmoire_sample_loop(
+        sampler, SCHEDULES["Linear"], MODEL_TYPES["FlowModel"], 30, device_model, x0
+    )
+    assert calls, "custom evaluator was not invoked"
+    assert bool(jnp.isfinite(out).all())
