@@ -9,9 +9,15 @@ from skrample_tpu import compat
 
 @pytest.fixture
 def installed():
-    compat.install()
+    # other test modules may have imported the REAL reference 'skrample';
+    # snapshot and restore whatever was there
+    snapshot = {name: sys.modules.get(name) for name in list(compat._ALIASES) + ["skrample.pytorch"]}
+    compat.install(force=True)
     yield
     compat.uninstall()
+    for name, module in snapshot.items():
+        if module is not None:
+            sys.modules[name] = module
 
 
 def test_aliases_resolve(installed) -> None:
@@ -44,17 +50,18 @@ def test_from_import_shapes(installed) -> None:
     from skrample.scheduling import ZSNR, Beta, FlowShift, Karras  # noqa: F401
 
 
-def test_uninstall_cleans() -> None:
-    compat.install()
+def test_uninstall_cleans(installed) -> None:
     assert "skrample" in sys.modules
     compat.uninstall()
     assert "skrample" not in sys.modules
     assert "skrample.scheduling" not in sys.modules
+    compat.install(force=True)  # fixture teardown expects the aliases present
 
 
 def test_refuses_to_shadow_real_package() -> None:
     import types
 
+    previous = sys.modules.get("skrample")
     fake = types.ModuleType("skrample")
     sys.modules["skrample"] = fake
     try:
@@ -64,3 +71,5 @@ def test_refuses_to_shadow_real_package() -> None:
         compat.uninstall()
     finally:
         sys.modules.pop("skrample", None)
+        if previous is not None:
+            sys.modules["skrample"] = previous
