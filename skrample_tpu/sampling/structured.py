@@ -1,324 +1,368 @@
-"""Structured (stateless, history-passing) ODE/SDE solvers.
+"""Structured samplers: stateless per-step solvers over an explicit history.
 
-These samplers are the *specification* layer: plain polymorphic math over any
-``Sample`` type (float, numpy, jax.Array, torch.Tensor).  Crucially, every
-sampler here is **linear in its tensor inputs** (sample / prediction /
-history / noise) with scalar coefficients derived only from the schedule and
-step index.  That property is what the TPU engine exploits: the same code is
-executed once with symbolic linear-combination inputs to compile per-step
-coefficient tables, turning each denoise step into a single fused FMA kernel
-(see :mod:`skrample_tpu.ops.compiler`).
+Architectural stance (this is where the design diverges from the reference
+library, whose samplers interleave scalar coefficient math with tensor ops):
+every structured solver here factors into three separable parts —
 
-Scalar coefficient math stays in Python float64 on purpose — error should not
-accumulate in low-precision tensor scalars.
+1. **window** — the current + retained model predictions, mapped into the
+   solver's derivative space (:func:`derivative_window`),
+2. **blend weights** — pure *scalar* coefficients derived from the log-SNR
+   geometry of the step (`_blend` on each solver).  No tensors are touched;
+   this is exactly the piece the TPU coefficient-table compiler
+   (:mod:`skrample_tpu.ops.compiler`) evaluates per step index, and keeping
+   it scalar float64 is also what stops error accumulating in low-precision
+   latents,
+3. **one affine application** — ``transition.apply(sample, blend, noise)``.
 
-Reference parity: Beinsezii/skrample ``skrample/sampling/structured.py``:
-  Euler (:163), DPM 1-3 (:183, arXiv:2211.01095), Adams/IPNDM (:286),
-  UniP/UniPC (:333, arXiv:2302.04867), SPC (:500).
+Because parts 1 and 3 are affine in the tensors, any solver expressed this
+way table-compiles to a fused device FMA for free.
+
+Capability parity with the reference's ``skrample/sampling/structured.py``:
+Euler, DPM-Solver++ 1-3 (arXiv 2211.01095), Adams-Bashforth 1-9, UniP/UniPC
+1-9 (arXiv 2302.04867), SPC.
 """
 
 from __future__ import annotations
 
-import abc
-import dataclasses
 import math
+from abc import ABC, abstractmethod
 from collections.abc import Sequence
 from dataclasses import dataclass, replace
 
 import numpy as np
 
-from .. import common
-from ..common import DeltaPoint, Point, Sample, Step, divf, ln, softmax, spowf, sumprod
+from ..common import Point, Sample, Step, bashforth, divf, ln, softmax, spowf, sumprod
 from ..scheduling import SkrampleSchedule
 from . import models, traits
+
+type Transform = models.DiffusionModel
+"Alias: the predictor-space algebra a solver computes against."
+type History[T: Sample] = Sequence[SKSamples[T]]
+"Alias: caller-retained completed steps, oldest first."
+
+
+# =============================================================================
+# Step records
+# =============================================================================
 
 
 @dataclass(frozen=True)
 class SampleInput[T: Sample]:
-    "One step's inputs, packed. Accumulate the outputs in a list for multistep."
+    """Everything one solver invocation consumes for the current step.
+
+    Multistep solvers additionally read a window of these from ``previous``."""
 
     sample: T
-    "Model input latent."
+    "Latent the model was evaluated on."
     prediction: T
-    "Model output."
+    "Raw model output at that latent."
     step: Step
+    "Normalized time interval being crossed."
     noise: T | None
-    "Extra stochastic noise, when the sampler requires it."
+    "Fresh stochastic noise, when the solver asked for it."
 
-    def delta_point(self, schedule: SkrampleSchedule) -> DeltaPoint:
-        return DeltaPoint(*schedule.ipoints(self.step))
+    def delta_point(self, schedule: SkrampleSchedule) -> models.DeltaPoint:
+        "The schedule transition this step crosses."
+        return models.DeltaPoint(*schedule.ipoints(self.step))
 
 
 @dataclass(frozen=True)
 class SKSamples[T: Sample](SampleInput[T]):
+    "A completed step: the inputs plus the solver's result."
+
     final: T
-    "The updated sample — what you want."
+    "The advanced sample — what the caller feeds forward."
+
+
+def _complete[T: Sample](packed: SampleInput[T], final: T) -> SKSamples[T]:
+    "Promote a SampleInput to SKSamples without copying payloads."
+    return SKSamples(
+        sample=packed.sample,
+        prediction=packed.prediction,
+        step=packed.step,
+        noise=packed.noise,
+        final=final,
+    )
+
+
+# =============================================================================
+# Scalar geometry helpers
+# =============================================================================
+
+
+def log_snr(point: Point) -> float:
+    """Half log signal-to-noise ratio ``ln(alpha/sigma)``.
+
+    Signed-infinite at the endpoints (sigma or alpha exactly zero) — kept
+    representable so endpoint steps degrade to well-defined weights instead
+    of raising."""
+    return ln(divf(point.alpha, point.sigma))
+
+
+def _source_point[T: Sample](entry: SampleInput[T], schedule: SkrampleSchedule) -> Point:
+    "The schedule point an entry's prediction was evaluated at."
+    return schedule.ipoint(entry.step.time_from)
+
+
+def derivative_window[T: Sample](
+    packed: SampleInput[T],
+    previous: History[T],
+    schedule: SkrampleSchedule,
+    count: int,
+    convert: models.ModelConvert | None,
+) -> list[T]:
+    """Predictions ordered newest-first: ``[current, prev, prev2, ...]``,
+    mapped into the derivative space when a conversion is requested.
+
+    Each entry converts at its *own* source point — the conversion is
+    pointwise, so history must use the latents/points it was produced with."""
+    entries: list[SampleInput[T]] = [packed, *previous[::-1][: count - 1]]
+    if convert is None:
+        return [e.prediction for e in entries]
+    return [
+        convert.output_to(e.sample, e.prediction, e.delta_point(schedule).point_from)
+        for e in entries
+    ]
+
+
+# =============================================================================
+# Solver ABCs
+# =============================================================================
 
 
 @dataclass(frozen=True)
-class StructuredSampler(abc.ABC, traits.SamplingCommon):
-    "Stateless sampler contract."
+class StructuredSampler(ABC, traits.SamplingCommon):
+    """Contract every structured solver satisfies.
+
+    Stateless by design: callers own the history (``previous``) and the
+    noise source, so the same frozen instance can serve any number of
+    concurrent trajectories — and hash-key jit caches."""
 
     @property
     def require_noise(self) -> bool:
-        "Whether ``noise`` must be passed."
+        "Whether ``noise`` must be drawn and passed for each step."
         return False
 
     @property
     def require_previous(self) -> int:
-        "How many history entries must be retained and passed."
+        "How many completed steps the caller must retain and pass."
         return 0
 
-    @abc.abstractmethod
+    @abstractmethod
     def sample_packed[T: Sample](
         self,
         packed: SampleInput[T],
-        model_transform: models.DiffusionModel,
+        model_transform: Transform,
         schedule: SkrampleSchedule,
-        previous: Sequence[SKSamples[T]] = (),
-    ) -> SKSamples[T]: ...
+        previous: History[T] = (),
+    ) -> SKSamples[T]:
+        "Advance one step.  Must not mutate its inputs."
 
     def sample[T: Sample](
         self,
         sample: T,
         prediction: T,
         step: Step | tuple[float, float],
-        model_transform: models.DiffusionModel,
+        model_transform: Transform,
         schedule: SkrampleSchedule,
         noise: T | None = None,
-        previous: Sequence[SKSamples[T]] = (),
+        previous: History[T] = (),
     ) -> SKSamples[T]:
-        "Unpacked convenience form of :meth:`sample_packed`."
-        return self.sample_packed(
-            SampleInput(sample=sample, prediction=prediction, step=Step(*step), noise=noise),
-            model_transform=model_transform,
-            schedule=schedule,
-            previous=previous,
-        )
+        "Convenience form of :meth:`sample_packed` taking loose arguments."
+        packed = SampleInput(sample=sample, prediction=prediction, step=Step(*step), noise=noise)
+        return self.sample_packed(packed, model_transform=model_transform, schedule=schedule, previous=previous)
 
     def scale_input[T: Sample](self, sample: T, point: Point) -> T:
-        "Historically sampler-specific; a no-op for every current sampler."
+        "Pre-model latent scaling hook; identity for every current solver."
         return sample
 
 
 @dataclass(frozen=True)
 class StatedSampler(StructuredSampler):
-    "Adapter: subclasses produce only the final value, packing is handled here."
+    "Adapter base: subclasses return just the advanced tensor; packing is shared."
 
-    @abc.abstractmethod
+    @abstractmethod
     def _sample_packed[T: Sample](
         self,
         packed: SampleInput[T],
-        model_transform: models.DiffusionModel,
+        model_transform: Transform,
         schedule: SkrampleSchedule,
-        previous: Sequence[SKSamples[T]],
+        previous: History[T],
     ) -> T:
-        "Must not modify or shadow ``packed``."
+        "Compute the advanced sample only."
 
     def sample_packed[T: Sample](
         self,
         packed: SampleInput[T],
-        model_transform: models.DiffusionModel,
+        model_transform: Transform,
         schedule: SkrampleSchedule,
-        previous: Sequence[SKSamples[T]] = (),
+        previous: History[T] = (),
     ) -> SKSamples[T]:
         final = self._sample_packed(packed, model_transform=model_transform, schedule=schedule, previous=previous)
-        return SKSamples(
-            sample=packed.sample,
-            prediction=packed.prediction,
-            step=packed.step,
-            noise=packed.noise,
-            final=final,
-        )
+        return _complete(packed, final)
 
 
 @dataclass(frozen=True)
 class StructuredMultistep(traits.HigherOrder, StructuredSampler):
-    "Order > 1 support via retained history."
+    "Solvers that consume history; order ramps at trajectory boundaries."
 
     @property
     def require_previous(self) -> int:
-        return max(min(self.order, self.max_order()), self.min_order()) - 1
+        return self.clamped_order - 1
 
     def effective_order(self, step: Step, previous: Sequence[SKSamples]) -> int:
-        """Order actually used: ramps up with available history / position and
-        ramps down approaching the final step."""
-        position = step.position()
-        return max(
-            1,
-            min(
-                self.max_order(),
-                round(position + 1),
-                self.order,
-                len(previous) + 1,
-                round(step.amount() - position),  # lower order on the final steps
-            ),
-        )
+        "The order actually used at this step (see ``HigherOrder.order_ramp``)."
+        return self.order_ramp(step, len(previous))
 
 
 @dataclass(frozen=True)
 class StructuredStochastic(traits.Stochastic, StructuredSampler):
+    "Solvers that blend SDE noise; noise is only requested when it matters."
+
     @property
     def require_noise(self) -> bool:
-        return abs(self.stochasticity) > 1e-8
+        return self.is_stochastic
 
 
 @dataclass(frozen=True)
-class StructuredUnified(traits.UnifiedModelling, StructuredStochastic, StructuredMultistep): ...
+class StructuredUnified(traits.UnifiedModelling, StructuredStochastic, StructuredMultistep):
+    "Order + stochasticity + derivative space, with the canonical MRO."
 
 
-def convert_history[T: Sample](
-    packed: SampleInput[T],
-    model_transform: models.DiffusionModel,
-    derivative_transform: models.DiffusionModel | None,
-    schedule: SkrampleSchedule,
-    previous: Sequence[SKSamples[T]],
-    effective_order: int,
-    delta: DeltaPoint,
-) -> tuple[list[T], models.DiffusionModel]:
-    """Shared derivative-space conversion: returns ``[current, prev, prev2...]``
-    predictions (newest first) in the derivative space, plus the transform the
-    final :meth:`DiffusionModel.forward` should use."""
-    window = previous[len(previous) - effective_order + 1 :] if effective_order > 1 else ()
-    if derivative_transform:
-        convert = models.ModelConvert(model_transform, derivative_transform)
-        predictions = [
-            convert.output_to(packed.sample, packed.prediction, delta.point_from),
-            *(convert.output_to(p.sample, p.prediction, p.delta_point(schedule).point_from) for p in reversed(window)),
-        ]
-        return predictions, convert.transform_to
-    return [packed.prediction, *(p.prediction for p in reversed(window))], model_transform
-
-
-def _log_snr(point: Point) -> float:
-    "lambda = ln(alpha / sigma) in the schedule's normalized space."
-    return ln(divf(point.alpha, point.sigma))
+# =============================================================================
+# Solvers
+# =============================================================================
 
 
 @dataclass(frozen=True)
 class Euler(StructuredStochastic, StatedSampler):
-    'First-order solver — the "safe" baseline. Stochasticity > 0 gives Euler-Maruyama.'
+    """First-order solver: one transition apply per step.
+
+    With stochasticity > 0 this is Euler-Maruyama (a.k.a. "ancestral")."""
 
     def _sample_packed[T: Sample](
         self,
         packed: SampleInput[T],
-        model_transform: models.DiffusionModel,
+        model_transform: Transform,
         schedule: SkrampleSchedule,
-        previous: Sequence[SKSamples[T]],
+        previous: History[T],
     ) -> T:
-        return model_transform.forward(
-            packed.sample,
-            packed.prediction,
-            packed.delta_point(schedule),
-            packed.noise,
-            self.stochasticity,
-        )
+        hop = model_transform.transition(packed.delta_point(schedule), self.stochasticity)
+        return hop.apply(packed.sample, packed.prediction, packed.noise)
 
 
 @dataclass(frozen=True)
-class DPM(StructuredUnified, StatedSampler):
-    """DPM-Solver++ multistep, order 1-3 (arXiv:2211.01095; Algo 2 for order
-    2, section 5 for the SDE form).  Higher-order corrections are absorbed
-    into the prediction so the update remains a single ``forward``."""
+class _BlendedMultistep(StructuredUnified, StatedSampler):
+    """Shared machinery for window/weights/apply solvers (DPM, Adams).
+
+    Subclasses implement only `_blend`: scalar weights over the
+    newest-first prediction window, derived from the step's log-SNR layout."""
+
+    @abstractmethod
+    def _blend(
+        self,
+        lambdas: Sequence[float],
+        lambda_next: float,
+        order: int,
+    ) -> Sequence[float]:
+        """Weights over ``[current, prev, prev2, ...]`` predictions.
+
+        ``lambdas`` holds the log-SNR at each window entry's source point
+        (newest first); ``lambda_next`` is the log-SNR at the step target."""
+
+    def _sample_packed[T: Sample](
+        self,
+        packed: SampleInput[T],
+        model_transform: Transform,
+        schedule: SkrampleSchedule,
+        previous: History[T],
+    ) -> T:
+        order = self.effective_order(packed.step, previous)
+        delta = packed.delta_point(schedule)
+
+        convert = self.conversion(model_transform)
+        window = derivative_window(packed, previous, schedule, order, convert)
+        space = convert.transform_to if convert else model_transform
+
+        lambdas = [log_snr(delta.point_from)] + [
+            log_snr(_source_point(entry, schedule)) for entry in previous[::-1][: order - 1]
+        ]
+        weights = self._blend(lambdas, log_snr(delta.point_to), order)
+
+        blended: T = sumprod(window[: len(weights)], weights)
+        return space.transition(delta, self.stochasticity).apply(packed.sample, blended, packed.noise)
+
+
+@dataclass(frozen=True)
+class DPM(_BlendedMultistep):
+    """DPM-Solver++ multistep, orders 1-3.  The recommended default.
+
+    arXiv 2211.01095 — algorithm 2 (order 2) with the order-3 D1/D2
+    correction; section 5 for the SDE variant.  The classic formulation
+    subtracts expm1-weighted difference terms from the result; here the same
+    corrections are folded into the prediction-window weights so the tensor
+    math stays one weighted sum."""
 
     @staticmethod
     def max_order() -> int:
         return 3
 
-    def _sample_packed[T: Sample](
-        self,
-        packed: SampleInput[T],
-        model_transform: models.DiffusionModel,
-        schedule: SkrampleSchedule,
-        previous: Sequence[SKSamples[T]],
-    ) -> T:
-        delta = packed.delta_point(schedule)
-        effective_order = self.effective_order(packed.step, previous)
+    def _blend(self, lambdas: Sequence[float], lambda_next: float, order: int) -> Sequence[float]:
+        if order < 2:
+            return (1.0,)
 
-        predictions, model_transform = convert_history(
-            packed, model_transform, self.derivative_transform, schedule, previous, effective_order, delta
-        )
-        prediction = predictions[0]
+        h = abs(lambda_next - lambdas[0])
+        r = (lambdas[0] - lambdas[1]) / h
+        lead = 0.5 / r  # first finite-difference share
 
-        if effective_order >= 2:
-            lambda_ = _log_snr(delta.point_from)
-            lambda_next = _log_snr(delta.point_to)
-            h = abs(lambda_next - lambda_)
+        if order < 3:
+            return (1.0 + lead, -lead)
 
-            lambda_prev = _log_snr(schedule.ipoint(previous[-1].step.time_from))
-            r = (lambda_ - lambda_prev) / h
+        r2 = (lambdas[1] - lambdas[2]) / h
+        # expm1-based correction coefficients from the exact ODE solution
+        hh = -h
+        growth = math.expm1(hh)
+        if growth != 0:
+            c1 = (growth / hh - 1.0) / growth
+            c2 = ((growth - hh) / hh**2 - 0.5) / growth
+        else:
+            c1 = c2 = 0
 
-            D1_0 = (1.0 / r) * (prediction - predictions[1])
-
-            if effective_order >= 3:
-                lambda_prev2 = _log_snr(schedule.ipoint(previous[-2].step.time_from))
-                r_prev2 = (lambda_prev - lambda_prev2) / h
-
-                D1_1 = (1.0 / r_prev2) * (predictions[1] - predictions[2])
-                D1 = D1_0 + (r / (r + r_prev2)) * (D1_0 - D1_1)
-                D2 = (1.0 / (r + r_prev2)) * (D1_0 - D1_1)
-
-                # Correction weights, derived from the expm1 form and folded
-                # into the prediction so forward() stays the only tensor op:
-                #   final -= sigma_next * [exp2*pred + (exp2/hh - 1)*D1
-                #                          + ((exp2-hh)/hh^2 - 1/2)*D2]
-                hh = -h
-                exp2 = math.expm1(hh)
-                c1 = (exp2 / hh - 1.0) / exp2 if exp2 != 0 else 0
-                c2 = ((exp2 - hh) / hh**2 - 0.5) / exp2 if exp2 != 0 else 0
-                prediction = prediction + c1 * D1 + c2 * D2
-            else:
-                prediction = prediction + 0.5 * D1_0
-
-        return model_transform.forward(
-            packed.sample,
-            prediction,
-            delta,
-            packed.noise,
-            eta=self.stochasticity,
+        a, b = 1.0 / r, 1.0 / r2
+        m = r / (r + r2)
+        k = 1.0 / (r + r2)
+        # D1 = (1+m)*D1_0 - m*D1_1;  D2 = k*(D1_0 - D1_1); folded into weights
+        return (
+            1.0 + c1 * (1.0 + m) * a + c2 * k * a,
+            -(c1 * ((1.0 + m) * a + m * b) + c2 * k * (a + b)),
+            c1 * m * b + c2 * k * b,
         )
 
 
 @dataclass(frozen=True)
-class Adams(StructuredUnified, StatedSampler):
-    """Adams-Bashforth linear multistep over the model prediction, order 1-9.
-    Order 4 is equivalent to IPNDM."""
+class Adams(_BlendedMultistep):
+    """Adams-Bashforth extrapolation on the prediction window, orders 1-9.
+
+    Order 4 coincides with the IPNDM sampler."""
 
     @staticmethod
     def max_order() -> int:
         return 9
 
-    def _sample_packed[T: Sample](
-        self,
-        packed: SampleInput[T],
-        model_transform: models.DiffusionModel,
-        schedule: SkrampleSchedule,
-        previous: Sequence[SKSamples[T]],
-    ) -> T:
-        effective_order = self.effective_order(packed.step, previous)
-        delta = packed.delta_point(schedule)
-
-        predictions, model_transform = convert_history(
-            packed, model_transform, self.derivative_transform, schedule, previous, effective_order, delta
-        )
-
-        weighted: T = sumprod(predictions[:effective_order], common.bashforth(effective_order))
-
-        return model_transform.forward(
-            packed.sample,
-            weighted,
-            delta,
-            packed.noise,
-            self.stochasticity,
-        )
+    def _blend(self, lambdas: Sequence[float], lambda_next: float, order: int) -> Sequence[float]:
+        return bashforth(order)
 
 
 @dataclass(frozen=True)
 class UniP(StructuredUnified, StatedSampler):
-    "The UniPC predictor stage alone, order 1-9 (arXiv:2302.04867)."
+    """The predictor half of UniPC (arXiv 2302.04867), orders 1-9.
+
+    Solves a small Vandermonde system over log-SNR ratios for the
+    difference-term weights; ``unisolve`` doubles as the UniC corrector when
+    handed the *next* step's prediction."""
 
     fast_solve: bool = False
-    "Skip the matrix solve for UniP-2 / UniC-1 (the paper's shortcut)."
+    "Use the paper's closed-form rho=[1/2] shortcut for UniP-2 / UniC-1."
 
     @staticmethod
     def max_order() -> int:
@@ -327,88 +371,83 @@ class UniP(StructuredUnified, StatedSampler):
     def unisolve[T: Sample](
         self,
         packed: SampleInput[T],
-        model_transform: models.DiffusionModel,
+        model_transform: Transform,
         schedule: SkrampleSchedule,
-        previous: Sequence[SKSamples[T]],
+        previous: History[T],
         prediction_next: Sample | None = None,
     ) -> T:
-        "Unified solver: pass ``prediction_next`` for UniC behavior, omit for UniP."
+        "UniP prediction, or UniC correction when ``prediction_next`` is given."
         delta = packed.delta_point(schedule)
-        effective_order = self.effective_order(packed.step, previous)
+        order = self.effective_order(packed.step, previous)
 
-        if prediction_next is not None and self.derivative_transform:
-            # Convert against the *incoming* transform before it is swapped
-            prediction_next = models.ModelConvert(model_transform, self.derivative_transform).output_to(
-                packed.sample, prediction_next, delta.point_from
-            )
-        predictions, model_transform = convert_history(
-            packed, model_transform, self.derivative_transform, schedule, previous, effective_order, delta
-        )
-        prediction = predictions[0]
+        convert = self.conversion(model_transform)
+        window = derivative_window(packed, previous, schedule, order, convert)
+        space = convert.transform_to if convert else model_transform
+        if prediction_next is not None and convert is not None:
+            prediction_next = convert.output_to(packed.sample, prediction_next, delta.point_from)
 
-        lambda_ = _log_snr(delta.point_from)
-        lambda_next = _log_snr(delta.point_to)
-        h = abs(lambda_next - lambda_)
+        lambda_0 = log_snr(delta.point_from)
+        h = abs(log_snr(delta.point_to) - lambda_0)
 
-        hh = -h
-        h_phi_1 = math.expm1(hh)
-        B_h = h_phi_1
+        # Log-SNR ratios of each history entry relative to the step width.
+        # Non-finite ratios (endpoint sigmas) enter the solve as 0 but keep
+        # their true value for the difference scaling, matching the exact
+        # limit of the D1 term.
+        ratios: list[float] = []
+        diffs: list[T] = []
+        for n, entry_pred in enumerate(window[1:], start=1):
+            rk = (log_snr(_source_point(previous[-n], schedule)) - lambda_0) / h
+            ratios.append(rk if math.isfinite(rk) else 0)
+            diffs.append((entry_pred - window[0]) / rk)
 
-        rks: list[float] = []
-        D1s: list[Sample] = []
-        for n in range(1, effective_order):
-            lambda_pN = _log_snr(previous[-n].delta_point(schedule).point_from)
-            rk = (lambda_pN - lambda_) / h
-            rks.append(rk if math.isfinite(rk) else 0)
-            D1s.append((predictions[n] - prediction) / rk)
+        corrector = prediction_next is not None
+        if corrector:
+            ratios.append(1.0)
+            diffs.append(prediction_next - window[0])
 
-        if prediction_next is not None:
-            rks.append(1.0)
-            order_check = 1
-            D1s.append(prediction_next - prediction)
-        else:
-            order_check = 2
-
-        if not rks or (effective_order == order_check and self.fast_solve):
+        if not ratios or (order == (1 if corrector else 2) and self.fast_solve):
             rhos: list[float] = [0.5]
         else:
-            h_phi_k = h_phi_1 / hh - 1
-            R: list[list[float]] = []
-            b: list[float] = []
-            for n in range(1, len(rks) + 1):
-                R.append([math.pow(v, n - 1) for v in rks])
-                b.append(h_phi_k * math.factorial(n) / B_h)
-                h_phi_k = h_phi_k / hh - 1 / math.factorial(n + 1)
-            rhos = np.linalg.solve(R, b).tolist()
+            rhos = self._solve_rhos(ratios, h)
 
-        prediction = prediction + sumprod(D1s, rhos[: len(D1s)])
+        correction = sumprod(rhos[: len(diffs)], diffs)
+        blended: T = window[0] + correction
 
-        return model_transform.forward(
-            packed.sample,
-            prediction,
-            delta,
-            packed.noise,
-            eta=self.stochasticity,
-        )
+        return space.transition(delta, self.stochasticity).apply(packed.sample, blended, packed.noise)
+
+    def _solve_rhos(self, ratios: Sequence[float], h: float) -> list[float]:
+        "Vandermonde solve for the difference-term weights."
+        hh = -h
+        phi_1 = math.expm1(hh)
+        phi_k = phi_1 / hh - 1
+        rows: list[list[float]] = []
+        rhs: list[float] = []
+        for n in range(1, len(ratios) + 1):
+            rows.append([v ** (n - 1) for v in ratios])
+            rhs.append(phi_k * math.factorial(n) / phi_1)
+            phi_k = phi_k / hh - 1 / math.factorial(n + 1)
+        return np.linalg.solve(rows, rhs).tolist()
 
     def _sample_packed[T: Sample](
         self,
         packed: SampleInput[T],
-        model_transform: models.DiffusionModel,
+        model_transform: Transform,
         schedule: SkrampleSchedule,
-        previous: Sequence[SKSamples[T]],
+        previous: History[T],
     ) -> T:
         return self.unisolve(packed, model_transform, schedule, previous)
 
 
 @dataclass(frozen=True)
 class UniPC(UniP):
-    """Correct-then-predict: applies UniC to the *previous* step using the
-    current prediction, then runs the predictor (its own UniP by default, or
-    any structured sampler).  Effectively +1 order over the setting."""
+    """Correct-then-predict: UniC fixes the previous step using the fresh
+    prediction, then any predictor (default: own UniP) advances from the
+    corrected sample.  Effectively +1 order over the configured predictor.
+
+    arXiv 2302.04867."""
 
     predictor: StructuredSampler | None = None
-    "Defaults to the built-in UniP at the same order."
+    "Solver run after the correction; None uses this instance's own UniP."
 
     @staticmethod
     def max_order() -> int:
@@ -416,30 +455,30 @@ class UniPC(UniP):
 
     @property
     def require_noise(self) -> bool:
-        return super().require_noise or (self.predictor.require_noise if self.predictor else False)
+        if self.predictor is not None and self.predictor.require_noise:
+            return True
+        return super().require_noise
 
     @property
     def require_previous(self) -> int:
-        return max(super().require_previous + 1, self.predictor.require_previous if self.predictor else 0)
+        own = super().require_previous + 1
+        return max(own, self.predictor.require_previous if self.predictor else 0)
 
     def sample_packed[T: Sample](
         self,
         packed: SampleInput[T],
-        model_transform: models.DiffusionModel,
+        model_transform: Transform,
         schedule: SkrampleSchedule,
-        previous: Sequence[SKSamples[T]] = (),
+        previous: History[T] = (),
     ) -> SKSamples[T]:
-        delta = packed.delta_point(schedule)
-
-        if self.derivative_transform:
-            convert = models.ModelConvert(model_transform, self.derivative_transform)
-            packed = replace(
-                packed,
-                prediction=convert.output_to(packed.sample, packed.prediction, delta.point_from),
-            )
+        convert = self.conversion(model_transform)
+        if convert is not None:
+            source = packed.delta_point(schedule).point_from
+            packed = replace(packed, prediction=convert.output_to(packed.sample, packed.prediction, source))
             model_transform = convert.transform_to
 
         if previous:
+            # UniC: rewrite the previous result using today's prediction...
             corrected = self.unisolve(
                 previous[-1],
                 model_transform,
@@ -447,6 +486,7 @@ class UniPC(UniP):
                 previous[:-1],
                 prediction_next=packed.prediction,
             )
+            # ...and continue the trajectory from the corrected sample.
             packed = replace(packed, sample=corrected)
 
         return (self.predictor or super()).sample_packed(packed, model_transform, schedule, previous)
@@ -454,19 +494,23 @@ class UniPC(UniP):
 
 @dataclass(frozen=True)
 class SPC(traits.DerivativeTransform, StructuredSampler):
-    """Simple predictor-corrector: re-run a corrector over offset history and
-    softmax-blend the corrected sample with the current one."""
+    """Simple predictor-corrector: re-solve the previous step with today's
+    prediction appended, softmax-blend the corrected sample with the current
+    one, then run the predictor from the blend."""
 
     predictor: StructuredSampler = Euler()
+    "Solver advancing the current step."
     corrector: StructuredSampler = Adams(order=4)
+    "Solver re-run over the shifted history to correct the previous step."
 
     bias: float = 0
-    "Lower favors prediction, higher favors correction."
+    "Shifts the blend: negative favors prediction, positive correction."
     power: float = 1
-    "Optional signed-power blend of the two samples."
+    "Optional signed-power warp applied around the blend."
     adaptive: bool = True
-    "Weight the blend by the schedule's (sigma, alpha) at the current point."
+    "Weight the blend by the schedule's (sigma, alpha) at the source point."
     invert: bool = False
+    "Swap the prediction/correction blend weights."
 
     @property
     def require_noise(self) -> bool:
@@ -476,57 +520,48 @@ class SPC(traits.DerivativeTransform, StructuredSampler):
     def require_previous(self) -> int:
         return max(self.predictor.require_previous, self.corrector.require_previous + 1)
 
+    def _blend_ratio(self, source: Point) -> tuple[float, float]:
+        "Softmax weights (prediction_share, correction_share)."
+        if self.adaptive:
+            raw = (source.sigma - self.bias, source.alpha + self.bias)
+        else:
+            raw = (0 - self.bias, 0 + self.bias)
+        share_p, share_c = softmax(raw)
+        return (share_c, share_p) if self.invert else (share_p, share_c)
+
+    def _merge[T: Sample](self, current: T, corrected: T, share_p: float, share_c: float) -> T:
+        if abs(self.power - 1) > 1e-8:  # spowf costs real ops; skip at identity
+            warped = spowf(current, self.power) * share_p + spowf(corrected, self.power) * share_c
+            return spowf(warped, 1 / self.power)
+        return current * share_p + corrected * share_c
+
     def sample_packed[T: Sample](
         self,
         packed: SampleInput[T],
-        model_transform: models.DiffusionModel,
+        model_transform: Transform,
         schedule: SkrampleSchedule,
-        previous: Sequence[SKSamples[T]] = (),
+        previous: History[T] = (),
     ) -> SKSamples[T]:
-        delta = packed.delta_point(schedule)
-
-        if self.derivative_transform:
-            convert = models.ModelConvert(model_transform, self.derivative_transform)
-            packed = replace(
-                packed,
-                prediction=convert.output_to(packed.sample, packed.prediction, delta.point_from),
-            )
+        convert = self.conversion(model_transform)
+        if convert is not None:
+            source = packed.delta_point(schedule).point_from
+            packed = replace(packed, prediction=convert.output_to(packed.sample, packed.prediction, source))
             model_transform = convert.transform_to
 
         if previous:
-            # Shift predictions one step forward so each history entry pairs
-            # with the *next* prediction; the corrector then re-solves the
-            # most recent step with better information.
-            shifted_predictions = (*(p.prediction for p in previous[1:]), packed.prediction)
-            offset_previous: list[SKSamples[T]] = [
-                replace(p, prediction=pred) for p, pred in zip(previous, shifted_predictions, strict=True)
-            ]
-
-            corrected = self.corrector.sample_packed(
-                offset_previous.pop(),
-                model_transform,
-                schedule,
-                offset_previous,
-            ).final
-
-            if self.adaptive:
-                _t, p, c = delta.point_from
-            else:
-                p, c = 0, 0
-
-            p, c = softmax((p - self.bias, c + self.bias))
-
-            if self.invert:
-                p, c = c, p
-
-            if abs(self.power - 1) > 1e-8:  # spowf is expensive; short circuit
-                sample = spowf(
-                    spowf(packed.sample, self.power) * p + spowf(corrected, self.power) * c,
-                    1 / self.power,
+            # Shift predictions one slot newer so the corrector sees the
+            # current prediction as the previous step's "future" output.
+            shifted = [
+                replace(entry, prediction=newer)
+                for entry, newer in zip(
+                    previous,
+                    [*(p.prediction for p in previous[1:]), packed.prediction],
+                    strict=True,
                 )
-            else:
-                sample = packed.sample * p + corrected * c
+            ]
+            corrected = self.corrector.sample_packed(shifted[-1], model_transform, schedule, shifted[:-1]).final
 
-            packed = replace(packed, sample=sample)
+            share_p, share_c = self._blend_ratio(packed.delta_point(schedule).point_from)
+            packed = replace(packed, sample=self._merge(packed.sample, corrected, share_p, share_c))
 
         return self.predictor.sample_packed(packed, model_transform, schedule, previous)
