@@ -1,14 +1,20 @@
-"""Functional (closure-driven) samplers: the solver owns the denoise loop and
-calls the model itself.
+"""Functional samplers: closure-driven loops and the explicit-RK engine.
 
-This is the natural fit for JAX: with a traced model closure and jnp sample,
-:func:`step_tableau` unrolls its stages at trace time (stage counts and all
-coefficients are static Python floats), so a whole RK step compiles into one
-XLA computation.  :mod:`skrample_tpu.ops.loop` wraps these into ``lax.scan``
-denoise loops.
+Where the structured solvers (:mod:`.structured`) are advanced one step at a
+time by an external loop, the functional family owns its loop and calls the
+model itself through a ``(x, t, sigma, alpha) -> x`` closure.  That makes it
+the natural home for multi-evaluation methods: arbitrary Butcher-tableau
+Runge-Kutta (:class:`RKUltra`), per-step generated tableaux
+(:class:`DynasauRK`), and adaptive embedded pairs (:class:`RKMoire`).
 
-Reference parity: Beinsezii/skrample ``skrample/sampling/functional.py``:
-  step_tableau (:55), RKUltra (:212), DynasauRK (:266), RKMoire (:347).
+The RK engine itself (:func:`step_tableau`) is phase-split on purpose:
+stage *geometry* (all schedule points for one step, one batched query) is
+resolved before any tensor math, and each stage reduces to the same
+``Transition.apply`` affine primitive the rest of the library uses — which
+is what lets the TPU loop builder (:mod:`skrample_tpu.ops.loop`) unroll the
+stages at trace time into one fused scan body.
+
+Capability parity with the reference's ``skrample/sampling/functional.py``.
 """
 
 from __future__ import annotations
@@ -20,175 +26,206 @@ from collections.abc import Callable, Mapping
 from types import MappingProxyType
 from typing import Any
 
-from .. import common, scheduling
-from ..common import RNG, DeltaPoint, Sample, Step, sumprod
+from ..common import RNG, DeltaPoint, Sample, Step, mean, sumprod
+from ..scheduling import SkrampleSchedule
 from . import models, tableaux, traits
+from .tableaux import RK1, RK2, RKE2, RKE3, RKE5, RKZ, SSP, EmbeddedTableau, Tableau, TableauProvider, TableauType
+
+type Transform = models.DiffusionModel
+"Alias: the predictor-space algebra the solver computes against."
+type Providers[T: TableauType] = Mapping[int, TableauProvider[T]]
+"Alias: order/stage-count keyed tableau sources." 
 
 type SampleCallback[T: Sample] = Callable[[T, int, DeltaPoint], Any]
-"Per-step observer hook; return value ignored."
-
+"Per-step observer ``(sample, index, delta) -> ignored``."
 type SampleableModel[T: Sample] = Callable[[T, float, float, float], T]
-"(sample, timestep, sigma, alpha) -> prediction"
+"Model closure: ``(latent, timestep, sigma, alpha) -> prediction``."
+
+_ERROR_FLOOR = 1e-16
+"Denominator floor for the adaptive controller's relative-error ratios."
 
 
-DEFAULT_PROVIDERS: Mapping[int, tableaux.TableauProvider[tableaux.TableauType]] = {
-    1: tableaux.RK1.Euler,
-    2: tableaux.RK2.Mid,
-    3: tableaux.RK2.EES5_MIN,
-    4: tableaux.RK2.EES7_MIN,
-    5: tableaux.SSP.RK4_5,
-    6: tableaux.RKE5.CashKarp,
-    7: tableaux.RKZ.Butcher6,
-    8: tableaux.SSP.RK3_8,
-    10: tableaux.SSP.RK5_10,
-    11: tableaux.RKZ.CV8,
-    15: tableaux.RKZ.Stepanov10,
+# =============================================================================
+# Tableau provider presets
+# =============================================================================
+
+DEFAULT_PROVIDERS: Providers[TableauType] = {
+    1: RK1.Euler,
+    2: RK2.Mid,
+    3: RK2.EES5_MIN,
+    4: RK2.EES7_MIN,
+    5: SSP.RK4_5,
+    6: RKE5.CashKarp,
+    7: RKZ.Butcher6,
+    8: SSP.RK3_8,
+    10: SSP.RK5_10,
+    11: RKZ.CV8,
+    15: RKZ.Stepanov10,
 }
-"""Default providers, selected by quality-vs-NFE search on latent diffusion
-models.  Keys are STAGE counts, not mathematical order."""
+"""Stage-count-keyed tableau selection tuned for latent diffusion.
+Keys are stage counts, NOT mathematical order."""
 
-STABLE_PROVIDERS: Mapping[int, tableaux.TableauProvider[tableaux.TableauType]] = {
-    2: tableaux.RKE2.Heun,
-    3: tableaux.SSP.RK3_3,
-    4: tableaux.RKE3.SSPRK3_4,
-    5: tableaux.SSP.RK3_5,
-    6: tableaux.SSP.RK3_6,
-    7: tableaux.SSP.RK3_7,
+STABLE_PROVIDERS: Providers[TableauType] = {
+    2: RKE2.Heun,
+    3: SSP.RK3_3,
+    4: RKE3.SSPRK3_4,
+    5: SSP.RK3_5,
+    6: SSP.RK3_6,
+    7: SSP.RK3_7,
 }
-"SSP family: prioritizes stability. Keys are stage counts."
+"""Strong-stability-preserving alternates; trade convergence for stability.
+Keys are stage counts, NOT mathematical order."""
 
-DEFAULT_EMBEDDED_PROVIDERS: Mapping[int, tableaux.TableauProvider[tableaux.EmbeddedTableau]] = {
-    2: tableaux.RKE2.Heun,
-    4: tableaux.RKE3.BogackiShampine,
-    6: tableaux.RKE5.Fehlberg,
+DEFAULT_EMBEDDED_PROVIDERS: Providers[EmbeddedTableau] = {
+    2: RKE2.Heun,
+    4: RKE3.BogackiShampine,
+    6: RKE5.Fehlberg,
 }
-"Default embedded providers for adaptive stepping. Keys are stage counts."
+"""Embedded (error-estimating) pairs for the adaptive controller.
+Keys are stage counts, NOT mathematical order."""
+
+
+def pick_provider[T: TableauType](providers: Providers[T], order: int) -> TableauProvider[T] | None:
+    "Largest provider key not exceeding ``order``, or None below the range."
+    eligible = [key for key in providers if key <= order]
+    return providers[max(eligible)] if eligible else None
+
+
+# =============================================================================
+# The explicit-RK engine
+# =============================================================================
 
 
 def step_tableau[T: Sample](
-    tableau: tableaux.Tableau | tableaux.EmbeddedTableau,
+    tableau: TableauType,
     sample: T,
     model: SampleableModel[T],
-    model_transform: models.DiffusionModel,
-    schedule: scheduling.SkrampleSchedule,
+    model_transform: Transform,
+    schedule: SkrampleSchedule,
     step: Step,
     derivative_transform: models.DiffusionModel | None = None,
     noise: T | None = None,
     stochasticity: float = 0,
     epsilon: float = 1e-8,
 ) -> tuple[T, ...]:
-    """One explicit Runge-Kutta step driven by an arbitrary Butcher tableau.
+    """Advance one step with an explicit RK method.
 
-    All stage points are pulled from the schedule in ONE batched ``ipoints``
-    call; intermediate samples are synthesized through ``forward`` with the
-    weighted derivative mean; the model call is *skipped* at t=0 / sigma=0
-    stages, back-computing the derivative via ``backward`` instead.
-
-    Returns one result per weight row (2 for embedded tableaux)."""
-    nodes, weights = tableau[0], tableau[1:]
+    Returns one result per weight row — a plain tableau yields a 1-tuple, an
+    embedded pair ``(high, error_row)``.  Degenerate stage points (timestep
+    or sigma within ``epsilon`` of zero) skip the model call and back-solve
+    the derivative from the transition instead, so methods with a terminal
+    ``c=1`` node cost one evaluation less on the final step."""
+    nodes, weight_rows = tableau[0], tableau[1:]
 
     if derivative_transform:
         model = models.ModelConvert(model_transform, derivative_transform).wrap_model_call(model)
         model_transform = derivative_transform
 
-    derivatives: list[T] = []
-    S0, S1, *stage_points = schedule.ipoints([*step, *(step[0] + stage.c * (step[1] - step[0]) for stage in nodes)])
-    delta = common.DeltaPoint(S0, S1)
+    # Phase 1 — geometry: every point this step touches, one batched query.
+    begin, finish = step
+    span = finish - begin
+    grid = schedule.ipoints([begin, finish, *(begin + stage.c * span for stage in nodes)])
+    whole = DeltaPoint(grid[0], grid[1])
 
-    for point, icoeffs in zip(stage_points, (stage.a for stage in nodes), strict=True):
-        if icoeffs:
-            X: T = model_transform.forward(
-                sample,
-                sumprod(derivatives, icoeffs) / math.fsum(icoeffs),
-                common.DeltaPoint(delta.point_from, point),
-            )
+    # Phase 2 — stages.
+    slopes: list[T] = []
+    for at, stage in zip(grid[2:], nodes, strict=True):
+        if stage.a:
+            # Synthesize the stage latent from the running derivative mix.
+            mix: T = sumprod(slopes, stage.a) / math.fsum(stage.a)
+            latent = model_transform.transition(DeltaPoint(whole.point_from, at)).apply(sample, mix)
         else:
-            X = sample
+            latent = sample
 
-        if abs(point.timestep) < epsilon or abs(point.sigma) < epsilon:
-            # Calling the model at the clean endpoint is invalid; recover the
-            # implied derivative from the transition instead.
-            derivatives.append(model_transform.backward(sample, X, delta))
+        if abs(at.timestep) < epsilon or abs(at.sigma) < epsilon:
+            # Model output is unobservable here; recover the slope that the
+            # whole-step transition would imply instead of calling the model.
+            slopes.append(model_transform.transition(whole).invert(sample, latent))
         else:
-            derivatives.append(model(X, *point))
+            slopes.append(model(latent, *at))
 
-    return tuple(
-        model_transform.forward(
-            sample,
-            sumprod(derivatives, w),
-            delta,
-            noise,
-            stochasticity,
-        )
-        for w in weights
-    )
+    # Phase 3 — output row(s).
+    hop = model_transform.transition(whole, stochasticity)
+    return tuple(hop.apply(sample, sumprod(slopes, row), noise) for row in weight_rows)
+
+
+# =============================================================================
+# Loop ABCs
+# =============================================================================
 
 
 @dataclasses.dataclass(frozen=True)
 class FunctionalSampler(ABC, traits.SamplingCommon):
+    "A sampler that owns its denoise loop and drives the model closure itself."
+
     @abstractmethod
     def sample_model[T: Sample](
         self,
         sample: T,
         model: SampleableModel[T],
-        model_transform: models.DiffusionModel,
-        schedule: scheduling.SkrampleSchedule,
+        model_transform: Transform,
+        schedule: SkrampleSchedule,
         steps: int,
         include: slice = slice(None),
         rng: RNG[T] | None = None,
         callback: SampleCallback | None = None,
     ) -> T:
-        """Run the (already noised) sample through the model over the chosen
-        ``include`` range of ``steps``. Calls ``callback`` per step."""
+        """Run the (already noised) sample through ``include`` of ``steps``
+        uniform steps, invoking ``callback`` after each."""
 
     def generate_model[T: Sample](
         self,
         model: SampleableModel[T],
-        model_transform: models.DiffusionModel,
-        schedule: scheduling.SkrampleSchedule,
+        model_transform: Transform,
+        schedule: SkrampleSchedule,
         rng: RNG[T],
         steps: int,
         include: slice = slice(None),
         initial: T | None = None,
         callback: SampleCallback | None = None,
     ) -> T:
-        "Like :meth:`sample_model` but seeds/mixes the initial noise itself (txt2img & img2img)."
+        "Like :meth:`sample_model`, but seeds (or re-noises) the sample itself."
         if initial is None and include.start is None:
-            sample: T = rng(None)
+            seed: T = rng(None)  # txt2img fast path: pure noise
         else:
-            # Noise the initial value to the include-start point, rescaled by
-            # the terminal sigma to absorb Scaled-schedule quirks.
-            sample = self.add_noise(
+            # img2img / partial start: noise the initial value to the entry
+            # point, renormalized by the schedule's own full-noise magnitude
+            # (handles spaces whose sigma+alpha != 1, e.g. Scaled).
+            entry = schedule.ipoint((include.start or 0) / steps)
+            seed = self.add_noise(
                 0 if initial is None else initial,
                 rng(None),
-                schedule.ipoint((include.start or 0) / steps),
+                entry,
             ) / self.add_noise(0.0, 1.0, schedule.point_1)
 
-        return self.sample_model(sample, model, model_transform, schedule, steps, include, rng, callback)
+        return self.sample_model(seed, model, model_transform, schedule, steps, include, rng, callback)
 
 
 @dataclasses.dataclass(frozen=True)
 class FunctionalHigher(traits.HigherOrder, FunctionalSampler):
+    "Functional solvers where one step costs multiple model evaluations."
+
     def adjust_steps(self, steps: int) -> int:
-        "Rescale a step budget to approximately equal model-call (NFE) cost."
+        "Step count that spends roughly the same model-call budget."
         return round(steps / self.order)
 
 
 @dataclasses.dataclass(frozen=True)
-class FunctionalUnified(traits.UnifiedModelling, FunctionalHigher): ...
+class FunctionalUnified(traits.UnifiedModelling, FunctionalHigher):
+    "Order + stochasticity + derivative space for functional solvers."
 
 
 @dataclasses.dataclass(frozen=True)
 class FunctionalSinglestep(FunctionalSampler):
-    "Uniform-step loop driver around an abstract per-step update."
+    "Uniform-grid loop driver: subclasses implement one step."
 
     @abstractmethod
     def step[T: Sample](
         self,
         sample: T,
         model: SampleableModel[T],
-        model_transform: models.DiffusionModel,
-        schedule: scheduling.SkrampleSchedule,
+        model_transform: Transform,
+        schedule: SkrampleSchedule,
         step: Step,
         rng: RNG[T] | None = None,
     ) -> T: ...
@@ -197,271 +234,57 @@ class FunctionalSinglestep(FunctionalSampler):
         self,
         sample: T,
         model: SampleableModel[T],
-        model_transform: models.DiffusionModel,
-        schedule: scheduling.SkrampleSchedule,
+        model_transform: Transform,
+        schedule: SkrampleSchedule,
         steps: int,
         include: slice = slice(None),
         rng: RNG[T] | None = None,
         callback: SampleCallback | None = None,
     ) -> T:
         for n in list(range(steps))[include]:
-            step = Step.from_int(n, steps)
-            sample = self.step(sample, model, model_transform, schedule, step, rng)
+            interval = Step.from_int(n, steps)
+            sample = self.step(sample, model, model_transform, schedule, interval, rng)
             if callback:
-                callback(sample, n, schedule.istep(step))
+                callback(sample, n, schedule.istep(interval))
         return sample
 
 
 @dataclasses.dataclass(frozen=True)
 class FunctionalAdaptive(FunctionalSampler):
-    "Error-controlled samplers (data-dependent step sizes)."
+    "Error-controlled solvers: an evaluator scores trial steps against a threshold."
 
     type Evaluator[T: Sample] = Callable[[T, T], float]
 
     @staticmethod
     def mse[T: Sample](a: T, b: T) -> float:
-        error: T = abs(a - b) ** 2
-        return common.mean(error)
+        "Mean squared difference, reduced to a host scalar."
+        gap: T = abs(a - b) ** 2
+        return mean(gap)
 
     evaluator: Evaluator = mse
+    "Error measure between the trial results."
     threshold: float = 1e-2
-    "Target error per evaluation."
+    "Error level the controller steers toward."
 
 
-@dataclasses.dataclass(frozen=True)
-class RKUltra(FunctionalUnified, FunctionalSinglestep):
-    """Arbitrary explicit Runge-Kutta, order 1-15: picks the largest provider
-    at or below the requested order and drives :func:`step_tableau`."""
+# Concrete solvers live in .rk_solvers; re-exported here so this module is
+# the one-stop functional API (and the reference-compatible import path).
+from .rk_solvers import DynasauRK, RKMoire, RKUltra  # noqa: E402
 
-    providers: Mapping[int, tableaux.TableauProvider[tableaux.Tableau | tableaux.EmbeddedTableau]] = MappingProxyType(
-        DEFAULT_PROVIDERS
-    )
-
-    @staticmethod
-    def max_order() -> int:
-        return 99
-
-    def tableau(self, order: int | None = None) -> tableaux.Tableau:
-        if order is None:
-            order = self.order
-        if order >= min(self.providers.keys()):
-            picked = self.providers[max(o for o in self.providers.keys() if o <= order)].tableau()
-            return tableaux.Tableau(picked.stages, picked.weights)  # drop any embedded row
-        return tableaux.RK1.Euler.value
-
-    def adjust_steps(self, steps: int) -> int:
-        stages = self.tableau()[0]
-        calls = len(stages)
-        # Stages at c=1 are skipped on the final step; credit them back
-        adjusted = steps / calls + sum(abs(1 - stage.c) < 1e-8 for stage in stages) / calls
-        return max(round(adjusted), 1)
-
-    def step[T: Sample](
-        self,
-        sample: T,
-        model: SampleableModel[T],
-        model_transform: models.DiffusionModel,
-        schedule: scheduling.SkrampleSchedule,
-        step: Step,
-        rng: RNG[T] | None = None,
-    ) -> T:
-        return step_tableau(
-            self.tableau(),
-            sample,
-            model,
-            model_transform,
-            schedule,
-            step,
-            self.derivative_transform,
-            rng(step) if rng else None,
-            self.stochasticity,
-        )[0]
-
-
-@dataclasses.dataclass(frozen=True)
-class DynasauRK(FunctionalUnified, FunctionalSinglestep):
-    """Procedural RK order 2-4 generating its tableau *per step* from the
-    parametric families, decaying from a high-stability anchor towards a
-    high-convergence anchor as ``e^(-s*t - S*T)`` over NFEs.
-
-    Since the per-step tableaux depend only on the step index, the full
-    coefficient sequence precomputes host-side for `lax.scan` loops."""
-
-    per_step_decay: float = math.log(0.5) / -2  # halves every 2 NFEs
-    total_step_decay: float = math.log(0.5) / -20
-    invert: bool = False
-    "Invert the stability->convergence gradient."
-
-    @staticmethod
-    def min_order() -> int:
-        return 2
-
-    @staticmethod
-    def max_order() -> int:
-        return 4
-
-    def adjust_steps(self, steps: int) -> int:
-        return max(round(steps / self.order), 1)
-
-    def gradient(self, step: Step, stages: int) -> float:
-        "1.0 = most stable anchor, 0.0 = most convergent anchor."
-        step = step.normal().clamp()
-        decay = math.exp((-self.total_step_decay * step.amount() - self.per_step_decay * step.position()) * stages)
-        return abs(self.invert - min(max(decay, 0), 1))
-
-    def tableau(self, step: Step) -> tableaux.Tableau:
-        "Assumes uniform step sizes (a plain for-loop)."
-        if self.order >= 4:
-            high = 1 / 4 * (2 - math.sqrt(2))  # EES7_SYM
-            low = 1 / 14 * (5 - 3 * math.sqrt(2))  # EES7_MIN
-            family = tableaux.generators.ees27_tableau
-        elif self.order >= 3:
-            high = 0.25  # EES5_SYM
-            low = 0.1  # EES5_MIN
-            family = tableaux.generators.ees25_tableau
-        else:
-            high = 1.0  # Heun
-            low = 0.5  # Mid
-            family = tableaux.generators.rk2_tableau
-
-        gradient = self.gradient(step, len(family((high + low) / 2).stages))
-        return family(gradient * high + (1 - gradient) * low)
-
-    def step[T: Sample](
-        self,
-        sample: T,
-        model: SampleableModel[T],
-        model_transform: models.DiffusionModel,
-        schedule: scheduling.SkrampleSchedule,
-        step: Step,
-        rng: RNG[T] | None = None,
-    ) -> T:
-        return step_tableau(
-            self.tableau(step),
-            sample,
-            model,
-            model_transform,
-            schedule,
-            step,
-            self.derivative_transform,
-            rng(step) if rng else None,
-            self.stochasticity,
-        )[0]
-
-
-@dataclasses.dataclass(frozen=True)
-class RKMoire(traits.DerivativeTransform, FunctionalAdaptive, FunctionalHigher):
-    """Adaptive-step embedded RK.  The step-size controller is data-dependent,
-    so the loop runs host-side around (jittable) embedded stage evaluations —
-    the only data-dependent control flow in the library."""
-
-    providers: Mapping[int, tableaux.TableauProvider[tableaux.EmbeddedTableau]] = MappingProxyType(
-        DEFAULT_EMBEDDED_PROVIDERS
-    )
-
-    threshold: float = 1e-4
-    initial: float = 1 / 50
-    "Fraction of the schedule for the first step."
-    maximum: float = 1 / 4
-    "Fraction of the schedule allowed per step."
-    adaption: float = 0.3
-    "Step-size reaction speed relative to error."
-    discard: float = float("inf")
-    "Discard+retry the step when the downward adjustment exceeds this factor."
-    rescale_init: bool = True
-    "Scale ``initial`` by the tableau's model evals (Heun = 1x)."
-    rescale_max: bool = False
-
-    @staticmethod
-    def min_order() -> int:
-        return 2
-
-    @staticmethod
-    def max_order() -> int:
-        return 99
-
-    def adjust_steps(self, steps: int) -> int:
-        return steps
-
-    def tableau(self, order: int | None = None) -> tableaux.EmbeddedTableau:
-        if order is None:
-            order = self.order
-        if order >= min(self.providers.keys()):
-            return self.providers[max(o for o in self.providers.keys() if o <= order)].tableau()
-        return tableaux.RKE2.Heun.tableau()
-
-    def sample_model[T: Sample](
-        self,
-        sample: T,
-        model: SampleableModel[T],
-        model_transform: models.DiffusionModel,
-        schedule: scheduling.SkrampleSchedule,
-        steps: int,
-        include: slice = slice(None),
-        rng: RNG[T] | None = None,
-        callback: SampleCallback | None = None,
-    ) -> T:
-        tab = self.tableau()
-
-        initial = self.initial
-        maximum = self.maximum
-        if self.rescale_init:
-            initial *= len(tab[0]) / 2  # relative to Heun's 2 stages
-        if self.rescale_max:
-            maximum *= len(tab[0]) / 2
-
-        step_size: int = max(round(steps * initial), 1)
-        epsilon: float = 1e-16
-
-        indices: list[int] = list(range(steps))[include]
-        step: int = indices[0]
-
-        while step <= indices[-1]:
-            step_next = min(step + step_size, indices[-1] + 1)
-
-            if step_next < steps:
-                sample_high, sample_low = step_tableau(
-                    tab,
-                    sample,
-                    model,
-                    model_transform,
-                    schedule,
-                    Step(step / steps, step_next / steps),
-                    self.derivative_transform,
-                )
-
-                sigma0, sigma1, sigma2 = schedule.ipoints_np(
-                    [step / steps, step_next / steps, (step_next + step_size) / steps]
-                )[:, 1].tolist()
-
-                # Non-linearity correction: if the upcoming dt already grows,
-                # grow the requested step proportionally less.
-                slope = abs(sigma0 - sigma1) / abs(sigma1 - sigma2)
-
-                error = self.evaluator(sample_low, sample_high) / max(self.evaluator(0, sample_high), epsilon)
-                adjustment: float = (self.threshold / max(error, epsilon)) ** self.adaption / slope
-                step_size = max(round(min(step_size * adjustment, steps * maximum)), 1)
-
-                # Retry only when it will actually shrink the step
-                if step_next - step > step_size and 1 / max(adjustment, epsilon) > self.discard:
-                    continue
-
-            else:  # final step: skip the unused error row's extra evaluation
-                sample_high = step_tableau(
-                    tab.unembed(),
-                    sample,
-                    model,
-                    model_transform,
-                    schedule,
-                    Step(step / steps, 1),
-                    self.derivative_transform,
-                )[0]
-
-            sample = sample_high
-
-            if callback:
-                callback(sample, step_next - 1, schedule.istep(Step.from_int(step, steps)))
-
-            step = step_next
-
-        return sample
+__all__ = [
+    "DEFAULT_EMBEDDED_PROVIDERS",
+    "DEFAULT_PROVIDERS",
+    "STABLE_PROVIDERS",
+    "DynasauRK",
+    "FunctionalAdaptive",
+    "FunctionalHigher",
+    "FunctionalSampler",
+    "FunctionalSinglestep",
+    "FunctionalUnified",
+    "RKMoire",
+    "RKUltra",
+    "SampleCallback",
+    "SampleableModel",
+    "pick_provider",
+    "step_tableau",
+]

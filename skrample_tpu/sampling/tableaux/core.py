@@ -1,171 +1,185 @@
-"""Butcher tableau value types and the coefficient builder.
+"""Butcher coefficient builder and tableau validation.
 
-Tableaux are *data*: hashable NamedTuples of Python floats.  The RK engine
-(:func:`skrample_tpu.sampling.functional.step_tableau`) unrolls their stages
-at JAX trace time, so nothing here ever touches a device.
+:class:`ButcherCoeffs` is the one mutable staging area, used while assembling
+coefficients from flat blobs (the order-10/12/14 JSON assets), Shu-Osher form
+(the SSP family), or parametric generators, before freezing into a
+:class:`~.types.Tableau`.
 
-Reference parity: Beinsezii/skrample ``skrample/sampling/tableaux/common.py``.
+Exactness discipline: every accumulation in this module goes through
+``math.fsum`` — exact rounding regardless of addend order — so tableaux
+assembled from 50-90-digit coefficient blobs survive bit-for-bit.
+
+Capability parity with the reference's ``skrample/sampling/tableaux/common.py``.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
-from collections.abc import MutableSequence, Sequence
-from typing import NamedTuple, Self
+from collections.abc import Iterable, MutableSequence, Sequence
+from itertools import chain
+from typing import Self
+
+from .types import EmbeddedTableau, Stage, Tableau, TableauType
+
+type Row = MutableSequence[float]
+"One mutable coefficient row."
 
 
-class Stage(NamedTuple):
-    "One RK stage: node fraction ``c`` and its row of ``a`` coefficients."
-
-    c: float
-    a: tuple[float, ...]
-
-
-class Tableau(NamedTuple):
-    stages: tuple[Stage, ...]
-    weights: tuple[float, ...]
-
-
-class EmbeddedTableau(NamedTuple):
-    "A tableau with a second (lower-order) weight row for error estimation."
-
-    stages: tuple[Stage, ...]
-    weights: tuple[float, ...]
-    error_weights: tuple[float, ...]
-
-    def unembed(self) -> Tableau:
-        return Tableau(self.stages, self.weights)
-
-
-type TableauType = Tableau | EmbeddedTableau
+__all__ = [
+    "ButcherCoeffs",
+    "EmbeddedTableau",
+    "Stage",
+    "Tableau",
+    "TableauType",
+    "pretty_tableau",
+    "validate_tableau",
+]
 
 
 @dataclasses.dataclass(frozen=True)
 class ButcherCoeffs:
-    """Mutable-content builder for assembling tableaux from raw coefficient
-    streams, Shu-Osher form, or decomposed existing tableaux."""
+    """Mutable coefficient workspace.
+
+    ``one_index`` reserves a dummy 0th slot so blobs published with 1-based
+    indexing can be transcribed without re-numbering every subscript."""
 
     one_index: bool
-    c: MutableSequence[float]
-    a: Sequence[MutableSequence[float]]
-    b: MutableSequence[float]
+    c: Row
+    a: Sequence[Row]
+    b: Row
 
     @classmethod
     def empty(cls, stages: int, fill: float = -math.inf, one_index: bool = False) -> Self:
-        count = stages + one_index
-        c = [fill] * count
-        a = [[fill] * n for n in range(count)]
-        b = [fill] * count
-        c[one_index] = 0  # the first explicit stage is always at c=0
-        return cls(one_index, c=c, a=a, b=b)
+        """A workspace of the right shape, poisoned with ``fill``.
+
+        The poison default (-inf) makes missed assignments loudly visible in
+        validation instead of silently contributing zeros."""
+        width = stages + one_index
+        built = cls(
+            one_index,
+            c=[fill] * width,
+            a=[[fill] * row for row in range(width)],
+            b=[fill] * width,
+        )
+        built.c[one_index] = 0  # first stage node is implicit
+        return built
 
     def compute_c(self) -> None:
-        "Derive the node fractions as row sums of ``a`` (the standard convention)."
-        self.c[:] = [math.fsum(row) for row in self.a]
+        "Derive the node column from the row sums (the usual RK consistency choice)."
+        self.c[:] = map(math.fsum, self.a)
 
     def compose(self) -> Tableau:
-        start = self.one_index
-        return Tableau(
-            tuple(Stage(c, tuple(a[start:])) for c, a in zip(self.c[start:], self.a[start:], strict=True)),
-            tuple(self.b[start:]),
+        "Freeze into an immutable Tableau, dropping any 1-index padding."
+        skip = self.one_index
+        stages = tuple(
+            Stage(node, tuple(row[skip:]))
+            for node, row in zip(self.c[skip:], self.a[skip:], strict=True)
         )
+        return Tableau(stages, tuple(self.b[skip:]))
 
     @classmethod
     def decompose(cls, tableau: Tableau) -> Self:
-        return cls(
-            False,
-            c=[s.c for s in tableau.stages],
-            a=[list(s.a) for s in tableau.stages],
-            b=list(tableau.weights),
-        )
+        "Thaw a Tableau back into a 0-indexed workspace."
+        nodes, rows = zip(*tableau.stages, strict=True)
+        return cls(False, c=list(nodes), a=list(map(list, rows)), b=list(tableau.weights))
 
     @classmethod
     def deserialize(cls, coeffs: list[float], stages: int, compute_c: bool = False, b_last: bool = True) -> Self:
-        """Fill from a flat coefficient stream.
+        """Rebuild from a flat blob.
 
-        Layout: optional c block, optional leading b block (``b_last=False``),
-        the strictly-lower-triangular a matrix row by row, optional trailing
-        b block (``b_last=True``)."""
+        Blob layout is ``[c?] [b if not b_last] [a rows 1..n] [b if b_last]``;
+        ``compute_c`` omits the node column and derives it from row sums."""
         t = cls.empty(stages)
-        expected = len(t.c) * (not compute_c) + len(t.b) + sum(len(row) for row in t.a)
-        assert len(coeffs) == expected, (len(coeffs), expected)
 
-        stream = iter(coeffs)
+        expected = len(t.c) * (not compute_c) + len(t.b) + sum(len(row) for row in t.a)
+        if len(coeffs) != expected:
+            raise ValueError(f"blob has {len(coeffs)} coefficients, layout needs {expected}")
+
+        feed = iter(coeffs)
+
+        def take(slot: Row) -> None:
+            slot[:] = [next(feed) for _ in slot]
 
         if not compute_c:
-            for n in range(len(t.c)):
-                t.c[n] = next(stream)
-
+            take(t.c)
         if not b_last:
-            for n in range(len(t.b)):
-                t.b[n] = next(stream)
-
+            take(t.b)
         for row in t.a[1:]:
-            for y in range(len(row)):
-                row[y] = next(stream)
-
+            take(row)
         if compute_c:
             t.compute_c()
-
         if b_last:
-            for n in range(len(t.b)):
-                t.b[n] = next(stream)
+            take(t.b)
 
         return t
 
     def serialize(self) -> Sequence[float]:
-        return [*self.c, *(x for row in self.a for x in row), *self.b]
+        "Flatten back to the ``[c, a-rows, b]`` blob layout."
+        return list(chain(self.c, *self.a, self.b))
 
     @classmethod
     def from_shu_osher(cls, alphas: Sequence[Sequence[float]], betas: Sequence[Sequence[float]]) -> Self:
-        """Convert Shu-Osher form (convex-combination alphas + betas, as used
-        for SSP method tables) into standard Butcher form."""
+        """Convert Shu-Osher form (SSP papers publish this) to Butcher form.
+
+        Shu-Osher expresses each stage as a convex recombination of earlier
+        *stage values* (alphas) plus fresh derivative steps (betas); unrolling
+        the recursion turns column j of the Butcher matrix into
+        ``beta[i-1][j] + sum_k alpha[i-1][k] * a[k][j]``."""
         stages = len(alphas)
         t = cls.empty(stages)
 
+        def unrolled(row: int, col: int, bound: int) -> float:
+            terms: Iterable[float] = (alphas[row][k] * t.a[k][col] for k in range(col + 1, bound))
+            return math.fsum((betas[row][col], *terms))
+
         for i in range(1, stages):
             for j in range(i):
-                # Resolve the recursion on previous stages into plain a[i][j]
-                t.a[i][j] = math.fsum((betas[i - 1][j], *(alphas[i - 1][k] * t.a[k][j] for k in range(j + 1, i))))
+                t.a[i][j] = unrolled(i - 1, j, i)
 
+        # the final Shu-Osher row plays the role of the output weights
         for j in range(stages):
-            t.b[j] = math.fsum(
-                (betas[stages - 1][j], *(alphas[stages - 1][k] * t.a[k][j] for k in range(j + 1, stages)))
-            )
+            t.b[j] = unrolled(stages - 1, j, stages)
 
         t.compute_c()
         return t
 
 
 def pretty_tableau(tableau: TableauType, label: str | None = None) -> str:
-    "ASCII-render a tableau for debugging / docs."
+    "Render the classic c | A over b ASCII layout, 4-decimal columns."
 
-    def fmt(x: float) -> str:
-        return f"{'+' if x >= 0 else '-'}{float(round(abs(x), 4)): <6}"
+    def cell(x: float) -> str:
+        sign = "+" if x >= 0 else "-"
+        return f"{sign}{float(round(abs(x), 4)): <6}"
 
-    stage_lines = [f"{fmt(c)} | {' '.join(fmt(x) for x in a)}" for c, a in tableau[0]]
-    weight_lines = ["        | " + " ".join(fmt(x) for x in w) for w in tableau[1:]]
-    width = max(len(line) for line in (*weight_lines, *stage_lines))
+    body = [f"{cell(stage.c)} | {' '.join(map(cell, stage.a))}" for stage in tableau[0]]
+    rows = ["        | " + " ".join(map(cell, w)) for w in tableau[1:]]
+    width = max(map(len, body + rows))
 
-    lines: list[str] = [label.rjust((width + len(label)) // 2)] if label is not None else []
-    lines.extend((*stage_lines, "-" * width, *weight_lines))
-    return "\n".join(lines)
+    out: list[str] = []
+    if label is not None:
+        out.append(label.rjust((width + len(label)) // 2))
+    out += body
+    out.append("-" * width)
+    out += rows
+    return "\n".join(out)
 
 
 def validate_tableau(tab: TableauType, tolerance: float = 1e-12) -> None | IndexError | ValueError:
-    """Structural + consistency checks: triangular a, c == row sums,
-    weights summing to 1.  Returns (not raises) the error for test harnesses."""
+    """Structural + consistency check; returns the failure instead of raising.
+
+    Checks: strictly lower-triangular A (explicit method), nodes equal to row
+    sums, and each weight row summing to one — all within ``tolerance``."""
     for index, stage in enumerate(tab.stages):
-        if index != len(stage.a):
-            return IndexError(f"{index=}, row_len={len(stage.a)}, {stage=}")
-        if tolerance < (err := abs(stage.c - math.fsum(stage.a))):
-            return ValueError(f"{tolerance=}, c_mismatch={err}, {stage=}")
+        if len(stage.a) != index:
+            return IndexError(f"stage {index} has a-row of length {len(stage.a)}: {stage}")
+        drift = abs(stage.c - math.fsum(stage.a))
+        if drift > tolerance:
+            return ValueError(f"stage node off its row sum by {drift} (> {tolerance}): {stage}")
 
-    for weight_row in tab[1:]:
-        if len(tab.stages) != len(weight_row):
-            return IndexError(f"stages={len(tab.stages)}, weights={len(weight_row)}")
-        if tolerance < (err := abs(1 - math.fsum(weight_row))):
-            return ValueError(f"{tolerance=}, weight_sum_err={err}, {weight_row=}")
-
-    return None
+    for weight in tab[1:]:
+        if len(weight) != len(tab.stages):
+            return IndexError(f"weight row of length {len(weight)} for {len(tab.stages)} stages: {weight}")
+        drift = abs(1 - math.fsum(weight))
+        if drift > tolerance:
+            return ValueError(f"weight row sums 1{drift:+g} (tolerance {tolerance}): {weight}")
