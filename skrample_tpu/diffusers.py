@@ -48,212 +48,21 @@ if TYPE_CHECKING:
     from diffusers.configuration_utils import ConfigMixin
 
 
-# --- config translation tables --------------------------------------------
-
-DIFFUSERS_CLASS_MAP: dict[str, tuple[type[StructuredSampler], dict[str, Any]]] = {
-    "DDIMScheduler": (structured.Euler, {}),
-    "DDPMScheduler": (structured.DPM, {"stochasticity": True, "order": 1}),
-    "DPMSolverMultistepScheduler": (structured.DPM, {}),
-    "DPMSolverSDEScheduler": (structured.DPM, {"stochasticity": True, "order": 1}),
-    "EulerAncestralDiscreteScheduler": (structured.DPM, {"stochasticity": True, "order": 1}),
-    "EulerDiscreteScheduler": (structured.Euler, {}),
-    "FlowMatchEulerDiscreteScheduler": (structured.Euler, {}),
-    "IPNDMScheduler": (structured.Adams, {"order": 4}),
-    "UniPCMultistepScheduler": (structured.UniPC, {}),
-}
-
-DIFFUSERS_KEY_MAP: dict[str, str] = {
-    "shift": "shift",  # scheduling.FlowShift
-    "flow_shift": "shift",  # non-FlowMatch schedulers use this name
-    "solver_order": "order",
-    "num_train_timesteps": "base_timesteps",
-}
-"Key renames, values passed through."
-
-DIFFUSERS_KEY_MAP_REV: dict[str, str] = {v: k for k, v in DIFFUSERS_KEY_MAP.items()}
-
-DIFFUSERS_VALUE_MAP: dict[tuple[str, Any], tuple[str, Any]] = {
-    ("beta_schedule", "linear"): ("beta_scale", 1),
-    ("beta_schedule", "scaled_linear"): ("beta_scale", 2),
-    ("algorithm_type", "dpmsolver"): ("stochasticity", False),
-    ("algorithm_type", "dpmsolver++"): ("stochasticity", False),
-    ("algorithm_type", "sde-dpmsolver"): ("stochasticity", True),
-    ("algorithm_type", "sde-dpmsolver++"): ("stochasticity", True),
-    ("prediction_type", "epsilon"): ("skrample_predictor", NoiseModel()),
-    ("prediction_type", "flow"): ("skrample_predictor", FlowModel()),
-    ("prediction_type", "sample"): ("skrample_predictor", DataModel()),
-    ("prediction_type", "v_prediction"): ("skrample_predictor", VelocityModel()),
-    # later entries take priority over earlier ones
-    ("use_flow_sigmas", True): ("skrample_subschedule", None),
-    ("use_beta_sigmas", True): ("skrample_subschedule", scheduling.Beta),
-    ("use_exponential_sigmas", True): ("skrample_subschedule", scheduling.Exponential),
-    ("use_karras_sigmas", True): ("skrample_subschedule", scheduling.Karras),
-}
-"Key/value -> key/value map for structured translations."
-
-DIFFUSERS_VALUE_MAP_REV: dict[tuple[str, Any], tuple[str, Any]] = {v: k for k, v in DIFFUSERS_VALUE_MAP.items()}
-
-DEFAULT_FAKE_CONFIG = {
-    "base_image_seq_len": 256,
-    "base_shift": 0.5,
-    "max_image_seq_len": 4096,
-    "max_shift": 1.15,
-    "use_dynamic_shifting": True,
-}
-"Baseline config keys pipelines poke at; presented so they don't raise."
-
-
-@dataclasses.dataclass(frozen=True)
-class ParsedDiffusersConfig:
-    "Skrample classes + props read from a diffusers scheduler config."
-
-    sampler: type[StructuredSampler]
-    sampler_props: dict[str, Any]
-    schedule: type[SkrampleSchedule]
-    schedule_props: dict[str, Any]
-    subschedule: type[SubSchedule] | None
-    subschedule_props: dict[str, Any]
-    schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]]
-    model: DiffusionModel
-
-
-def parse_diffusers_config(
-    config: "dict[str, Any] | ConfigMixin",
-    sampler: type[StructuredSampler] | None = None,
-    schedule: type[SkrampleSchedule] | None = None,
-) -> ParsedDiffusersConfig:
-    """Interpret a diffusers scheduler (or its config dict) as skrample
-    classes + properties.  User-provided sampler/schedule types suppress the
-    corresponding inference."""
-    diffusers_class = config.get("_class_name", "") if isinstance(config, dict) else type(config).__name__
-    if not isinstance(config, dict):
-        config = dict(config.config)
-
-    remapped = {key_to: config[key_from] for key_from, key_to in DIFFUSERS_KEY_MAP.items() if key_from in config} | {
-        key_to: value_to
-        for (key_from, value_from), (key_to, value_to) in DIFFUSERS_VALUE_MAP.items()
-        if key_from in config and config[key_from] == value_from
-    }
-
-    if "skrample_predictor" in remapped:
-        model: DiffusionModel = remapped.pop("skrample_predictor")
-    elif "shift" in remapped:  # only flow configs carry shift
-        model = FlowModel()
-    else:
-        model = NoiseModel()
-
-    if not sampler:
-        sampler, sampler_props = DIFFUSERS_CLASS_MAP.get(diffusers_class, (structured.DPM, {}))
-    else:
-        sampler_props = {}
-
-    if not schedule:
-        if isinstance(model, FlowModel):
-            schedule = scheduling.Linear
-        elif config.get("rescale_betas_zero_snr", False):
-            schedule = scheduling.ZSNR
-        else:
-            schedule = scheduling.Scaled
-
-    # Linear-on-VP (e.g. sd1/xl "flow sigmas"): anchor sigma_start at the
-    # scaled schedule's terminal sigma
-    if "sigma_start" not in remapped and not isinstance(model, FlowModel) and issubclass(schedule, scheduling.Linear):
-        scaled_keys = [f.name for f in dataclasses.fields(scheduling.Scaled)]
-        scaled = scheduling.Scaled(**{k: v for k, v in remapped.items() if k in scaled_keys})
-        remapped["sigma_start"] = scaled.space.regularize(scaled.point_1.sigma).item()
-
-    schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]] = []
-
-    if "skrample_subschedule" in remapped:
-        subschedule: type[SubSchedule] | None = remapped.pop("skrample_subschedule")
-        # Cosmos-style configs combine use_flow_sigmas with karras/exponential;
-        # results degrade badly, so flow wins and the subschedule is dropped.
-        if config.get("use_flow_sigmas", False) is True and subschedule in (scheduling.Karras, scheduling.Exponential):
-            subschedule = None
-        modifier_keys = [f.name for f in dataclasses.fields(subschedule)] if subschedule else []
-        subschedule_props = {k: v for k, v in remapped.items() if k in modifier_keys}
-    else:
-        subschedule, subschedule_props = None, {}
-
-    if isinstance(model, FlowModel) and not subschedule:
-        flow_keys = [f.name for f in dataclasses.fields(scheduling.FlowShift)]
-        schedule_modifiers.append((scheduling.FlowShift, {k: v for k, v in remapped.items() if k in flow_keys}))
-
-    sampler_keys = [f.name for f in dataclasses.fields(sampler)]
-    schedule_keys = [f.name for f in dataclasses.fields(schedule)]
-
-    return ParsedDiffusersConfig(
-        sampler=sampler,
-        sampler_props=sampler_props | {k: v for k, v in remapped.items() if k in sampler_keys},
-        schedule=schedule,
-        schedule_props={k: v for k, v in remapped.items() if k in schedule_keys},
-        subschedule=subschedule,
-        subschedule_props=subschedule_props,
-        schedule_modifiers=schedule_modifiers,
-        model=model,
-    )
-
-
-def attr_dict[T: Any](**kwargs: T) -> OrderedDict[str, T]:
-    "An OrderedDict whose items are also attributes (diffusers config duck-type)."
-    od = OrderedDict(**kwargs)
-    for k, v in od.items():
-        setattr(od, k, v)
-    return od
-
-
-def as_diffusers_config(
-    sampler: StructuredSampler,
-    schedule: SkrampleSchedule,
-    model: DiffusionModel,
-) -> dict[str, Any]:
-    "Reverse translation back to diffusers-readable keys. Not exhaustive."
-    skrample_config = dataclasses.asdict(sampler)
-    skrample_config["skrample_predictor"] = model
-
-    if isinstance(schedule, ScheduleModifier):
-        _, subschedule, _ = schedule.all_split
-        if subschedule is not None:
-            skrample_config["skrample_subschedule"] = type(subschedule)
-    else:
-        skrample_config |= dataclasses.asdict(schedule)
-
-    return (
-        skrample_config
-        | {DIFFUSERS_KEY_MAP_REV[k]: v for k, v in skrample_config.items() if k in DIFFUSERS_KEY_MAP_REV}
-        | {
-            DIFFUSERS_VALUE_MAP_REV[(k, v)][0]: DIFFUSERS_VALUE_MAP_REV[(k, v)][1]
-            for k, v in skrample_config.items()
-            if isinstance(v, Hashable) and (k, v) in DIFFUSERS_VALUE_MAP_REV
-        }
-    )
-
-
-def _build_schedule(
-    parsed: ParsedDiffusersConfig,
-    schedule: type[SkrampleSchedule] | None,
-    subschedule: type[SubSchedule] | None,
-    schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]],
-    schedule_props: dict[str, Any],
-    subschedule_props: dict[str, Any],
-    merge: MergeStrategy,
-) -> SkrampleSchedule:
-    "Shared schedule assembly used by every from_diffusers_config."
-    built = (schedule or parsed.schedule)(**parsed.schedule_props | schedule_props)
-
-    if (sub := subschedule or parsed.subschedule) is not None and isinstance(built, ScheduleCommon):
-        built = sub(built, **parsed.subschedule_props | subschedule_props)
-
-    if isinstance(built, ScheduleCommon | SubSchedule | ScheduleModifier):
-        for modifier, modifier_props in merge.merge(
-            ours=schedule_modifiers,
-            theirs=parsed.schedule_modifiers,
-            cmp=lambda a, b: a[0] is b[0],
-        ):
-            built = modifier(base=built, **modifier_props)
-
-    return built
-
+# Config translation lives in .diffusers_config; re-exported here so this
+# module remains the single reference-compatible import path.
+from .diffusers_config import (  # noqa: E402
+    DEFAULT_FAKE_CONFIG,
+    DIFFUSERS_CLASS_MAP,
+    DIFFUSERS_KEY_MAP,
+    DIFFUSERS_KEY_MAP_REV,
+    DIFFUSERS_VALUE_MAP,
+    DIFFUSERS_VALUE_MAP_REV,
+    ParsedDiffusersConfig,
+    as_diffusers_config,
+    attr_dict,
+    build_schedule_stack,
+    parse_diffusers_config,
+)
 
 def _tensor_from_jax(array: Any, dtype: torch.dtype, device: torch.device) -> Tensor:
     return torch.from_numpy(np.array(array)).to(dtype=dtype, device=device)
@@ -341,6 +150,26 @@ class SkrampleWrapperCore(abc.ABC):
         sampler, schedule, transform = self.functional_interface()
         return sampler.generate_model(model, transform, schedule, rng, steps, include, initial, callback)
 
+    @staticmethod
+    def _batch_generators(
+        sample: Tensor,
+        generator: torch.Generator | list[torch.Generator] | None,
+        step: Step,
+    ) -> list[torch.Generator]:
+        "One torch.Generator per batch item, derived when the caller gave none."
+        if isinstance(generator, list) and len(generator) == sample.shape[0]:
+            return generator
+        if isinstance(generator, torch.Generator) and sample.shape[0] == 1:
+            return [generator]
+        # Derive from the data: median element scaled by step index gives a
+        # deterministic-ish seed without collisions across the batch.
+        derived = []
+        for item in sample:
+            flat = item.reshape(item.numel())
+            seed = int(flat[item.numel() // 2].item() * 1e4 * (step.position() + 1))
+            derived.append(torch.Generator(torch.get_default_device()).manual_seed(seed))
+        return derived
+
     def get_step_noise(
         self,
         step: Step,
@@ -353,24 +182,12 @@ class SkrampleWrapperCore(abc.ABC):
         """Lazy per-batch-item noise.
 
         Torch-facing generator classes draw from the *caller's*
-        ``torch.Generator`` stream (reference-exact reproducibility); the
-        jax classes use counter-based streams seeded from it."""
+        ``torch.Generator`` stream (reference-exact reproducibility); the jax
+        classes use counter-based streams seeded from it."""
         if self._noise_generator is None:
-            if isinstance(generator, list) and len(generator) == sample.shape[0]:
-                torch_gens: list[torch.Generator] | None = generator
-            elif isinstance(generator, torch.Generator) and sample.shape[0] == 1:
-                torch_gens = [generator]
-            else:
-                # median element +4 decimals x step index: deterministic-ish
-                # without seed collisions across the batch
-                torch_gens = [
-                    torch.Generator(torch.get_default_device()).manual_seed(
-                        int(b.reshape(b.numel())[b.numel() // 2].item() * 1e4 * (step.position() + 1))
-                    )
-                    for b in sample
-                ]
-
+            torch_gens = self._batch_generators(sample, generator, step)
             unit_shape = tuple(sample.shape[1:])
+
             if isinstance(noise_type, type) and issubclass(noise_type, torch_noise.TensorNoiseCommon):
                 self._noise_generator = torch_noise.BatchTensorNoise.from_batch_inputs(
                     noise_type,
@@ -391,8 +208,7 @@ class SkrampleWrapperCore(abc.ABC):
         if isinstance(self._noise_generator, torch_noise.BatchTensorNoise):
             return self._noise_generator.generate(step).to(dtype=dtype or sample.dtype, device=sample.device)
 
-        index = round(step.position())
-        out = self._noise_generator.generate(index, step)
+        out = self._noise_generator.generate(round(step.position()), step)
         return _tensor_from_jax(out, dtype or sample.dtype, sample.device)
 
     @abc.abstractmethod
@@ -514,7 +330,7 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
         parsed = parse_diffusers_config(config=config, sampler=sampler, schedule=schedule)
 
         built_sampler = (sampler or parsed.sampler)(**parsed.sampler_props | sampler_props)
-        built_schedule = _build_schedule(
+        built_schedule = build_schedule_stack(
             parsed, schedule, subschedule, schedule_modifiers, schedule_props, subschedule_props,
             modifier_merge_strategy,
         )
@@ -773,6 +589,7 @@ class RKWrapperCore[T: jaxnoise.NoiseProps | None, U: functional.FunctionalUnifi
         self._schedule = self.schedule
         self._all_points: Sequence[Point] | None = None
         self._schedule_np_trim: np.ndarray | None = None
+        self._stage_lut: dict[float, int] | None = None
 
     @abc.abstractmethod
     def functional_sampler(self) -> U: ...
@@ -838,6 +655,7 @@ class RKWrapperCore[T: jaxnoise.NoiseProps | None, U: functional.FunctionalUnifi
         self._derivatives.clear()
         self._all_points = None
         self._schedule_np_trim = None
+        self._stage_lut = None
         self.schedule = self._schedule
 
         if num_inference_steps is None:
@@ -859,9 +677,30 @@ class RKWrapperCore[T: jaxnoise.NoiseProps | None, U: functional.FunctionalUnifi
             self._device = torch.device(device)
 
     def scale_noise(self, sample: Tensor, timestep: Tensor, noise: Tensor) -> Tensor:
-        schedule = self.schedule_np
-        step = schedule[:, 0].tolist().index(timestep.item())
-        return Point(*schedule[step]).add_noise(sample, noise)
+        if self._stage_lut is None:
+            # first-occurrence index per timestep (duplicate stage timesteps
+            # share identical point rows, so first-match is exact)
+            lut: dict[float, int] = {}
+            for n, t in enumerate(self.schedule_np[:, 0].tolist()):
+                lut.setdefault(t, n)
+            self._stage_lut = lut
+        at = self._stage_lut[timestep.item()]
+        return Point(*self.schedule_np[at]).add_noise(sample, noise)
+
+    def _step_noise_now(
+        self, generator: torch.Generator | list[torch.Generator] | None
+    ) -> Tensor | None:
+        "Stochastic noise for the step currently being assembled, if any."
+        if abs(self.stochasticity) <= 1e-8:
+            return None
+        return self.get_step_noise(
+            Step.from_int(self._index // self.order, self._steps),
+            self._sample,  # type: ignore[arg-type] # pinned before any noise draw
+            self.noise_type,
+            self.noise_props,
+            generator,
+            self.compute_scale,
+        )
 
     def step_tableau_inside_out(
         self,
@@ -873,44 +712,33 @@ class RKWrapperCore[T: jaxnoise.NoiseProps | None, U: functional.FunctionalUnifi
         SN: Point,
         generator: torch.Generator | list[torch.Generator] | None,
     ) -> Tensor:
+        """Feed one model output into the running RK step.
+
+        Stage 0 pins the step's entry sample; intermediate stages emit the
+        next stage latent; the last stage combines the weight row, applies
+        any stochastic share, and resets the accumulator."""
         nodes, weights = self.tableau()
 
-        self._derivatives.append(output)
         if self._sample is None:
             self._sample = sample
-        sample = self._sample
+        self._derivatives.append(output)
+        entry = self._sample
 
         if len(self._derivatives) == len(weights):
-            if abs(self.stochasticity) > 1e-8:
-                noise = self.get_step_noise(
-                    Step.from_int(self._index // self.order, self._steps),
-                    sample,
-                    self.noise_type,
-                    self.noise_props,
-                    generator,
-                    self.compute_scale,
-                )
-            else:
-                noise = None
-            final: Tensor = model_transform.forward(
-                sample,
-                sumprod(self._derivatives, weights),
-                DeltaPoint(S0, S1),
-                noise,
-                self.stochasticity,
-            )
+            # Step complete: weight-row combination over the whole hop.
+            noise = self._step_noise_now(generator)
+            hop = model_transform.transition(DeltaPoint(S0, S1), self.stochasticity)
+            final: Tensor = hop.apply(entry, sumprod(self._derivatives, weights), noise)
             self._derivatives.clear()
             self._sample = None
             return final
 
-        if (node := nodes[len(self._derivatives)]).a:
-            return model_transform.forward(
-                sample,
-                sumprod(self._derivatives, node.a) / math.fsum(node.a),
-                DeltaPoint(S0, SN),
-            )
-
-        raise ValueError("RK stage with empty coefficients mid-step")
+        upcoming = nodes[len(self._derivatives)]
+        if not upcoming.a:
+            raise ValueError("RK stage with empty coefficients mid-step")
+        # Emit the next stage latent from the running derivative mix.
+        partial = model_transform.transition(DeltaPoint(S0, SN))
+        return partial.apply(entry, sumprod(self._derivatives, upcoming.a) / math.fsum(upcoming.a))
 
     def step(
         self,
@@ -936,40 +764,40 @@ class RKWrapperCore[T: jaxnoise.NoiseProps | None, U: functional.FunctionalUnifi
         else:
             model_transform = self.model
 
-        S0_idx = self._index - len(self._derivatives)
-        S1_idx = self._index + self.order - len(self._derivatives)
-        SN_idx = self._index + 1
+        # Anchor indices move with the accumulator: S0 is the stage-0 point of
+        # the step being assembled, S1 its landing point, SN the next stage.
+        stage_fill = len(self._derivatives)
+        anchor = self._index - stage_fill
+        landing = anchor + self.order
+        sample_cast = sample.to(dtype=self.compute_scale)
 
-        sampled = self.step_tableau_inside_out(
-            sample=sample.to(dtype=self.compute_scale),
-            output=model_output.to(dtype=self.compute_scale),
-            model_transform=model_transform,
-            S0=points[S0_idx],
-            S1=points[S1_idx],
-            SN=points[SN_idx],
-            generator=generator,
-        )
-
-        self._index += 1
-
-        # Flush trailing t=0 / sigma=0 stages: their derivatives come from
-        # backward() instead of model calls (the model must not see t=0)
-        while self._index < len(self.all_points) and (
-            abs(self.all_points[self._index].timestep) < 1e-8 or abs(self.all_points[self._index].sigma) < 1e-8
-        ):
-            sampled = self.step_tableau_inside_out(
-                sample=sample.to(dtype=self.compute_scale),
-                output=model_transform.backward(
-                    (sample if self._sample is None else self._sample).to(dtype=self.compute_scale),
-                    sampled,
-                    DeltaPoint(points[S0_idx], points[S1_idx]),
-                ),
+        def feed(output: Tensor, upcoming: int) -> Tensor:
+            return self.step_tableau_inside_out(
+                sample=sample_cast,
+                output=output,
                 model_transform=model_transform,
-                S0=points[S0_idx],
-                S1=points[S1_idx],
-                SN=points[SN_idx + 1],
+                S0=points[anchor],
+                S1=points[landing],
+                SN=points[upcoming],
                 generator=generator,
             )
+
+        sampled = feed(model_output.to(dtype=self.compute_scale), self._index + 1)
+        self._index += 1
+
+        def degenerate(at: int) -> bool:
+            stage = self.all_points[at]
+            return abs(stage.timestep) < 1e-8 or abs(stage.sigma) < 1e-8
+
+        # Trailing t=0 / sigma=0 stages never reach the model; their
+        # derivatives are back-solved from the running result instead.
+        # The emission point stays pinned at the first flushed stage (it is
+        # only consumed when a flush lands mid-step, which shares that node).
+        flush_sn = self._index + 1
+        while self._index < len(self.all_points) and degenerate(self._index):
+            entry = sample_cast if self._sample is None else self._sample.to(dtype=self.compute_scale)
+            implied = model_transform.transition(DeltaPoint(points[anchor], points[landing])).invert(entry, sampled)
+            sampled = feed(implied, flush_sn)
             self._index += 1
 
         if return_dict:
@@ -981,6 +809,27 @@ class RKWrapperCore[T: jaxnoise.NoiseProps | None, U: functional.FunctionalUnifi
             sampled.to(device=model_output.device, dtype=model_output.dtype),
             model_output.to(device=model_output.device, dtype=model_output.dtype),
         )
+
+
+def _assemble_rk_wrapper(
+    cls: type,
+    config: "dict[str, Any] | ConfigMixin",
+    schedule: type[SkrampleSchedule] | None,
+    subschedule: "type[SubSchedule] | None",
+    schedule_modifiers: list,
+    schedule_props: dict[str, Any],
+    subschedule_props: dict[str, Any],
+    merge: MergeStrategy,
+    **wrapper_kwargs: Any,
+) -> Any:
+    "Shared constructor tail for the RK wrapper family."
+    parsed = parse_diffusers_config(config=config, sampler=None, schedule=schedule)
+    built_schedule = build_schedule_stack(
+        parsed, schedule, subschedule, schedule_modifiers, schedule_props, subschedule_props, merge
+    )
+    fake = config.copy() if isinstance(config, dict) else dict(config.config)
+    model = wrapper_kwargs.pop("model") or parsed.model
+    return cls(built_schedule, model=model, fake_config=fake, **wrapper_kwargs)
 
 
 @dataclasses.dataclass
@@ -1007,22 +856,23 @@ class RKUltraWrapperScheduler[T: jaxnoise.NoiseProps | None](RKWrapperCore[T, fu
         modifier_merge_strategy: MergeStrategy = MergeStrategy.UniqueBefore,
         allow_dynamic: bool = True,
     ) -> "RKUltraWrapperScheduler[N]":
-        parsed = parse_diffusers_config(config=config, sampler=None, schedule=schedule)
-        built_schedule = _build_schedule(
-            parsed, schedule, subschedule, schedule_modifiers, schedule_props, subschedule_props,
+        return _assemble_rk_wrapper(
+            cls,
+            config,
+            schedule,
+            subschedule,
+            schedule_modifiers,
+            schedule_props,
+            subschedule_props,
             modifier_merge_strategy,
-        )
-        return cls(  # type: ignore[return-value]
-            built_schedule,
-            sampler_order,
-            stochasticity,
-            model or parsed.model,
+            sampler_order=sampler_order,
+            stochasticity=stochasticity,
+            model=model,
             providers=providers,
             derivative_transform=derivative_transform,
-            noise_type=noise_type,  # type: ignore[arg-type]
+            noise_type=noise_type,
             noise_props=noise_props,
             compute_scale=compute_scale,
-            fake_config=config.copy() if isinstance(config, dict) else dict(config.config),
             allow_dynamic=allow_dynamic,
         )
 
@@ -1081,21 +931,22 @@ class DynasauRKWrapperScheduler[T: jaxnoise.NoiseProps | None](RKWrapperCore[T, 
         modifier_merge_strategy: MergeStrategy = MergeStrategy.UniqueBefore,
         allow_dynamic: bool = True,
     ) -> "DynasauRKWrapperScheduler[N]":
-        parsed = parse_diffusers_config(config=config, sampler=None, schedule=schedule)
-        built_schedule = _build_schedule(
-            parsed, schedule, subschedule, schedule_modifiers, schedule_props, subschedule_props,
+        return _assemble_rk_wrapper(
+            cls,
+            config,
+            schedule,
+            subschedule,
+            schedule_modifiers,
+            schedule_props,
+            subschedule_props,
             modifier_merge_strategy,
-        )
-        return cls(  # type: ignore[return-value]
-            built_schedule,
-            sampler_order,
-            stochasticity,
-            model or parsed.model,
+            sampler_order=sampler_order,
+            stochasticity=stochasticity,
+            model=model,
             derivative_transform=derivative_transform,
-            noise_type=noise_type,  # type: ignore[arg-type]
+            noise_type=noise_type,
             noise_props=noise_props,
             compute_scale=compute_scale,
-            fake_config=config.copy() if isinstance(config, dict) else dict(config.config),
             allow_dynamic=allow_dynamic,
         )
 
