@@ -240,13 +240,23 @@ class Colored(NoiseCommon[ColoredProps]):
     PSD ~ f^-exponent, with the exponent interpolated over the schedule."""
 
     @staticmethod
-    def _accurate_std(x: jax.Array):
+    def _accurate_std(x: jax.Array) -> jax.Array:
         """Bessel-corrected std (torch semantics — the reference normalized
-        with unbiased stds), in f64 on the eager path where f32 reductions
-        miss tight energy targets."""
-        if isinstance(x, jax.core.Tracer):
-            return jnp.std(x, ddof=1)
-        return np.asarray(x, dtype=np.float64).std(ddof=1)
+        with unbiased stds), ALWAYS reduced in float64.
+
+        One semantic on both paths: a local x64 scope makes the traced
+        reduction f64 too, so the same generator produces the same values
+        whether it runs eagerly or under jit (tested to f64 reduce-order
+        tolerance)."""
+        with jax.enable_x64():
+            return jnp.std(x.astype(jnp.float64), ddof=1)
+
+    @staticmethod
+    def _f64_ratio(num: jax.Array | float, den: jax.Array | float, out_dtype: Any) -> jax.Array:
+        "Divide in float64, hand back a scalar in the array-math dtype."
+        with jax.enable_x64():
+            ratio = jnp.float64(num) / jnp.float64(den)
+        return ratio.astype(out_dtype)
 
     @staticmethod
     def colorize(white: jax.Array, exponent: float = 0.0, energy: float | None = None) -> jax.Array:
@@ -256,7 +266,8 @@ class Colored(NoiseCommon[ColoredProps]):
         if exponent == 0.0:  # fast path, but keep the energy target
             if energy is None:
                 return white
-            return jnp.where(wstd < 1e-8, white, white * (energy / wstd))
+            boost = Colored._f64_ratio(energy, wstd, white.dtype)
+            return jnp.where(wstd.astype(white.dtype) < 1e-8, white, white * boost)
 
         w = white.squeeze()
         work_dtype = w.dtype if w.dtype in (jnp.float32, jnp.float64) else jnp.float32
@@ -274,7 +285,8 @@ class Colored(NoiseCommon[ColoredProps]):
 
         cstd = Colored._accurate_std(colored)
         target = wstd if energy is None else energy
-        colored = jnp.where(cstd > 1e-8, colored * (target / cstd), colored)
+        scale = Colored._f64_ratio(target, cstd, work_dtype)
+        colored = jnp.where(cstd.astype(work_dtype) > 1e-8, colored * scale, colored)
         return colored.reshape(white.shape).astype(white.dtype)
 
     def exponent_at(self, step: Step | None) -> float:

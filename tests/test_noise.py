@@ -186,3 +186,19 @@ def test_stack_noise_shape() -> None:
     stacked = stack_noise(gen, 5)
     assert stacked.shape == (5, 2, 4)
     np.testing.assert_array_equal(np.asarray(stacked[2]), np.asarray(gen.generate(2, Step.from_int(2, 5))))
+
+
+def test_colored_eager_traced_single_semantic():
+    """Regression (round-1 verdict): the same Colored generator must produce
+    the same values eagerly and under jit.  The std normalization reduces in
+    float64 on both paths, so eager == traced to reduce-order tolerance."""
+    from skrample_tpu.common import Step
+
+    gen = Colored((4, 24, 24), jax.random.PRNGKey(11), jnp.float32, ColoredProps(energy=1.0))
+    for step in (None, Step.from_int(0, 10), Step.from_int(7, 10)):
+        eager = gen.generate(3, step)
+        traced = jax.jit(lambda s=step: gen.generate(3, s))()
+        np.testing.assert_allclose(np.asarray(eager), np.asarray(traced), rtol=0, atol=1e-6)
+        if step is not None:
+            # energy target holds under trace too, not just eagerly
+            assert abs(np.asarray(traced, np.float64).std(ddof=1) - 1.0) < 1e-4
