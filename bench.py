@@ -65,6 +65,47 @@ def main() -> None:
     step_us = (t2 - t1) / (n2 - n1) * 1e6
     total_us_1000 = (t1 + (t2 - t1) * (1000 - n1) / (n2 - n1)) / 1000 * 1e6
 
+    # Single-step dispatch path: what a foreign-model (torch pipeline) driver
+    # pays per step when it can't scan.  Buffers are donated, so the update
+    # runs in place; this timing includes one dispatch per step.
+    def timed_dispatch(steps: int = 256) -> float:
+        compiled = compile_sampler(sampler, schedule, transform, steps)
+        denoiser = CompiledDenoiser.build(compiled, dtype=jnp.float32)
+        jstep = denoiser.jitted_step()
+        weights = [denoiser.weights[n] for n in range(steps)]
+
+        def run_once() -> None:
+            xx = jnp.ones(shape, jnp.float32)
+            ring = denoiser.init_ring(xx)
+            for n in range(steps):
+                o = xx * jnp.float32(0.999)
+                xx, ring = jstep(weights[n], xx, o, ring)  # noqa: PLW2901
+            xx.block_until_ready()
+
+        run_once()  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_once()
+            best = min(best, time.perf_counter() - t0)
+        return best / steps * 1e6
+
+    dispatch_us = timed_dispatch()
+
+    # Null-dispatch floor: a jitted identity round trip.  On the axon tunnel
+    # this is ~ms; on a local chip ~tens of us.  The sampler's own dispatch
+    # overhead is the difference over two dispatches (model + step).
+    null = jax.jit(lambda v: v + jnp.float32(0))
+    null(x).block_until_ready()
+    null_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(64):
+            null(x).block_until_ready()
+        null_best = min(null_best, (time.perf_counter() - t0) / 64)
+    null_us = null_best * 1e6
+    dispatch_overhead_us = dispatch_us - 2 * null_us
+
     # --- correctness guards -------------------------------------------------
     # 1. sigma tables bit-match the committed reference goldens
     import pathlib
@@ -109,6 +150,9 @@ def main() -> None:
                 "unit": "us",
                 "vs_baseline": round(baseline_us / step_us, 3),
                 "us_per_step_incl_dispatch_1000": round(total_us_1000, 3),
+                "us_single_step_dispatch_path": round(dispatch_us, 3),
+                "us_null_dispatch": round(null_us, 3),
+                "us_single_step_overhead_vs_null": round(dispatch_overhead_us, 3),
                 "max_dsigma_vs_reference": max_dsigma,
                 "latent_mse_vs_f64_oracle": latent_mse,
                 "backend": jax.default_backend(),

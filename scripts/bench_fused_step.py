@@ -75,7 +75,36 @@ def bench(shape=(1, 4, 128, 128), dtype=jnp.float32, n1=500, n2=4000) -> None:
     print(f"  xla fused apply:    {t_xla:.3f} us")
 
 
+
+def bench_dispatch(shape=(1, 4, 128, 128), dtype=jnp.float32, steps=256) -> None:
+    "Single-step dispatch path A/B: XLA chain vs Pallas kernel, donated buffers."
+    sampler = structured.DPM(order=2)
+    schedule = scheduling.FlowShift(scheduling.Linear())
+    transform = models.FlowModel()
+    compiled = compile_sampler(sampler, schedule, transform, steps)
+
+    for kernel in ("xla", "pallas"):
+        denoiser = CompiledDenoiser.build(compiled, dtype=dtype, kernel=kernel)
+        jstep = denoiser.jitted_step()
+        weights = [denoiser.weights[n] for n in range(steps)]
+
+        def run_once():
+            x = jnp.ones(shape, dtype)
+            ring = denoiser.init_ring(x)
+            for n in range(steps):
+                o = x * jnp.asarray(0.999, dtype)
+                x, ring = jstep(weights[n], x, o, ring)
+            return x.block_until_ready()
+
+        run_once()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_once()
+            best = min(best, time.perf_counter() - t0)
+        print(f"  single-step dispatch [{kernel}]: {best / steps * 1e6:.2f} us/step")
+
+
 if __name__ == "__main__":
     bench()
-    bench(dtype=jnp.bfloat16)
-    bench(shape=(1, 16, 128, 128))  # flux-ish
+    bench_dispatch()

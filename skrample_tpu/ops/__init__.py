@@ -10,8 +10,11 @@ Three tiers, all consuming the same sampler specs from
 * :mod:`.loop` — ``lax.scan`` denoise loops: table-driven multistep solvers,
   generic RK tableau loops, and a fallback that traces the polymorphic
   sampler code directly.
+* :mod:`.adaptive` — the fully device-resident adaptive RK controller
+  (``lax.while_loop`` over precomputed (cursor, size) coefficient tables).
 """
 
+from .adaptive import rkmoire_device_loop
 from .compiler import CompiledSampler, NonlinearSamplerError, compile_sampler
 from .fused import fused_step, fused_step_pallas
 from .loop import CompiledDenoiser, generic_sample_loop, rk_sample_loop, rkmoire_sample_loop, sample_loop
@@ -25,6 +28,7 @@ __all__ = [
     "fused_step_pallas",
     "generic_sample_loop",
     "rk_sample_loop",
+    "rkmoire_device_loop",
     "rkmoire_sample_loop",
     "sample_loop",
 ]

@@ -294,3 +294,61 @@ def test_rkmoire_loop_custom_evaluator_fallback() -> None:
     )
     assert calls, "custom evaluator was not invoked"
     assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.parametrize(
+    ("schedule_name", "model_name", "steps", "order"),
+    [
+        ("FlowLinear", "FlowModel", 40, 2),
+        ("KarrasScaled", "NoiseModel", 50, 4),
+        ("Linear", "FlowModel", 30, 6),
+        ("Scaled", "VelocityModel", 24, 2),
+    ],
+)
+def test_rkmoire_device_loop_matches_host(schedule_name, model_name, steps, order) -> None:
+    """The lax.while_loop adaptive controller must reproduce the host
+    controller exactly: same accepted-step count, same trajectory (f32)."""
+    from skrample_tpu.ops.adaptive import rkmoire_device_loop
+
+    extra = {
+        "FlowLinear": scheduling.FlowShift(scheduling.Linear()),
+        "KarrasScaled": scheduling.Karras(scheduling.Scaled()),
+    }
+    schedule = extra.get(schedule_name, SCHEDULES.get(schedule_name))
+    transform = MODEL_TYPES[model_name]
+    sampler = functional.RKMoire(order=order)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(5), SHAPE, jnp.float32)
+
+    def model(x, t, s, a):
+        return x * 0.95 + jnp.sin(t / 700.0) * 0.1
+
+    host_steps: list[int] = []
+    host = sampler.sample_model(x0, model, transform, schedule, steps, callback=lambda s, n, d: host_steps.append(n))
+    device, accepted, trials = rkmoire_device_loop(
+        sampler, schedule, transform, steps, model, x0, return_counters=True
+    )
+
+    assert int(accepted) == len(host_steps), "accepted-step count parity with the host controller"
+    assert int(trials) >= int(accepted) - 1
+    np.testing.assert_allclose(np.asarray(device), np.asarray(host), rtol=2e-5, atol=2e-6)
+
+
+def test_rkmoire_device_loop_partial_include() -> None:
+    "Partial trajectories (img2img-style include slices) stay in lockstep too."
+    from skrample_tpu.ops.adaptive import rkmoire_device_loop
+
+    schedule = scheduling.FlowShift(scheduling.Linear())
+    transform = MODEL_TYPES["FlowModel"]
+    sampler = functional.RKMoire(order=2)
+    steps = 40
+
+    x0 = jax.random.normal(jax.random.PRNGKey(6), SHAPE, jnp.float32)
+
+    def model(x, t, s, a):
+        return x * 0.9
+
+    for include in (slice(10, None), slice(None, 30), slice(5, 35)):
+        host = sampler.sample_model(x0, model, transform, schedule, steps, include=include)
+        device = rkmoire_device_loop(sampler, schedule, transform, steps, model, x0, include=include)
+        np.testing.assert_allclose(np.asarray(device), np.asarray(host), rtol=2e-5, atol=2e-6)
