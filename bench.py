@@ -92,18 +92,26 @@ def main() -> None:
 
     dispatch_us = timed_dispatch()
 
-    # Null-dispatch floor: a jitted identity round trip.  On the axon tunnel
-    # this is ~ms; on a local chip ~tens of us.  The sampler's own dispatch
-    # overhead is the difference over two dispatches (model + step).
+    # Null-dispatch floor measured the same way the dispatch loop runs:
+    # dispatches pipeline asynchronously, one blocking sync at the end.  The
+    # sampler's own dispatch overhead is the difference over two dispatches
+    # per step (model + update).
     null = jax.jit(lambda v: v + jnp.float32(0))
-    null(x).block_until_ready()
-    null_best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(64):
-            null(x).block_until_ready()
-        null_best = min(null_best, (time.perf_counter() - t0) / 64)
-    null_us = null_best * 1e6
+
+    def null_chain(n: int = 512) -> float:
+        v = jnp.ones(shape, jnp.float32)
+        null(v).block_until_ready()  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            vv = v
+            for _ in range(n):
+                vv = null(vv)
+            vv.block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / n)
+        return best
+
+    null_us = null_chain() * 1e6
     dispatch_overhead_us = dispatch_us - 2 * null_us
 
     # --- correctness guards -------------------------------------------------

@@ -267,9 +267,15 @@ class FunctionalAdaptive(FunctionalSampler):
     "Error level the controller steers toward."
 
 
-# Concrete solvers live in .rk_solvers; re-exported here so this module is
-# the one-stop functional API (and the reference-compatible import path).
-from .rk_solvers import DynasauRK, RKMoire, RKUltra  # noqa: E402
+# Concrete solvers live in .rk_solvers; re-exported here (lazily, to stay
+# import-order agnostic) so this module is the one-stop functional API and
+# the reference-compatible import path.
+def __getattr__(name: str):  # noqa: E402 — module-level lazy re-export
+    if name in ("DynasauRK", "RKMoire", "RKUltra"):
+        from . import rk_solvers
+
+        return getattr(rk_solvers, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [
     "DEFAULT_EMBEDDED_PROVIDERS",
