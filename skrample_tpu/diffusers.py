@@ -315,24 +315,24 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
         sampler: type[StructuredSampler] | None = None,
         schedule: type[SkrampleSchedule] | None = None,
         subschedule: type[SubSchedule] | None = None,
-        schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]] = [],
+        schedule_modifiers: Sequence[tuple[type[ScheduleModifier], dict[str, Any]]] = (),
         model: DiffusionModel | None = None,
         noise_type: type = torch_noise.Random,
         compute_scale: torch.dtype | None = torch.float32,
-        sampler_props: dict[str, Any] = {},
+        sampler_props: dict[str, Any] | None = None,
         noise_props: N | None = None,
-        schedule_props: dict[str, Any] = {},
-        subschedule_props: dict[str, Any] = {},
+        schedule_props: dict[str, Any] | None = None,
+        subschedule_props: dict[str, Any] | None = None,
         modifier_merge_strategy: MergeStrategy = MergeStrategy.UniqueBefore,
         allow_dynamic: bool = True,
     ) -> "SkrampleWrapperScheduler[N]":
         "Build a complete wrapper from a diffusers config with optional overrides."
         parsed = parse_diffusers_config(config=config, sampler=sampler, schedule=schedule)
 
-        built_sampler = (sampler or parsed.sampler)(**parsed.sampler_props | sampler_props)
+        built_sampler = (sampler or parsed.sampler)(**parsed.sampler_props | (sampler_props or {}))
         built_schedule = build_schedule_stack(
-            parsed, schedule, subschedule, schedule_modifiers, schedule_props, subschedule_props,
-            modifier_merge_strategy,
+            parsed, schedule, subschedule, schedule_modifiers,
+            schedule_props or {}, subschedule_props or {}, modifier_merge_strategy,
         )
 
         return cls(  # type: ignore[return-value]
@@ -816,16 +816,16 @@ def _assemble_rk_wrapper(
     config: "dict[str, Any] | ConfigMixin",
     schedule: type[SkrampleSchedule] | None,
     subschedule: "type[SubSchedule] | None",
-    schedule_modifiers: list,
-    schedule_props: dict[str, Any],
-    subschedule_props: dict[str, Any],
+    schedule_modifiers: Sequence,
+    schedule_props: dict[str, Any] | None,
+    subschedule_props: dict[str, Any] | None,
     merge: MergeStrategy,
     **wrapper_kwargs: Any,
 ) -> Any:
     "Shared constructor tail for the RK wrapper family."
     parsed = parse_diffusers_config(config=config, sampler=None, schedule=schedule)
     built_schedule = build_schedule_stack(
-        parsed, schedule, subschedule, schedule_modifiers, schedule_props, subschedule_props, merge
+        parsed, schedule, subschedule, schedule_modifiers, schedule_props or {}, subschedule_props or {}, merge
     )
     fake = config.copy() if isinstance(config, dict) else dict(config.config)
     model = wrapper_kwargs.pop("model") or parsed.model
@@ -844,14 +844,14 @@ class RKUltraWrapperScheduler[T: jaxnoise.NoiseProps | None](RKWrapperCore[T, fu
         sampler_order: int = functional.RKUltra.order,
         stochasticity: float = 0,
         subschedule: type[SubSchedule] | None = None,
-        schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]] = [],
+        schedule_modifiers: Sequence[tuple[type[ScheduleModifier], dict[str, Any]]] = (),
         providers: Mapping[int, tableaux.TableauProvider] = functional.RKUltra.providers,
         model: DiffusionModel | None = None,
         noise_type: type = torch_noise.Random,
         derivative_transform: DiffusionModel | None = functional.RKUltra.derivative_transform,
         compute_scale: torch.dtype | None = torch.float32,
-        schedule_props: dict[str, Any] = {},
-        subschedule_props: dict[str, Any] = {},
+        schedule_props: dict[str, Any] | None = None,
+        subschedule_props: dict[str, Any] | None = None,
         noise_props: N | None = None,
         modifier_merge_strategy: MergeStrategy = MergeStrategy.UniqueBefore,
         allow_dynamic: bool = True,
@@ -920,13 +920,13 @@ class DynasauRKWrapperScheduler[T: jaxnoise.NoiseProps | None](RKWrapperCore[T, 
         sampler_order: int = functional.RKUltra.order,
         stochasticity: float = 0,
         subschedule: type[SubSchedule] | None = None,
-        schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]] = [],
+        schedule_modifiers: Sequence[tuple[type[ScheduleModifier], dict[str, Any]]] = (),
         model: DiffusionModel | None = None,
         noise_type: type = torch_noise.Random,
         derivative_transform: DiffusionModel | None = functional.RKUltra.derivative_transform,
         compute_scale: torch.dtype | None = torch.float32,
-        schedule_props: dict[str, Any] = {},
-        subschedule_props: dict[str, Any] = {},
+        schedule_props: dict[str, Any] | None = None,
+        subschedule_props: dict[str, Any] | None = None,
         noise_props: N | None = None,
         modifier_merge_strategy: MergeStrategy = MergeStrategy.UniqueBefore,
         allow_dynamic: bool = True,

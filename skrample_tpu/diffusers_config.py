@@ -17,7 +17,7 @@ Capability parity with the reference's ``skrample/diffusers.py`` parser
 from __future__ import annotations
 
 from collections import OrderedDict
-from collections.abc import Hashable
+from collections.abc import Hashable, Sequence
 from dataclasses import dataclass, fields
 from typing import TYPE_CHECKING, Any
 
@@ -203,21 +203,21 @@ def build_schedule_stack(
     parsed: ParsedDiffusersConfig,
     schedule: type[SkrampleSchedule] | None,
     subschedule: type[SubSchedule] | None,
-    schedule_modifiers: list[tuple[type[ScheduleModifier], dict[str, Any]]],
-    schedule_props: dict[str, Any],
-    subschedule_props: dict[str, Any],
+    schedule_modifiers: Sequence[tuple[type[ScheduleModifier], dict[str, Any]]],
+    schedule_props: dict[str, Any] | None,
+    subschedule_props: dict[str, Any] | None,
     merge: MergeStrategy,
 ) -> SkrampleSchedule:
     "Assemble base + sub-schedule + merged modifier list into one stack."
-    built = (schedule or parsed.schedule)(**parsed.schedule_props | schedule_props)
+    built = (schedule or parsed.schedule)(**parsed.schedule_props | (schedule_props or {}))
 
     chosen_sub = subschedule or parsed.subschedule
     if chosen_sub is not None and isinstance(built, ScheduleCommon):
-        built = chosen_sub(built, **parsed.subschedule_props | subschedule_props)
+        built = chosen_sub(built, **parsed.subschedule_props | (subschedule_props or {}))
 
     if isinstance(built, ScheduleCommon | SubSchedule | ScheduleModifier):
         stacked = merge.merge(
-            ours=schedule_modifiers,
+            ours=list(schedule_modifiers),
             theirs=parsed.schedule_modifiers,
             cmp=lambda a, b: a[0] is b[0],
         )

@@ -2,7 +2,8 @@
 multi-chip dry runs.  The sampling framework itself is model-agnostic — any
 ``(x, t, sigma, alpha) -> prediction`` closure works."""
 
+from .checkpoint import load_params, save_params
 from .dit import DiT, DiTConfig
 from .unet import UNet, UNetConfig
 
-__all__ = ["DiT", "DiTConfig", "UNet", "UNetConfig"]
+__all__ = ["DiT", "DiTConfig", "UNet", "UNetConfig", "load_params", "save_params"]

@@ -36,3 +36,34 @@ def test_build_pipeline() -> None:
     out = pipe.generate(jax.random.PRNGKey(0))
     assert out.shape == (1, 4, 8, 8)
     assert pipe.nfe == 4
+
+
+def test_ssim_properties():
+    "SSIM: identity = 1, monotone degradation, bounded."
+    import numpy as np
+
+    from skrample_tpu.utils.quality import psnr, ssim
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(32, 32))
+    assert ssim(img, img) == 1.0
+    light = ssim(img, img + rng.normal(size=img.shape) * 0.05)
+    heavy = ssim(img, img + rng.normal(size=img.shape) * 0.5)
+    assert 1.0 > light > heavy > -1.0
+    assert psnr(img, img) == float("inf")
+    assert psnr(img, img + 0.1) > psnr(img, img + 1.0)
+
+
+def test_param_checkpoint_roundtrip(tmp_path):
+    import jax
+    import numpy as np
+
+    from skrample_tpu.models import DiT, DiTConfig, load_params, save_params
+
+    model = DiT(DiTConfig(dim=64, depth=2, heads=2, channels=1))
+    params = model.init(jax.random.PRNGKey(0))
+    save_params(tmp_path / "p.npz", params)
+    loaded = load_params(tmp_path / "p.npz")
+    assert jax.tree.all(jax.tree.map(lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)), params, loaded))
+    # blocks list survives as a list in order
+    assert isinstance(loaded["blocks"], list) and len(loaded["blocks"]) == 2
