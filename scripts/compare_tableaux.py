@@ -68,8 +68,11 @@ def main(nfe_budget: int = 24, seeds: int = 4) -> None:
     ]
 
     rows = []
-    for provider in tableaux.BUILTIN_TABLEAUX:
+    catalog = [*tableaux.BUILTIN_TABLEAUX, *tableaux.BUILTIN_EMBEDDED_TABLEAU]
+    for provider in catalog:
         tab = provider.tableau()
+        if isinstance(tab, tableaux.EmbeddedTableau):
+            tab = tab.unembed()  # generation uses the high-order row
         stages = len(tab.stages)
         sampler = RKUltra(order=99, providers={stages: provider})
         steps = sampler.adjust_steps(nfe_budget)

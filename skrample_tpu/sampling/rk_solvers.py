@@ -45,8 +45,8 @@ class RKUltra(FunctionalUnified, FunctionalSinglestep):
     )
     "Order/stage-count -> tableau source.  Any mapping works."
 
-    @staticmethod
-    def max_order() -> int:
+    @classmethod
+    def max_order(cls) -> int:
         return 99
 
     def tableau(self, order: int | None = None) -> Tableau:
@@ -104,12 +104,12 @@ class DynasauRK(FunctionalUnified, FunctionalSinglestep):
     invert: bool = False
     "Traverse the family in the opposite direction."
 
-    @staticmethod
-    def min_order() -> int:
+    @classmethod
+    def min_order(cls) -> int:
         return 2
 
-    @staticmethod
-    def max_order() -> int:
+    @classmethod
+    def max_order(cls) -> int:
         return 4
 
     def adjust_steps(self, steps: int) -> int:
@@ -191,12 +191,12 @@ class RKMoire(traits.DerivativeTransform, FunctionalAdaptive, FunctionalHigher):
     rescale_max: bool = False
     "Scale the ceiling by the pair's evaluation count."
 
-    @staticmethod
-    def min_order() -> int:
+    @classmethod
+    def min_order(cls) -> int:
         return 2
 
-    @staticmethod
-    def max_order() -> int:
+    @classmethod
+    def max_order(cls) -> int:
         return 99
 
     def adjust_steps(self, steps: int) -> int:

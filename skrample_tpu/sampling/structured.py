@@ -303,8 +303,8 @@ class DPM(_BlendedMultistep):
     corrections are folded into the prediction-window weights so the tensor
     math stays one weighted sum."""
 
-    @staticmethod
-    def max_order() -> int:
+    @classmethod
+    def max_order(cls) -> int:
         return 3
 
     def _blend(self, lambdas: Sequence[float], lambda_next: float, order: int) -> Sequence[float]:
@@ -345,8 +345,8 @@ class Adams(_BlendedMultistep):
 
     Order 4 coincides with the IPNDM sampler."""
 
-    @staticmethod
-    def max_order() -> int:
+    @classmethod
+    def max_order(cls) -> int:
         return 9
 
     def _blend(self, lambdas: Sequence[float], lambda_next: float, order: int) -> Sequence[float]:
@@ -364,8 +364,8 @@ class UniP(StructuredUnified, StatedSampler):
     fast_solve: bool = False
     "Use the paper's closed-form rho=[1/2] shortcut for UniP-2 / UniC-1."
 
-    @staticmethod
-    def max_order() -> int:
+    @classmethod
+    def max_order(cls) -> int:
         return 9
 
     def unisolve[T: Sample](
@@ -449,8 +449,8 @@ class UniPC(UniP):
     predictor: StructuredSampler | None = None
     "Solver run after the correction; None uses this instance's own UniP."
 
-    @staticmethod
-    def max_order() -> int:
+    @classmethod
+    def max_order(cls) -> int:
         return 9
 
     @property

@@ -17,6 +17,10 @@ from dataclasses import dataclass
 from ..common import Point, Sample, Step
 from . import models
 
+type Transform = models.DiffusionModel
+"Alias: a predictor-space algebra."
+
+
 
 @dataclass(frozen=True)
 class SamplingCommon:
@@ -44,14 +48,14 @@ class HigherOrder(abc.ABC):
     """Requested solver order.  More order = more model evaluations or more
     retained history per update.  Order 1 generally degenerates to Euler."""
 
-    @staticmethod
-    def min_order() -> int:
+    @classmethod
+    def min_order(cls) -> int:
         "Lowest order the solver will run at."
         return 1
 
-    @staticmethod
+    @classmethod
     @abc.abstractmethod
-    def max_order() -> int:
+    def max_order(cls) -> int:
         "Highest order the solver supports."
 
     @property
@@ -98,11 +102,11 @@ class Stochastic:
 class DerivativeTransform:
     "Trait for running correction math in a chosen predictor space."
 
-    derivative_transform: models.DiffusionModel | None = models.DataModel()  # noqa: RUF009 — immutable
+    derivative_transform: Transform | None = models.DataModel()  # noqa: RUF009 — immutable
     """Predictor space the raw model output is mapped into before any
     multistep/stage arithmetic.  None disables the conversion."""
 
-    def conversion(self, source: models.DiffusionModel) -> models.ModelConvert | None:
+    def conversion(self, source: Transform) -> models.ModelConvert | None:
         """The output conversion this trait requests, or None when disabled.
 
         Centralizes the ``if derivative_transform: ModelConvert(...)`` setup
