@@ -16,7 +16,7 @@ from skrample_tpu.sampling import models, structured
 mesh = make_mesh(dp=None, sp=1, extra_axes={"tp": min(4, max(1, len(jax.devices()) // 2))})
 print("mesh:", dict(mesh.shape))
 
-dit = DiT(DiTConfig(dim=256, depth=4, heads=8))
+dit = DiT(DiTConfig(dim=128, depth=2, heads=4))
 params = dit.init(jax.random.PRNGKey(0))
 params = jax.tree.map(
     lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
