@@ -113,3 +113,40 @@ def test_fixed_schedule_from_regular() -> None:
     regular = base.space.regularize(table[:, 1])
     fixed = scheduling.FixedSchedule.from_regular(table[:, 0], regular, base.space)
     np.testing.assert_allclose(fixed.schedule_np(8), table, rtol=0, atol=1e-9)
+
+
+def test_stack_surgery_roundtrip():
+    "split_stack -> restack must reproduce any stack by value, and find must locate members."
+    from skrample_tpu.scheduling import (
+        Beta,
+        Exponential,
+        FlowShift,
+        Hyper,
+        Karras,
+        Linear,
+        Scaled,
+        Sinner,
+        find_modifier,
+        restack,
+        split_stack,
+    )
+
+    stacks = [
+        Scaled(),
+        Linear(),
+        Karras(Scaled()),
+        FlowShift(Linear()),
+        Hyper(FlowShift(Linear())),
+        Sinner(Hyper(Beta(Scaled()))),
+        FlowShift(Exponential(Scaled(), rho=2.0), shift=5.0),
+    ]
+    for stack in stacks:
+        mods, sub, base = split_stack(stack)
+        assert restack(mods, sub, base) == stack
+        for mod in mods:
+            assert find_modifier(stack, type(mod)) is mod
+
+    # bare schedules split to empty modifier lists
+    mods, sub, base = split_stack(Scaled())
+    assert mods == [] and sub is None and base == Scaled()
+    assert find_modifier(Linear(), FlowShift) is None
