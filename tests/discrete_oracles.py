@@ -186,3 +186,110 @@ def dpmpp_2m_trajectory(
         lam_prev = lam_f
 
     return x
+
+
+def unipc_trajectory(
+    x: np.ndarray,
+    model,  # (x, timestep, reg_sigma) -> eps
+    timesteps: np.ndarray,
+    sigmas: np.ndarray,
+    order: int = 2,
+) -> np.ndarray:
+    """UniPC (arXiv:2302.04867), data-prediction, B(h) = e^-h - 1 variant, in
+    the phi-function formulation: at each step the previous result is first
+    corrected with the fresh model output (UniC), then the predictor (UniP)
+    advances.  Order ramps with available history and down toward the end.
+
+    The difference weights rho solve the Vandermonde system
+    ``sum_k rho_k r_k^(n-1) = n! * phi_{n+1}(-h) / phi_1(-h)`` where
+    ``phi_1(z) = e^z - 1`` and ``phi_{k+1}(z) = (phi_k(z) - 1/k!) / z``."""
+    reg = np.concatenate([sigmas, [0.0]])
+    steps = len(timesteps)
+
+    def nrm(r: float) -> tuple[float, float]:
+        th = math.atan(r)
+        return math.sin(th), math.cos(th)
+
+    def lam(n: int) -> float:
+        s, a = nrm(reg[n])
+        return math.log(a / s) if s > 0 else math.inf
+
+    def phi_rhos(h: float, ratios: list[float]) -> list[float]:
+        "Solve for the difference-term weights (fast path for one ratio)."
+        z = -h
+        phi = math.expm1(z)  # phi_1(z) * z^0 bookkeeping follows the recursion
+        b_scale = phi
+        rows, rhs = [], []
+        running = phi / z - 1.0
+        for n in range(1, len(ratios) + 1):
+            rows.append([r ** (n - 1) for r in ratios])
+            rhs.append(running * math.factorial(n) / b_scale)
+            running = running / z - 1.0 / math.factorial(n + 1)
+        return list(np.linalg.solve(rows, rhs))
+
+    def effective(n: int, hist: int) -> int:
+        return max(1, min(9, n + 1, order, hist + 1, steps - n))
+
+    def solve(n_from: int, n_to: int, x_from: np.ndarray, x0s: list[np.ndarray], lams: list[float],
+              extra: tuple[np.ndarray, float] | None) -> np.ndarray:
+        "One UniP/UniC update from history (newest first) at n_from -> n_to."
+        s_f, a_f = nrm(reg[n_from])
+        s_t, a_t = nrm(reg[n_to])
+        lam_f = lams[0]
+        lam_t = math.log(a_t / s_t) if s_t > 0 else math.inf
+        h = abs(lam_t - lam_f)
+
+        ratios: list[float] = []
+        diffs: list[np.ndarray] = []
+        for k in range(1, len(x0s)):
+            rk = (lams[k] - lam_f) / h
+            ratios.append(rk if math.isfinite(rk) else 0.0)
+            diffs.append((x0s[k] - x0s[0]) / rk)
+        if extra is not None:  # corrector: the next point's estimate at r = 1
+            ratios.append(1.0)
+            diffs.append(extra[0] - x0s[0])
+
+        if not ratios:
+            rhos = [0.5]
+        else:
+            rhos = phi_rhos(h, ratios)
+
+        d = x0s[0]
+        for rho, diff in zip(rhos[: len(diffs)], diffs, strict=False):
+            d = d + rho * diff
+        if s_t > 0:
+            return (s_t / s_f) * x_from - a_t * math.expm1(-h) * d
+        return a_t * d
+
+    hist_x0: list[np.ndarray] = []   # newest first
+    hist_lam: list[float] = []
+    hist_x: list[np.ndarray] = []    # sample each prediction was made at
+    hist_n: list[int] = []
+
+    for n in range(steps):
+        s_f, a_f = nrm(reg[n])
+        eps = model(x, timesteps[n], reg[n])
+        x0 = (x - s_f * eps) / a_f
+
+        if hist_x0:
+            # UniC: re-solve the previous hop with this estimate appended
+            k = effective(hist_n[0], len(hist_n) - 1)
+            x = solve(
+                hist_n[0],
+                n,
+                hist_x[0],
+                hist_x0[: k],
+                hist_lam[: k],
+                extra=(x0, 1.0),
+            )
+
+        hist_x0.insert(0, x0)
+        hist_lam.insert(0, lam(n))
+        hist_x.insert(0, x)
+        hist_n.insert(0, n)
+
+        # UniP from the (corrected) sample
+        k = effective(n, len(hist_n) - 1)
+        x = solve(n, n + 1, x, hist_x0[: k], hist_lam[: k], extra=None)
+
+    return x

@@ -258,3 +258,20 @@ def test_wrapper_pipeline_loop_matches_discrete(order: int) -> None:
 
     theirs = oracle.dpmpp_2m_trajectory(x0.copy(), model, timesteps, sigmas, order=order)
     assert mse(latent.numpy(), theirs) <= 1e-8
+
+
+@pytest.mark.parametrize("steps", [4, 9, 25])
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_unipc_matches_discrete(steps: int, order: int) -> None:
+    "UniPC (correct-then-predict) vs the independent phi-function formulation."
+    timesteps, sigmas = oracle.euler_discrete_grid(steps)
+    schedule = fixed_vp_schedule(timesteps, sigmas)
+    x0 = RNG.normal(size=SHAPE)
+
+    mine = run_structured(structured.UniPC(order=order), schedule, models.NoiseModel(), timesteps, x0)
+
+    def model(x, t, reg_sigma):
+        return pseudo_eps(x, t)
+
+    theirs = oracle.unipc_trajectory(x0.copy(), model, timesteps, sigmas, order=order)
+    assert mse(mine, theirs) <= 1e-8 * 10 ** (order - 1)
