@@ -59,16 +59,23 @@ class CompiledDenoiser:
 
     @classmethod
     def build(cls, compiled: CompiledSampler, dtype: Any = jnp.float32, kernel: str = "auto") -> "CompiledDenoiser":
-        """``kernel='auto'`` resolves to the Pallas kernel on TPU and the XLA
-        chain elsewhere.  Measured on TPU v5e (SDXL 1x4x128x128 f32 latents,
-        DPM++2M in a lax.scan): Pallas 0.70 us/step vs XLA chain 2.24 us/step
-        — one VMEM-streamed pass vs XLA's fusion of the multiply-add chain.
-        Pass ``kernel='xla'`` to force the fallback."""
+        """``kernel='auto'`` picks by backend and dtype, from TPU v5e
+        measurements (SDXL 1x4x128x128 latents, DPM++2M in a lax.scan):
+
+        * f32: Pallas 0.65-1.1 us/step vs XLA chain 2.2-2.4 — the explicit
+          VMEM-streamed pass wins ~2-3x;
+        * bf16: XLA 0.12 us/step vs Pallas ~1.1 — at half the bytes XLA fuses
+          the entire scan body into one pass and the kernel's pad/reshape
+          overhead dominates, so bf16 stays on the chain;
+        * non-TPU backends: always the XLA chain.
+
+        Pass ``kernel='xla'``/``'pallas'`` to override."""
         H = compiled.history
         slots = 3 if compiled.ring_noise else 2
         rows = 1 if compiled.trivial_store else 3
         if kernel == "auto":
-            kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+            wide = jnp.dtype(dtype).itemsize >= 4
+            kernel = "pallas" if (jax.default_backend() == "tpu" and wide) else "xla"
         if kernel not in ("xla", "pallas"):
             raise ValueError(f"unknown kernel {kernel!r}")
 

@@ -1,6 +1,14 @@
 """Small shared utilities: torch <-> jax bridging, profiling, compile cache."""
 
+from .guidance import classifier_free, rescaled_classifier_free
 from .observability import enable_compilation_cache, trace
 from .torch_bridge import from_torch, to_torch
 
-__all__ = ["enable_compilation_cache", "from_torch", "to_torch", "trace"]
+__all__ = [
+    "classifier_free",
+    "enable_compilation_cache",
+    "from_torch",
+    "rescaled_classifier_free",
+    "to_torch",
+    "trace",
+]

@@ -67,3 +67,34 @@ def test_param_checkpoint_roundtrip(tmp_path):
     assert jax.tree.all(jax.tree.map(lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)), params, loaded))
     # blocks list survives as a list in order
     assert isinstance(loaded["blocks"], list) and len(loaded["blocks"]) == 2
+
+
+def test_classifier_free_guidance():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from skrample_tpu.utils import classifier_free, rescaled_classifier_free
+
+    cond = lambda x, t, s, a: x * 0.5  # noqa: E731
+    uncond = lambda x, t, s, a: x * 0.1  # noqa: E731
+    x = jnp.ones((2, 4))
+
+    g = classifier_free(cond, uncond, scale=3.0)(x, 500.0, 0.5, 0.5)
+    np.testing.assert_allclose(np.asarray(g), 0.1 + 3.0 * 0.4, rtol=1e-6)
+    # degenerate scales
+    np.testing.assert_allclose(
+        np.asarray(classifier_free(cond, uncond, 1.0)(x, 0, 0, 0)), 0.5, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(classifier_free(cond, uncond, 0.0)(x, 0, 0, 0)), 0.1, rtol=1e-6
+    )
+
+    # rescaled variant: finite, and pulled toward the conditioned std
+    key = jax.random.PRNGKey(0)
+    xr = jax.random.normal(key, (2, 8))
+    cond_r = lambda x, t, s, a: x * 2.0  # noqa: E731
+    uncond_r = lambda x, t, s, a: x * 0.5  # noqa: E731
+    out = rescaled_classifier_free(cond_r, uncond_r, scale=7.5, rescale=1.0)(xr, 0, 0, 0)
+    assert bool(jnp.isfinite(out).all())
+    assert abs(float(out.std()) - float((xr * 2.0).std())) < 1e-5
