@@ -201,3 +201,64 @@ def test_fuzz_rk(seed: int) -> None:
         callback=lambda x, i, d: samples_m.append(x),
     )
     np.testing.assert_allclose(samples_m, samples_r, rtol=1e-9, atol=1e-12, err_msg=f"{kind} o{order} s{stochasticity}")
+
+
+@pytest.mark.parametrize("case", range(100))
+def test_schedule_tables_bit_exact_fuzz(case: int) -> None:
+    """Randomized schedule stacks (random curve parameters included) must
+    produce BIT-identical (timestep, sigma, alpha) tables to the live
+    reference — the rewritten scheduling layer keeps exact arithmetic."""
+    rng = random.Random(7_000 + case)
+
+    base_kind = rng.choice(["linear", "linear_vp", "scaled", "zsnr"])
+    base_kwargs = {}
+    if base_kind in ("scaled", "zsnr"):
+        base_kwargs = {
+            "beta_start": rng.uniform(1e-4, 5e-3),
+            "beta_end": rng.uniform(6e-3, 3e-2),
+            "beta_scale": rng.choice([1, 2, 2, 3]),
+        }
+    elif base_kind == "linear_vp":
+        base_kwargs = {"sigma_start": rng.uniform(1.5, 30.0)}
+
+    def make(sched_mod):
+        base = {
+            "linear": sched_mod.Linear,
+            "linear_vp": sched_mod.Linear,
+            "scaled": sched_mod.Scaled,
+            "zsnr": sched_mod.ZSNR,
+        }[base_kind](**base_kwargs)
+
+        sub = rng.choice([None, "karras", "exponential", "beta", "probit"])
+        if sub == "karras":
+            base = sched_mod.Karras(base, rho=rng.uniform(3, 10), steps=rng.randint(5, 40))
+        elif sub == "exponential":
+            base = sched_mod.Exponential(base, rho=rng.uniform(0.5, 3), steps=rng.randint(5, 40))
+        elif sub == "beta":
+            base = sched_mod.Beta(base, alpha=rng.uniform(0.3, 2), beta=rng.uniform(0.3, 2))
+        elif sub == "probit":
+            base = sched_mod.Probit(base, scale=rng.uniform(0.5, 5))
+
+        for _ in range(rng.randint(0, 2)):
+            mod = rng.choice(["flowshift", "hyper", "sinner"])
+            if mod == "flowshift":
+                base = sched_mod.FlowShift(base, shift=rng.uniform(0.5, 6))
+            elif mod == "hyper":
+                base = sched_mod.Hyper(base, scale=rng.uniform(-4, 4), tail=rng.random() < 0.5)
+            else:
+                base = sched_mod.Sinner(base, count=rng.uniform(-4, 4), scale=rng.uniform(-4, 4))
+        return base
+
+    state = rng.getstate()
+    theirs = make(r_sched)
+    rng.setstate(state)  # identical random draws for both builds
+    mine = make(m_sched)
+
+    steps = rng.randint(1, 23)
+    ref_table = theirs.schedule_np(steps)
+    my_table = mine.schedule_np(steps)
+    assert np.array_equal(my_table, ref_table), f"{base_kind} stack table diverged"
+
+    grid = [rng.random() for _ in range(7)]
+    assert np.array_equal(mine.points_np(grid), theirs.points_np(grid))
+    assert np.array_equal(mine.ipoints_np(grid), theirs.ipoints_np(grid))
