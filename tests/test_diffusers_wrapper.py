@@ -454,3 +454,52 @@ def test_scale_noise_img2img() -> None:
     point = Point(*wrapper.schedule_np[3])
     expected = sample * point.alpha + noise * point.sigma
     np.testing.assert_allclose(noised.numpy(), expected.numpy())
+
+
+def test_wrapper_edge_probes():
+    "Codified /verify probes: error surfaces and degenerate configurations."
+    import pytest as _pytest
+    import torch
+
+    from skrample_tpu import scheduling
+    from skrample_tpu.diffusers import SkrampleWrapperScheduler
+    from skrample_tpu.sampling import models, structured
+
+    w = SkrampleWrapperScheduler(
+        sampler=structured.DPM(order=2),
+        schedule=scheduling.FlowShift(scheduling.Linear()),
+        model=models.FlowModel(),
+    )
+
+    # set_timesteps with no arguments is a silent no-op (reference parity)
+    w.set_timesteps()
+    assert w._steps == 50
+
+    # a timestep not in the schedule raises a KeyError naming it
+    w.set_timesteps(8)
+    latent = torch.zeros(1, 4, 8, 8)
+    with _pytest.raises(KeyError):
+        w.step(latent, 123456.0, latent)
+
+    # steps=1 with a high-order sampler ramps down and stays finite
+    w2 = SkrampleWrapperScheduler(
+        sampler=structured.UniPC(order=3),
+        schedule=scheduling.FlowShift(scheduling.Linear()),
+        model=models.FlowModel(),
+    )
+    w2.set_timesteps(1)
+    x = torch.full((1, 4, 8, 8), 0.5)
+    out = w2.step(x * 0.1, w2.timesteps[0], x).prev_sample
+    assert torch.isfinite(out).all()
+
+    # non-affine SPC(power=2) transparently uses the polymorphic fallback
+    w3 = SkrampleWrapperScheduler(
+        sampler=structured.SPC(power=2),
+        schedule=scheduling.FlowShift(scheduling.Linear()),
+        model=models.FlowModel(),
+    )
+    w3.set_timesteps(4)
+    x = torch.full((1, 4, 8, 8), 0.3)
+    for t in w3.timesteps:
+        x = w3.step(x * 0.2, t, x).prev_sample
+    assert w3._compile_failed  # the compiler rejected it; fallback ran

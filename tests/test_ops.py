@@ -55,12 +55,12 @@ def device_model(x, t, s, a):
     return x * 0.9 + jnp.sin(x * 0.7) * s - t * 1e-4
 
 
-def oracle_run(sampler, schedule, transform, steps, x0, noises):
+def oracle_run(sampler, schedule, transform, steps, x0, noises, start=0):
     "The polymorphic spec run eagerly on jnp arrays (float64)."
     adapter = interface.StructuredFunctionalAdapter(sampler)
-    counter = iter(range(steps))
+    counter = iter(range(start, steps))
     rng = (lambda _s: noises[next(counter)]) if sampler.require_noise else None
-    return adapter.sample_model(x0, device_model, transform, schedule, steps, rng=rng)
+    return adapter.sample_model(x0, device_model, transform, schedule, steps, include=slice(start, None), rng=rng)
 
 
 @pytest.mark.parametrize(
@@ -352,3 +352,64 @@ def test_rkmoire_device_loop_partial_include() -> None:
         host = sampler.sample_model(x0, model, transform, schedule, steps, include=include)
         device = rkmoire_device_loop(sampler, schedule, transform, steps, model, x0, include=include)
         np.testing.assert_allclose(np.asarray(device), np.asarray(host), rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("case", range(60))
+def test_compiled_vs_eager_fuzz(case: int) -> None:
+    """Randomized configs through the table compiler vs the polymorphic spec.
+
+    The compiler is the core net-new component; this fuzz hunts coefficient-
+    extraction edge cases the fixed config matrix misses."""
+    import random
+
+    rng = random.Random(31_000 + case)
+
+    sampler_kind = rng.choice(["euler", "dpm", "adams", "unip", "unipc", "spc"])
+    order = rng.randint(1, 6)
+    sde = rng.choice([0, 0, rng.random()])
+    dt = rng.choice([models.DataModel(), None, models.VelocityModel(), models.NoiseModel()])
+    match sampler_kind:
+        case "euler":
+            sampler = structured.Euler(stochasticity=sde)
+        case "dpm":
+            sampler = structured.DPM(order=order, stochasticity=sde, derivative_transform=dt)
+        case "adams":
+            sampler = structured.Adams(order=order, stochasticity=sde, derivative_transform=dt)
+        case "unip":
+            sampler = structured.UniP(order=order, stochasticity=sde, derivative_transform=dt)
+        case "unipc":
+            sampler = structured.UniPC(order=order, stochasticity=sde, derivative_transform=dt)
+        case "spc":
+            sampler = structured.SPC(predictor=structured.DPM(order=min(order, 3)), derivative_transform=dt)
+
+    schedule = rng.choice(
+        [
+            scheduling.Linear(),
+            scheduling.Scaled(),
+            scheduling.FlowShift(scheduling.Linear(), shift=rng.uniform(0.5, 6)),
+            scheduling.Karras(scheduling.Scaled(), rho=rng.uniform(3, 9)),
+            scheduling.Hyper(scheduling.Exponential(scheduling.Scaled())),
+        ]
+    )
+    transform = rng.choice([models.FlowModel(), models.NoiseModel(), models.VelocityModel()])
+    steps = rng.randint(2, 12)
+    start = rng.choice([0, 0, rng.randint(0, steps - 1)])
+
+    try:
+        compiled = ops.compile_sampler(sampler, schedule, transform, steps, start=start)
+    except (ops.NonlinearSamplerError, ZeroDivisionError, ValueError, OverflowError):
+        return  # legitimately non-compilable config; the wrapper falls back
+
+    denoiser = ops.CompiledDenoiser.build(compiled, dtype=jnp.float64)
+    x0 = jax.random.normal(jax.random.PRNGKey(case), SHAPE, jnp.float64)
+
+    noises = None
+    if compiled.requires_noise:
+        noises = jax.random.normal(jax.random.PRNGKey(1000 + case), (steps, *SHAPE), jnp.float64)
+
+    device = denoiser.run(device_model, x0, noises=noises, start=start)
+    expected = oracle_run(sampler, schedule, transform, steps, x0, noises, start=start)
+
+    if not bool(jnp.isfinite(expected).all()):
+        return  # degenerate config blows up identically on both paths
+    np.testing.assert_allclose(np.asarray(device), np.asarray(expected), rtol=1e-9, atol=1e-11)
