@@ -26,7 +26,7 @@ import abc
 import dataclasses
 import math
 from collections import OrderedDict
-from collections.abc import Hashable, Mapping, Sequence
+from collections.abc import Mapping, Sequence
 from types import MappingProxyType
 from typing import TYPE_CHECKING, Any
 
@@ -40,9 +40,9 @@ from . import torch_noise
 from .common import DeltaPoint, MergeStrategy, Point, Step, sumprod
 from .ops.compiler import CompiledSampler, NonlinearSamplerError, compile_sampler
 from .sampling import functional, interface, models, structured, tableaux, traits
-from .sampling.models import DataModel, DiffusionModel, FlowModel, NoiseModel, VelocityModel
+from .sampling.models import DataModel, DiffusionModel, NoiseModel
 from .sampling.structured import SampleInput, SKSamples, StructuredSampler
-from .scheduling import ScheduleCommon, ScheduleModifier, SkrampleSchedule, SubSchedule
+from .scheduling import ScheduleModifier, SkrampleSchedule, SubSchedule
 
 if TYPE_CHECKING:
     from diffusers.configuration_utils import ConfigMixin

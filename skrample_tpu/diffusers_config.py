@@ -23,7 +23,7 @@ from typing import TYPE_CHECKING, Any
 
 from .common import MergeStrategy
 from .sampling.models import DataModel, DiffusionModel, FlowModel, NoiseModel, VelocityModel
-from .sampling.structured import DPM, SPC, Adams, Euler, StructuredSampler, UniPC  # noqa: F401 — SPC exported for users
+from .sampling.structured import DPM, Adams, Euler, StructuredSampler, UniPC
 from .scheduling import (
     Beta,
     Exponential,

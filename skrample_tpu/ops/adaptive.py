@@ -22,7 +22,6 @@ controller above ``MAX_TABLE_ENTRIES`` or for non-default evaluators.
 from __future__ import annotations
 
 import math
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ import dataclasses
 import math
 from abc import ABC, abstractmethod
 from collections.abc import Callable, Mapping
-from types import MappingProxyType
 from typing import Any
 
 from ..common import RNG, DeltaPoint, Sample, Step, mean, sumprod

@@ -30,7 +30,7 @@ from .functional import (
     pick_provider,
     step_tableau,
 )
-from .tableaux import RK1, RKE2, EmbeddedTableau, Tableau, TableauType
+from .tableaux import RK1, RKE2, EmbeddedTableau, Tableau
 from .tableaux.generators import ees25_tableau, ees27_tableau, rk2_tableau
 
 

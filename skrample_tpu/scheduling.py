@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import abc
 import functools
-import math
 from collections import OrderedDict
 from collections.abc import Sequence
 from dataclasses import dataclass, replace
@@ -31,7 +30,7 @@ from typing import Literal, Self
 
 import numpy as np
 
-from .common import DeltaPoint, Point, Step, normalize, regularize, rescale_positive, sigmoid
+from .common import DeltaPoint, Point, Step
 
 type NPPoints = np.ndarray[tuple[int, Literal[3]], np.dtype[np.float64]]
 "Rows of (timestep, sigma, alpha)."

@@ -31,7 +31,7 @@ import numpy as np
 import pytest
 
 from skrample_tpu import scheduling
-from skrample_tpu.sampling import functional, interface, structured, tableaux
+from skrample_tpu.sampling import interface, structured, tableaux
 from skrample_tpu.sampling import models as sk_models
 from skrample_tpu.sampling.rk_solvers import DynasauRK, RKUltra
 

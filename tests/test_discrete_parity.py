@@ -166,7 +166,7 @@ def test_dpmpp_2m_matches_discrete(steps: int, order: int) -> None:
 @pytest.mark.parametrize("steps", [4, 10])
 def test_heun_matches_rkultra(steps: int) -> None:
     "RKUltra with the Heun pair must equal the discrete 2nd-order Heun update."
-    from skrample_tpu.sampling import functional, tableaux
+    from skrample_tpu.sampling import tableaux
     from skrample_tpu.sampling.rk_solvers import RKUltra
 
     timesteps, sigmas = oracle.euler_discrete_grid(steps)
