@@ -151,3 +151,61 @@ def test_from_diffusers_config_dual() -> None:
         np.testing.assert_array_equal(t_m, t_r)
         np.testing.assert_array_equal(s_m, s_r)
         np.testing.assert_allclose(x_m, x_r, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("case", range(30))
+def test_wrapper_dual_fuzz(case: int) -> None:
+    "Randomized sampler/schedule/model wrapper configs, dual-run vs the reference."
+    import random
+
+    rng = random.Random(55_000 + case)
+
+    kind = rng.choice(["euler", "dpm", "adams", "unipc"])
+    order = rng.randint(1, 4)
+    sde = rng.choice([0, 0, 1])
+    model_kind = rng.choice(["flow", "noise", "velocity"])
+    sched_kind = rng.choice(["flowlinear", "scaled", "karras_scaled", "zsnr", "beta_linear"])
+    steps = rng.randint(2, 11)
+    mu = rng.choice([None, math.log(rng.uniform(1.5, 5))]) if sched_kind == "flowlinear" else None
+
+    def build(wrap_mod, sched_mod, struct_mod, models_mod):
+        schedule = {
+            "flowlinear": lambda: sched_mod.FlowShift(sched_mod.Linear()),
+            "scaled": lambda: sched_mod.Scaled(),
+            "karras_scaled": lambda: sched_mod.Karras(sched_mod.Scaled()),
+            "zsnr": lambda: sched_mod.ZSNR(),
+            "beta_linear": lambda: sched_mod.Beta(sched_mod.Linear()),
+        }[sched_kind]()
+        sampler = {
+            "euler": lambda: struct_mod.Euler(stochasticity=sde),
+            "dpm": lambda: struct_mod.DPM(order=order, stochasticity=sde),
+            "adams": lambda: struct_mod.Adams(order=order),
+            "unipc": lambda: struct_mod.UniPC(order=min(order, 3)),
+        }[kind]()
+        model = {
+            "flow": models_mod.FlowModel(),
+            "noise": models_mod.NoiseModel(),
+            "velocity": models_mod.VelocityModel(),
+        }[model_kind]
+        return wrap_mod.SkrampleWrapperScheduler(
+            sampler=sampler, schedule=schedule, model=model, compute_scale=torch.float64
+        )
+
+    mine = build(m_wrap, m_sched, m_struct, m_models)
+    theirs = build(r_wrap, r_sched, r_struct, r_models)
+
+    kwargs = {"mu": mu} if mu is not None else {}
+    try:
+        t_r, s_r, x_r = drive(theirs, steps, seed=case, **kwargs)
+    except (ZeroDivisionError, ValueError) as err:
+        # degenerate config (e.g. epsilon-prediction on a flow schedule where
+        # alpha hits exactly 0): we must fail the same way — error-for-error
+        with pytest.raises(type(err)):
+            drive(mine, steps, seed=case, **kwargs)
+        return
+
+    t_m, s_m, x_m = drive(mine, steps, seed=case, **kwargs)
+    np.testing.assert_array_equal(t_m, t_r)
+    np.testing.assert_array_equal(s_m, s_r)
+    if np.isfinite(x_r).all():
+        np.testing.assert_allclose(x_m, x_r, rtol=1e-9, atol=1e-12)
