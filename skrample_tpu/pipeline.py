@@ -43,14 +43,30 @@ class GenerationPipeline:
     noise_generator: JaxNoise | None = None
     mesh: jax.sharding.Mesh | None = None
     donate: bool = True
+    uncond_model_fn: DeviceModel | None = None
+    guidance_scale: float = 1.0
+    "With ``uncond_model_fn`` set and scale != 1, runs classifier-free guidance."
 
-    _denoiser: CompiledDenoiser = field(init=False)
-    _generate: Callable = field(init=False)
+    _executables: dict[int, Callable] = field(init=False, default_factory=dict)
 
     def __post_init__(self) -> None:
-        compiled = compile_sampler(self.sampler, self.schedule, self.model_transform, self.steps)
-        self._denoiser = CompiledDenoiser.build(compiled, dtype=self.dtype)
+        if self.uncond_model_fn is not None and self.guidance_scale != 1.0:
+            from .utils.guidance import classifier_free
 
+            self.model_fn = classifier_free(self.model_fn, self.uncond_model_fn, self.guidance_scale)
+        self._executable(0)  # compile the txt2img path eagerly
+
+    def _executable(self, start: int) -> Callable:
+        """The jitted loop entering at step ``start`` (img2img).
+
+        Compiled tables embed the history ramp, so each distinct entry point
+        is its own executable; they are cached per start index."""
+        cached = self._executables.get(start)
+        if cached is not None:
+            return cached
+
+        compiled = compile_sampler(self.sampler, self.schedule, self.model_transform, self.steps, start=start)
+        denoiser = CompiledDenoiser.build(compiled, dtype=self.dtype)
         noises = self.step_noises()
 
         def _generate(x0: jax.Array, key: jax.Array) -> jax.Array:
@@ -58,9 +74,11 @@ class GenerationPipeline:
                 x0 = jax.lax.with_sharding_constraint(
                     x0, latent_sharding(self.mesh, 0, ndim=len(self.latent_shape))
                 )
-            return self._denoiser.run(self.model_fn, x0, key=key, noises=noises)
+            return denoiser.run(self.model_fn, x0, key=key, noises=noises, start=start)
 
-        self._generate = jax.jit(_generate, donate_argnums=(0,) if self.donate else ())
+        fn = jax.jit(_generate, donate_argnums=(0,) if self.donate else ())
+        self._executables[start] = fn
+        return fn
 
     @property
     def nfe(self) -> int:
@@ -78,11 +96,31 @@ class GenerationPipeline:
             [self.noise_generator.generate(n, Step.from_int(n, self.steps)) for n in range(self.steps)]
         )
 
-    def generate(self, key: jax.Array, initial: jax.Array | None = None) -> jax.Array:
-        "One request: seed noise (or take ``initial``), run the fused loop."
+    def generate(
+        self,
+        key: jax.Array,
+        initial: jax.Array | None = None,
+        strength: float = 1.0,
+    ) -> jax.Array:
+        """One request.
+
+        txt2img: seed from the key and run all steps.  img2img: pass
+        ``initial`` plus ``strength`` in (0, 1] — the trajectory enters at
+        ``round(steps * (1 - strength))`` with ``initial`` noised to that
+        point (and renormalized by the schedule's full-noise magnitude, the
+        same recipe as ``FunctionalSampler.generate_model``)."""
         k_init, k_steps = jax.random.split(key)
-        x0 = self.initial_noise(k_init) if initial is None else initial
-        return self._generate(x0, k_steps)
+        start = 0 if initial is None else min(round(self.steps * (1 - strength)), self.steps - 1)
+
+        if initial is None:
+            x0 = self.initial_noise(k_init)
+        else:
+            entry = self.schedule.ipoint(start / self.steps)
+            seed = self.initial_noise(k_init)
+            full = self.schedule.point_1
+            x0 = entry.add_noise(initial.astype(self.dtype), seed) / full.add_noise(0.0, 1.0)
+
+        return self._executable(start)(x0, k_steps)
 
 
 def build_pipeline(

@@ -98,3 +98,54 @@ def test_classifier_free_guidance():
     out = rescaled_classifier_free(cond_r, uncond_r, scale=7.5, rescale=1.0)(xr, 0, 0, 0)
     assert bool(jnp.isfinite(out).all())
     assert abs(float(out.std()) - float((xr * 2.0).std())) < 1e-5
+
+
+def test_pipeline_img2img_and_guidance():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from skrample_tpu import scheduling
+    from skrample_tpu.pipeline import GenerationPipeline
+    from skrample_tpu.sampling import interface, models, structured
+
+    def cond(x, t, s, a):
+        return x * 0.9
+
+    def uncond(x, t, s, a):
+        return x * 0.5
+
+    pipe = GenerationPipeline(
+        model_fn=cond,
+        sampler=structured.DPM(order=2),
+        schedule=scheduling.FlowShift(scheduling.Linear()),
+        model_transform=models.FlowModel(),
+        steps=8,
+        latent_shape=(1, 4, 8, 8),
+        donate=False,
+        uncond_model_fn=uncond,
+        guidance_scale=3.0,
+    )
+
+    # txt2img runs and is finite
+    out = pipe.generate(jax.random.PRNGKey(0))
+    assert out.shape == (1, 4, 8, 8) and bool(jnp.isfinite(out).all())
+
+    # img2img enters mid-trajectory and matches the functional recipe
+    initial = jnp.full((1, 4, 8, 8), 0.4, jnp.float32)
+    key = jax.random.PRNGKey(1)
+    out2 = pipe.generate(key, initial=initial, strength=0.5)
+
+    # independent eager replication of the same path
+    start = round(8 * 0.5)
+    k_init, k_steps = jax.random.split(key)
+    seed = jax.random.normal(k_init, (1, 4, 8, 8), jnp.float32)
+    entry = pipe.schedule.ipoint(start / 8)
+    x0 = entry.add_noise(initial, seed) / pipe.schedule.point_1.add_noise(0.0, 1.0)
+    from skrample_tpu.utils.guidance import classifier_free
+
+    guided = classifier_free(cond, uncond, 3.0)
+    expected = interface.StructuredFunctionalAdapter(pipe.sampler).sample_model(
+        x0, guided, pipe.model_transform, pipe.schedule, 8, include=slice(start, None)
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(expected), rtol=2e-5, atol=1e-6)
