@@ -301,6 +301,7 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
         self._compile_failed: bool = False
         self._ring: list[tuple[Tensor, Tensor, Tensor | None]] = []
         self._t_lut: dict[float, int] | None = None
+        self._table: np.ndarray | None = None
 
     def _lookup_index(self, timestep: float | Tensor) -> int:
         "O(1) timestep -> schedule index (the reference rescans the table per step)."
@@ -357,7 +358,11 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
 
     @property
     def schedule_np(self) -> np.ndarray:
-        return scheduling.np_schedule_lru(self.schedule, self._steps)
+        # cached per set_timesteps: hashing a deep schedule stack per step()
+        # for the global LRU costs more than the lookup it saves
+        if self._table is None:
+            self._table = scheduling.np_schedule_lru(self.schedule, self._steps)
+        return self._table
 
     @property
     def init_noise_sigma(self) -> float:
@@ -407,6 +412,7 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
         self._compiled = None
         self._compile_failed = False
         self._t_lut = None
+        self._table = None
 
         if device is not None:
             self._device = torch.device(device)
