@@ -24,10 +24,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
+from .experts import init_moe_ffn, moe_ffn, moe_ffn_spec  # noqa: E402
+from .pipeline_stages import pipeline_apply  # noqa: E402
+
 __all__ = [
     "batch_keys",
+    "init_moe_ffn",
     "latent_sharding",
     "make_mesh",
+    "moe_ffn",
+    "moe_ffn_spec",
+    "pipeline_apply",
     "replicated",
     "shard_batch",
 ]

@@ -1,0 +1,79 @@
+"""GPipe-lite pipeline parallelism over a ``pp`` mesh axis.
+
+Stage parameters live stacked on a leading axis sharded over ``pp`` (each
+device holds exactly its stage).  Microbatches flow through the stages with
+``lax.ppermute`` hops: every device runs the same ``M + S - 1`` tick loop,
+processing microbatch ``t - s`` at tick ``t`` and passing its activation to
+the next stage.  Activations ride ICI; there is no host involvement.
+
+This is deliberately the minimal correct schedule (fill + drain, no
+interleaving): the sampler framework itself never needs pp — this exists so
+models too deep for one chip slot into the same mesh machinery, and the
+multi-chip dryrun exercises it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def pipeline_apply(
+    stage_fn: Callable[[Any, jax.Array], jax.Array],
+    stage_params: Any,
+    microbatches: jax.Array,
+    mesh: Mesh,
+    axis: str = "pp",
+) -> jax.Array:
+    """Run ``microbatches`` (M, mb, ...) through S pipeline stages.
+
+    ``stage_params`` leaves must have a leading stage axis of size S (the
+    ``pp`` mesh size), sharded over ``axis``.  ``stage_fn(params, x)`` maps
+    one microbatch through one stage, shape-preserving.  Returns the
+    (M, mb, ...) outputs of the final stage."""
+    stages = mesh.shape[axis]
+
+    def per_device(params, mb_in):
+        # inside shard_map: params leaves are (1, ...) local shards
+        local = jax.tree.map(lambda leaf: leaf[0], params)
+        stage = jax.lax.axis_index(axis)
+        # the microbatch stream is replicated input; mark it device-varying so
+        # the carry keeps one consistent vma type throughout the loop
+        mb_in = jax.lax.pvary(mb_in, (axis,))
+        count = mb_in.shape[0]
+        ticks = count + stages - 1
+
+        def tick(t, carry):
+            active, outputs = carry
+            # stage 0 ingests microbatch t (garbage when t >= count; masked later)
+            feed = mb_in[jnp.minimum(t, count - 1)]
+            active = jnp.where(stage == 0, feed, active)
+            active = stage_fn(local, active)
+            # collect on the last stage: tick t completed microbatch t - (S-1)
+            slot = t - (stages - 1)
+            updated = jax.lax.dynamic_update_index_in_dim(outputs, active, jnp.maximum(slot, 0), 0)
+            outputs = jnp.where((stage == stages - 1) & (slot >= 0), updated, outputs)
+            # hand activations to the next stage (ring; the wraparound value
+            # reaching stage 0 is overwritten by the next feed)
+            active = jax.lax.ppermute(
+                active, axis, [(i, (i + 1) % stages) for i in range(stages)]
+            )
+            return active, outputs
+
+        active0 = jax.lax.pvary(jnp.zeros_like(mb_in[0]), ())
+        outputs0 = jnp.zeros_like(mb_in)
+        _, outputs = jax.lax.fori_loop(0, ticks, tick, (active0, outputs0))
+        # only the last stage holds real outputs; psum broadcasts them
+        outputs = jnp.where(stage == stages - 1, outputs, jnp.zeros_like(outputs))
+        return jax.lax.psum(outputs, axis)
+
+    spec_params = jax.tree.map(lambda _: P(axis), stage_params)
+    return jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(spec_params, P()),
+        out_specs=P(),
+    )(stage_params, microbatches)

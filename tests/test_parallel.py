@@ -121,3 +121,62 @@ def test_sp_spatial_sharding() -> None:
         xs = jax.device_put(x, latent_sharding(mesh, 0, spatial_axis=3, ndim=4))
         sharded = jax.jit(lambda x: denoiser.run(model_fn, x))(xs)
     np.testing.assert_allclose(np.asarray(sharded), single, rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_parallel_matches_sequential():
+    "GPipe-lite over a pp axis must equal running the stages sequentially."
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from skrample_tpu.parallel.pipeline_stages import pipeline_apply
+
+    stages = 4
+    mesh = Mesh(np.asarray(jax.devices()[:stages]), ("pp",))
+
+    # one dense layer per stage, stacked on the stage axis
+    key = jax.random.PRNGKey(0)
+    dim = 16
+    w = jax.random.normal(key, (stages, dim, dim), jnp.float32) * 0.3
+    b = jax.random.normal(jax.random.fold_in(key, 1), (stages, dim), jnp.float32) * 0.1
+    params = {"w": w, "b": b}
+
+    def stage_fn(local, x):
+        return jnp.tanh(x @ local["w"] + local["b"])
+
+    microbatches = jax.random.normal(jax.random.fold_in(key, 2), (6, 2, dim), jnp.float32)
+
+    out = pipeline_apply(stage_fn, params, microbatches, mesh, axis="pp")
+
+    expected = microbatches
+    for s in range(stages):
+        expected = jnp.tanh(expected @ w[s] + b[s])
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-6)
+
+
+def test_expert_parallel_matches_single_device():
+    "The ep-sharded MoE FFN must equal its unsharded evaluation."
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding
+
+    from skrample_tpu.parallel.experts import init_moe_ffn, moe_ffn, moe_ffn_spec
+
+    experts = 4
+    mesh = Mesh(np.asarray(jax.devices()[:experts]), ("ep",))
+    params = init_moe_ffn(jax.random.PRNGKey(3), dim=16, hidden=32, experts=experts)
+    tokens = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 16), jnp.float32)
+
+    single = moe_ffn(params, tokens)
+
+    sharded_params = jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        params,
+        moe_ffn_spec(),
+    )
+    with mesh:
+        sharded = jax.jit(moe_ffn)(sharded_params, tokens)
+
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-5, atol=1e-6)
+    # routing must actually spread tokens across experts for the test to mean anything
+    logits = jnp.einsum("bnd,de->bne", tokens, params["gate"])
+    assert len(set(np.asarray(jnp.argmax(logits, -1)).ravel().tolist())) > 1
