@@ -303,6 +303,46 @@ class SkrampleWrapperScheduler[T: jaxnoise.NoiseProps | None](SkrampleWrapperCor
         self._t_lut: dict[float, int] | None = None
         self._table: np.ndarray | None = None
 
+    def state_dict(self) -> dict[str, Any]:
+        """Serializable mid-trajectory state (preemption recovery).
+
+        Captures the step cursor plus the multistep history (ring or
+        polymorphic), all as CPU tensors.  The schedule/sampler/model config
+        is NOT included — reconstruct the wrapper identically, call
+        ``set_timesteps`` with the same arguments, then ``load_state_dict``."""
+        return {
+            "index": self._index,
+            "steps": self._steps,
+            "ring": [tuple(t.cpu() if t is not None else None for t in slot) for slot in self._ring],
+            "previous": [
+                {
+                    "sample": p.sample.cpu(),
+                    "prediction": p.prediction.cpu(),
+                    "step": tuple(p.step),
+                    "noise": p.noise.cpu() if p.noise is not None else None,
+                    "final": p.final.cpu(),
+                }
+                for p in self._previous
+            ],
+        }
+
+    def load_state_dict(self, state: dict[str, Any]) -> None:
+        "Restore :meth:`state_dict` output; requires a matching set_timesteps first."
+        if state["steps"] != self._steps:
+            raise ValueError(f"state was saved at steps={state['steps']}, wrapper has {self._steps}")
+        self._index = state["index"]
+        self._ring = [tuple(t.to(self._device) if t is not None else None for t in slot) for slot in state["ring"]]
+        self._previous = [
+            SKSamples(
+                sample=p["sample"].to(self._device),
+                prediction=p["prediction"].to(self._device),
+                step=Step(*p["step"]),
+                noise=p["noise"].to(self._device) if p["noise"] is not None else None,
+                final=p["final"].to(self._device),
+            )
+            for p in state["previous"]
+        ]
+
     def _lookup_index(self, timestep: float | Tensor) -> int:
         "O(1) timestep -> schedule index (the reference rescans the table per step)."
         if self._t_lut is None:

@@ -503,3 +503,54 @@ def test_wrapper_edge_probes():
     for t in w3.timesteps:
         x = w3.step(x * 0.2, t, x).prev_sample
     assert w3._compile_failed  # the compiler rejected it; fallback ran
+
+
+def test_wrapper_state_checkpoint_resume():
+    "Mid-trajectory preemption: save state, rebuild the wrapper, resume identically."
+    import torch
+
+    from skrample_tpu import scheduling
+    from skrample_tpu.diffusers import SkrampleWrapperScheduler
+    from skrample_tpu.sampling import models, structured
+
+    def make():
+        w = SkrampleWrapperScheduler(
+            sampler=structured.DPM(order=2),
+            schedule=scheduling.FlowShift(scheduling.Linear()),
+            model=models.FlowModel(),
+            compute_scale=torch.float64,
+        )
+        w.set_timesteps(10)
+        return w
+
+    def model_out(x, t):
+        return x * 0.8 + float(t) * 1e-4
+
+    # uninterrupted run
+    w_full = make()
+    x = torch.full((1, 4, 8, 8), 0.5, dtype=torch.float64)
+    for t in w_full.timesteps:
+        x = w_full.step(model_out(x, t), t, x).prev_sample
+    expected = x
+
+    # interrupted at step 4, state carried to a fresh wrapper
+    w_a = make()
+    x = torch.full((1, 4, 8, 8), 0.5, dtype=torch.float64)
+    for t in w_a.timesteps[:4]:
+        x = w_a.step(model_out(x, t), t, x).prev_sample
+    state = w_a.state_dict()
+
+    w_b = make()
+    w_b.load_state_dict(state)
+    for t in w_b.timesteps[4:]:
+        x = w_b.step(model_out(x, t), t, x).prev_sample
+
+    torch.testing.assert_close(x, expected, rtol=0, atol=0)
+
+    # mismatched step counts are rejected
+    w_c = make()
+    w_c.set_timesteps(7)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        w_c.load_state_dict(state)
