@@ -748,6 +748,23 @@ class RKWrapperCore[T: jaxnoise.NoiseProps | None, U: functional.FunctionalUnifi
             self.compute_scale,
         )
 
+    def state_dict(self) -> dict[str, Any]:
+        "Mid-step RK state (stage cursor, derivative accumulator, pinned sample)."
+        return {
+            "index": self._index,
+            "steps": self._steps,
+            "derivatives": [d.cpu() for d in self._derivatives],
+            "sample": self._sample.cpu() if self._sample is not None else None,
+        }
+
+    def load_state_dict(self, state: dict[str, Any]) -> None:
+        "Restore :meth:`state_dict` output; requires a matching set_timesteps first."
+        if state["steps"] != self._steps:
+            raise ValueError(f"state was saved at steps={state['steps']}, wrapper has {self._steps}")
+        self._index = state["index"]
+        self._derivatives = [d.to(self._device) for d in state["derivatives"]]
+        self._sample = state["sample"].to(self._device) if state["sample"] is not None else None
+
     def step_tableau_inside_out(
         self,
         sample: Tensor,

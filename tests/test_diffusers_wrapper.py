@@ -554,3 +554,46 @@ def test_wrapper_state_checkpoint_resume():
 
     with _pytest.raises(ValueError):
         w_c.load_state_dict(state)
+
+
+def test_rk_wrapper_state_checkpoint_resume():
+    "RK inside-out state survives preemption BETWEEN stages."
+    import torch
+
+    from skrample_tpu import scheduling
+    from skrample_tpu.diffusers import RKUltraWrapperScheduler
+    from skrample_tpu.sampling import models
+
+    def make():
+        w = RKUltraWrapperScheduler(
+            schedule=scheduling.FlowShift(scheduling.Linear()),
+            sampler_order=2,
+            model=models.FlowModel(),
+            compute_scale=torch.float64,
+        )
+        w.set_timesteps(4)
+        return w
+
+    def model_out(x, t):
+        return x * 0.7 + float(t) * 1e-4
+
+    w_full = make()
+    x = torch.full((1, 4, 8, 8), 0.5, dtype=torch.float64)
+    for t in w_full.timesteps:
+        x = w_full.step(model_out(x, t), t, x).prev_sample
+    expected = x
+
+    # interrupt mid-RK-step (after 3 presented timesteps = 1.5 RK steps)
+    w_a = make()
+    x = torch.full((1, 4, 8, 8), 0.5, dtype=torch.float64)
+    for t in w_a.timesteps[:3]:
+        x = w_a.step(model_out(x, t), t, x).prev_sample
+    state = w_a.state_dict()
+    assert state["derivatives"], "must capture a half-completed RK step"
+
+    w_b = make()
+    w_b.load_state_dict(state)
+    for t in w_b.timesteps[3:]:
+        x = w_b.step(model_out(x, t), t, x).prev_sample
+
+    torch.testing.assert_close(x, expected, rtol=0, atol=0)
