@@ -165,8 +165,9 @@ class DataModel(DiffusionModel):
 
     def _ode_weights(self, shrunk: DeltaPoint) -> tuple[float, float]:
         (_, sig_s, alp_s), (_, sig_t, alp_t) = shrunk
-        carry = sig_t / sig_s
-        return carry, alp_t - alp_s * carry
+        # association pinned: ill-conditioned trajectories (ZSNR terminals)
+        # amplify even 1-ulp differences; see tests/test_reference_fuzz.py
+        return sig_t / sig_s, alp_t - alp_s * sig_t / sig_s
 
 
 @dataclass(frozen=True)
@@ -253,8 +254,8 @@ class ScaleX(FakeModel):
 
     def _ode_weights(self, shrunk: DeltaPoint) -> tuple[float, float]:
         (source, (_, sig_t, alp_t)) = shrunk
-        carry = sig_t / source.sigma
-        return carry, (alp_t - source.alpha * carry) * self.x_scale(source)
+        scale = self.x_scale(source)
+        return sig_t / source.sigma, (alp_t - source.alpha * sig_t / source.sigma) * scale
 
 
 @dataclass(frozen=True)

@@ -6,12 +6,11 @@ every structured solver here factors into three separable parts —
 
 1. **window** — the current + retained model predictions, mapped into the
    solver's derivative space (:func:`derivative_window`),
-2. **blend weights** — pure *scalar* coefficients derived from the log-SNR
-   geometry of the step (`_blend` on each solver).  No tensors are touched;
-   this is exactly the piece the TPU coefficient-table compiler
-   (:mod:`skrample_tpu.ops.compiler`) evaluates per step index, and keeping
-   it scalar float64 is also what stops error accumulating in low-precision
-   latents,
+2. **blend** — an affine combination of the window whose coefficients derive
+   from the step's log-SNR geometry (`_combine` on each solver), evaluated
+   in difference form for cancellation conditioning.  The TPU coefficient-
+   table compiler (:mod:`skrample_tpu.ops.compiler`) extracts exactly these
+   coefficients by running the same code symbolically,
 3. **one affine application** — ``transition.apply(sample, blend, noise)``.
 
 Because parts 1 and 3 are affine in the tensors, any solver expressed this
@@ -255,17 +254,23 @@ class Euler(StructuredStochastic, StatedSampler):
 class _BlendedMultistep(StructuredUnified, StatedSampler):
     """Shared machinery for window/weights/apply solvers (DPM, Adams).
 
-    Subclasses implement only `_blend`: scalar weights over the
-    newest-first prediction window, derived from the step's log-SNR layout."""
+    Subclasses implement only `_combine`: the prediction blend over the
+    newest-first window, derived from the step's log-SNR layout.  The blend
+    must stay affine in the window entries (the table compiler runs this same
+    code symbolically); *evaluation order* within it is free — and matters:
+    difference-form terms like ``(1/r) * (pred - prev)`` keep cancellation
+    conditioning that weight-folded forms lose when log-SNR gaps collapse
+    (ZSNR terminals, dense sub-schedules)."""
 
     @abstractmethod
-    def _blend(
+    def _combine[T: Sample](
         self,
+        window: Sequence[T],
         lambdas: Sequence[float],
         lambda_next: float,
         order: int,
-    ) -> Sequence[float]:
-        """Weights over ``[current, prev, prev2, ...]`` predictions.
+    ) -> T:
+        """Blend the ``[current, prev, prev2, ...]`` predictions.
 
         ``lambdas`` holds the log-SNR at each window entry's source point
         (newest first); ``lambda_next`` is the log-SNR at the step target."""
@@ -287,9 +292,7 @@ class _BlendedMultistep(StructuredUnified, StatedSampler):
         lambdas = [log_snr(delta.point_from)] + [
             log_snr(_source_point(entry, schedule)) for entry in previous[::-1][: order - 1]
         ]
-        weights = self._blend(lambdas, log_snr(delta.point_to), order)
-
-        blended: T = sumprod(window[: len(weights)], weights)
+        blended: T = self._combine(window, lambdas, log_snr(delta.point_to), order)
         return space.transition(delta, self.stochasticity).apply(packed.sample, blended, packed.noise)
 
 
@@ -298,27 +301,37 @@ class DPM(_BlendedMultistep):
     """DPM-Solver++ multistep, orders 1-3.  The recommended default.
 
     arXiv 2211.01095 — algorithm 2 (order 2) with the order-3 D1/D2
-    correction; section 5 for the SDE variant.  The classic formulation
-    subtracts expm1-weighted difference terms from the result; here the same
-    corrections are folded into the prediction-window weights so the tensor
-    math stays one weighted sum."""
+    correction; section 5 for the SDE variant.  The corrections are applied
+    in difference form — scaled differences of near-equal predictions — for
+    cancellation conditioning (see ``_BlendedMultistep``)."""
 
     @classmethod
     def max_order(cls) -> int:
         return 3
 
-    def _blend(self, lambdas: Sequence[float], lambda_next: float, order: int) -> Sequence[float]:
+    def _combine[T: Sample](
+        self,
+        window: Sequence[T],
+        lambdas: Sequence[float],
+        lambda_next: float,
+        order: int,
+    ) -> T:
         if order < 2:
-            return (1.0,)
+            return window[0]
 
         h = abs(lambda_next - lambdas[0])
         r = (lambdas[0] - lambdas[1]) / h
-        lead = 0.5 / r  # first finite-difference share
+        d1_head: T = (1.0 / r) * (window[0] - window[1])
 
         if order < 3:
-            return (1.0 + lead, -lead)
+            return window[0] + 0.5 * d1_head
 
         r2 = (lambdas[1] - lambdas[2]) / h
+        d1_tail: T = (1.0 / r2) * (window[1] - window[2])
+        spread: T = d1_head - d1_tail
+        d1: T = d1_head + (r / (r + r2)) * spread
+        d2: T = (1.0 / (r + r2)) * spread
+
         # expm1-based correction coefficients from the exact ODE solution
         hh = -h
         growth = math.expm1(hh)
@@ -327,16 +340,7 @@ class DPM(_BlendedMultistep):
             c2 = ((growth - hh) / hh**2 - 0.5) / growth
         else:
             c1 = c2 = 0
-
-        a, b = 1.0 / r, 1.0 / r2
-        m = r / (r + r2)
-        k = 1.0 / (r + r2)
-        # D1 = (1+m)*D1_0 - m*D1_1;  D2 = k*(D1_0 - D1_1); folded into weights
-        return (
-            1.0 + c1 * (1.0 + m) * a + c2 * k * a,
-            -(c1 * ((1.0 + m) * a + m * b) + c2 * k * (a + b)),
-            c1 * m * b + c2 * k * b,
-        )
+        return window[0] + c1 * d1 + c2 * d2
 
 
 @dataclass(frozen=True)
@@ -349,8 +353,14 @@ class Adams(_BlendedMultistep):
     def max_order(cls) -> int:
         return 9
 
-    def _blend(self, lambdas: Sequence[float], lambda_next: float, order: int) -> Sequence[float]:
-        return bashforth(order)
+    def _combine[T: Sample](
+        self,
+        window: Sequence[T],
+        lambdas: Sequence[float],
+        lambda_next: float,
+        order: int,
+    ) -> T:
+        return sumprod(window[:order], bashforth(order))
 
 
 @dataclass(frozen=True)
