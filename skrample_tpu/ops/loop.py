@@ -200,7 +200,12 @@ class CompiledDenoiser:
         ``start`` skips the leading steps (img2img); pass the same value to
         :func:`~skrample_tpu.ops.compiler.compile_sampler` so the history
         ramp matches.  ``callback(sample, step_index)`` fires per step via
-        ``jax.debug.callback`` (host-side, unordered w.r.t. device work)."""
+        ``jax.debug.callback`` (host-side, unordered w.r.t. device work).
+
+        ``unroll=4`` measured fastest on TPU v5e at SDXL f32 latents
+        (12-round interleaved A/B: 0.60 us/step vs 1.01 for unroll=1;
+        single-run marginals jitter ~2x through the dev tunnel, so only
+        interleaved comparisons are trusted)."""
         steps = self.compiled.steps
 
         xs: tuple = (jnp.arange(start, steps), self.weights[start:], self.points[start:])
