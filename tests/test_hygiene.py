@@ -75,3 +75,51 @@ def test_module_imports_and_all_resolves(name: str) -> None:
     module = importlib.import_module(name)
     for exported in getattr(module, "__all__", ()):  # noqa: B905
         assert getattr(module, exported, None) is not None, f"{name}.__all__ lists unresolvable {exported!r}"
+
+
+# names that look unused to the AST scan but are intentional re-exports or
+# future-import machinery
+_REEXPORT_OK = {
+    "annotations",  # from __future__
+    # diffusers.py re-exports the config-translation surface
+    "DIFFUSERS_CLASS_MAP", "DIFFUSERS_KEY_MAP", "DIFFUSERS_KEY_MAP_REV",
+    "DIFFUSERS_VALUE_MAP", "DIFFUSERS_VALUE_MAP_REV", "ParsedDiffusersConfig",
+    "DEFAULT_FAKE_CONFIG", "as_diffusers_config", "attr_dict", "parse_diffusers_config",
+    # scheduling.py aggregates the stack/curve modules
+    "_PartialSchedule", "NoMod", "NoSub", "ScheduleModifier", "SubSchedule", "SubSigmas",
+    "find_modifier", "restack", "split_stack", "Beta", "Exponential", "FlowShift",
+    "Hyper", "Karras", "Probit", "Sinner",
+}
+
+
+@pytest.mark.parametrize("path", SOURCES, ids=lambda p: str(p.relative_to(ROOT)))
+def test_no_unused_imports(path: pathlib.Path) -> None:
+    tree = _tree(path)
+    imported: dict[str, int] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                imported[(alias.asname or alias.name).split(".")[0]] = node.lineno
+        elif isinstance(node, ast.ImportFrom):
+            for alias in node.names:
+                if alias.name != "*":
+                    imported[alias.asname or alias.name] = node.lineno
+
+    used = {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+    source_lines = path.read_text().splitlines()
+    exported = set(getattr(__import__("importlib").import_module(_module_for(path)), "__all__", ()))
+
+    for name, lineno in imported.items():
+        if name in used or name in _REEXPORT_OK or name in exported:
+            continue
+        # crude textual fallback catches attribute/annotation-string usage
+        mentions = sum(1 for line in source_lines if name in line.split("#")[0])
+        assert mentions > 1, f"{path.relative_to(ROOT)}:{lineno}: unused import {name!r}"
+
+
+def _module_for(path: pathlib.Path) -> str:
+    rel = path.relative_to(ROOT).with_suffix("")
+    parts = list(rel.parts)
+    if parts[-1] == "__init__":
+        parts.pop()
+    return ".".join(parts)
