@@ -21,7 +21,7 @@ from .noise import JaxNoise
 from .ops.compiler import compile_sampler
 from .ops.loop import CompiledDenoiser, DeviceModel
 from .parallel import latent_sharding, make_mesh
-from .sampling import models, structured
+from .sampling import models, rk_solvers, structured
 
 
 @dataclass
@@ -121,6 +121,46 @@ class GenerationPipeline:
             x0 = entry.add_noise(initial.astype(self.dtype), seed) / full.add_noise(0.0, 1.0)
 
         return self._executable(start)(x0, k_steps)
+
+
+@dataclass
+class AdaptivePipeline:
+    """Adaptive-step generation: RKMoire as one device-resident executable.
+
+    The error-controlled trajectory (step count chosen on device, zero host
+    syncs) compiles once; each request is a single dispatch."""
+
+    model_fn: DeviceModel
+    sampler: "rk_solvers.RKMoire"
+    schedule: scheduling.SkrampleSchedule
+    model_transform: models.DiffusionModel
+    steps: int
+    latent_shape: tuple[int, ...]
+    dtype: Any = jnp.float32
+
+    _generate: Callable = field(init=False)
+
+    def __post_init__(self) -> None:
+        from .ops.adaptive import rkmoire_device_loop
+
+        def _generate(x0: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+            return rkmoire_device_loop(
+                self.sampler,
+                self.schedule,
+                self.model_transform,
+                self.steps,
+                self.model_fn,
+                x0,
+                return_counters=True,
+            )
+
+        self._generate = jax.jit(_generate)
+
+    def generate(self, key: jax.Array) -> tuple[jax.Array, int, int]:
+        "One request; returns (sample, accepted steps, trial steps)."
+        x0 = jax.random.normal(key, self.latent_shape, self.dtype)
+        sample, accepted, trials = self._generate(x0)
+        return sample, int(accepted), int(trials)
 
 
 def build_pipeline(

@@ -149,3 +149,26 @@ def test_pipeline_img2img_and_guidance():
         x0, guided, pipe.model_transform, pipe.schedule, 8, include=slice(start, None)
     )
     np.testing.assert_allclose(np.asarray(out2), np.asarray(expected), rtol=2e-5, atol=1e-6)
+
+
+def test_adaptive_pipeline():
+    import jax
+    import jax.numpy as jnp
+
+    from skrample_tpu import scheduling
+    from skrample_tpu.pipeline import AdaptivePipeline
+    from skrample_tpu.sampling import models
+    from skrample_tpu.sampling.rk_solvers import RKMoire
+
+    pipe = AdaptivePipeline(
+        model_fn=lambda x, t, s, a: x * 0.92,
+        sampler=RKMoire(order=2),
+        schedule=scheduling.FlowShift(scheduling.Linear()),
+        model_transform=models.FlowModel(),
+        steps=40,
+        latent_shape=(1, 4, 8, 8),
+    )
+    out, accepted, trials = pipe.generate(jax.random.PRNGKey(0))
+    assert out.shape == (1, 4, 8, 8)
+    assert bool(jnp.isfinite(out).all())
+    assert accepted >= 1 and trials >= accepted - 1
