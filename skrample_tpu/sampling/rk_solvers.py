@@ -27,6 +27,7 @@ from .functional import (
     Providers,
     SampleableModel,
     SampleCallback,
+    Transform,
     pick_provider,
     step_tableau,
 )
@@ -167,8 +168,9 @@ class RKMoire(traits.DerivativeTransform, FunctionalAdaptive, FunctionalHigher):
     The controller measures the pair's relative error, rescales the step by
     ``(threshold/error)^adaption``, and divides out the local sigma slope so
     the adaptation tracks the *schedule's* nonlinearity rather than fighting
-    it.  A device-resident ``lax.while_loop`` build of the same controller
-    lives in :mod:`skrample_tpu.ops.loop`."""
+    it.  This host loop is the spec; the fully device-resident
+    ``lax.while_loop`` build lives in :mod:`skrample_tpu.ops.adaptive` and a
+    host-controller/device-kernel hybrid in :mod:`skrample_tpu.ops.loop`."""
 
     providers: Providers[EmbeddedTableau] = MappingProxyType(
         DEFAULT_EMBEDDED_PROVIDERS
