@@ -17,7 +17,7 @@ import numpy as np
 
 from .common import normalize, regularize, rescale_positive, sigmoid
 from .schedule_stack import ScheduleModifier, SubSigmas
-from .scheduling import NPSequence
+from .scheduling import NPSequence, ScheduleCommon, SkrampleSchedule  # noqa: F401 — resolve inherited field annotations
 
 # =============================================================================
 # Sub-sigma curves

@@ -89,6 +89,9 @@ _REEXPORT_OK = {
     "_PartialSchedule", "NoMod", "NoSub", "ScheduleModifier", "SubSchedule", "SubSigmas",
     "find_modifier", "restack", "split_stack", "Beta", "Exponential", "FlowShift",
     "Hyper", "Karras", "Probit", "Sinner",
+    # schedule_curves: base-class field annotations must resolve in the
+    # subclass module for dataclass-generated __init__ type hints
+    "ScheduleCommon", "SkrampleSchedule",
 }
 
 
