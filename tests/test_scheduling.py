@@ -150,3 +150,22 @@ def test_stack_surgery_roundtrip():
     mods, sub, base = split_stack(Scaled())
     assert mods == [] and sub is None and base == Scaled()
     assert find_modifier(Linear(), FlowShift) is None
+
+
+def test_find_split_duplicate_modifiers_lossless():
+    """Regression: splitting around a modifier type that appears twice must
+    not lose either instance.  (The reference implementation drops one: its
+    find_split over FlowShift(FlowShift(Linear)) returns only the inner
+    shift and restacking silently collapses the stack.)  Ours returns the
+    outermost match with the rest intact, so split -> restack is identity."""
+    from skrample_tpu.scheduling import FlowShift, Linear, ScheduleModifier
+
+    stack = FlowShift(FlowShift(Linear(), shift=2.0), shift=5.0)
+    before, found, after, sub, base = stack.find_split(FlowShift)
+
+    assert found.shift == 5.0  # outermost (first in application order)
+    assert [m.shift for m in after] == [2.0]
+    assert before == [] and sub is None
+
+    rebuilt = ScheduleModifier.stack([*before, found, *after], sub, base)
+    assert rebuilt == stack
