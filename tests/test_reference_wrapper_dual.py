@@ -209,3 +209,46 @@ def test_wrapper_dual_fuzz(case: int) -> None:
     np.testing.assert_array_equal(s_m, s_r)
     if np.isfinite(x_r).all():
         np.testing.assert_allclose(x_m, x_r, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("steps", [4, 8])
+def test_dynasau_wrapper_dual_run(steps: int) -> None:
+    "The per-step-generated-tableau wrapper against the reference's."
+    mine = m_wrap.DynasauRKWrapperScheduler(
+        schedule=m_sched.FlowShift(m_sched.Linear()),
+        sampler_order=3,
+        model=m_models.FlowModel(),
+        compute_scale=torch.float64,
+    )
+    theirs = r_wrap.DynasauRKWrapperScheduler(
+        schedule=r_sched.FlowShift(r_sched.Linear()),
+        sampler_order=3,
+        model=r_models.FlowModel(),
+        compute_scale=torch.float64,
+    )
+
+    t_m, s_m, x_m = drive(mine, steps, seed=steps * 77)
+    t_r, s_r, x_r = drive(theirs, steps, seed=steps * 77)
+
+    np.testing.assert_allclose(t_m, t_r, rtol=1e-12)
+    np.testing.assert_allclose(x_m, x_r, rtol=1e-9, atol=1e-12)
+
+
+def test_config_export_dual() -> None:
+    "as_diffusers_config reverse translation matches the reference's."
+    import skrample.sampling.structured as rst
+
+    mine = m_wrap.as_diffusers_config(
+        m_struct.DPM(order=2, stochasticity=1), m_sched.Karras(m_sched.Scaled()), m_models.NoiseModel()
+    )
+    theirs = r_wrap.as_diffusers_config(
+        rst.DPM(order=2, stochasticity=1), r_sched.Karras(r_sched.Scaled()), r_models.NoiseModel()
+    )
+    # keys must agree; values agree except the library-typed entries
+    assert set(mine) == set(theirs)
+    for key in mine:
+        a, b = mine[key], theirs[key]
+        if isinstance(a, (int, float, str, bool)) and isinstance(b, (int, float, str, bool)):
+            assert a == b, key
+        else:
+            assert type(a).__name__ == type(b).__name__, key
