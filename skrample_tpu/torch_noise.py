@@ -106,9 +106,10 @@ class Offset(TensorNoiseCommon[OffsetProps]):
         return self._randn(shape) * props.strength**2
 
     def generate(self, step: Step | None) -> torch.Tensor:
-        offset = self.static_offset if self.static_offset is not None else None
-        base = self._randn()
-        return base + (offset if offset is not None else self._offset())
+        # draw order is part of the contract: the offset consumes the stream
+        # BEFORE the base draw, exactly like the reference generator
+        offset = self.static_offset if self.static_offset is not None else self._offset()
+        return self._randn() + offset
 
 
 @dataclass
