@@ -257,8 +257,10 @@ def test_schedule_tables_bit_exact_fuzz(case: int) -> None:
     steps = rng.randint(1, 23)
     ref_table = theirs.schedule_np(steps)
     my_table = mine.schedule_np(steps)
-    assert np.array_equal(my_table, ref_table), f"{base_kind} stack table diverged"
+    # equal_nan: extreme random params can push the closed forms to an
+    # identical NaN on both sides (error-for-error parity)
+    assert np.array_equal(my_table, ref_table, equal_nan=True), f"{base_kind} stack table diverged"
 
     grid = [rng.random() for _ in range(7)]
-    assert np.array_equal(mine.points_np(grid), theirs.points_np(grid))
-    assert np.array_equal(mine.ipoints_np(grid), theirs.ipoints_np(grid))
+    assert np.array_equal(mine.points_np(grid), theirs.points_np(grid), equal_nan=True)
+    assert np.array_equal(mine.ipoints_np(grid), theirs.ipoints_np(grid), equal_nan=True)
