@@ -123,18 +123,18 @@ def test_sp_spatial_sharding() -> None:
     np.testing.assert_allclose(np.asarray(sharded), single, rtol=1e-6, atol=1e-6)
 
 
-def test_pipeline_parallel_matches_sequential():
+@pytest.mark.parametrize(("stages", "count"), [(2, 1), (2, 5), (3, 4), (4, 6), (4, 1)])
+def test_pipeline_parallel_matches_sequential(stages, count):
     "GPipe-lite over a pp axis must equal running the stages sequentially."
     import numpy as np
     from jax.sharding import Mesh
 
     from skrample_tpu.parallel.pipeline_stages import pipeline_apply
 
-    stages = 4
     mesh = Mesh(np.asarray(jax.devices()[:stages]), ("pp",))
 
     # one dense layer per stage, stacked on the stage axis
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(stages * 100 + count)
     dim = 16
     w = jax.random.normal(key, (stages, dim, dim), jnp.float32) * 0.3
     b = jax.random.normal(jax.random.fold_in(key, 1), (stages, dim), jnp.float32) * 0.1
@@ -143,7 +143,7 @@ def test_pipeline_parallel_matches_sequential():
     def stage_fn(local, x):
         return jnp.tanh(x @ local["w"] + local["b"])
 
-    microbatches = jax.random.normal(jax.random.fold_in(key, 2), (6, 2, dim), jnp.float32)
+    microbatches = jax.random.normal(jax.random.fold_in(key, 2), (count, 2, dim), jnp.float32)
 
     out = pipeline_apply(stage_fn, params, microbatches, mesh, axis="pp")
 
@@ -154,14 +154,14 @@ def test_pipeline_parallel_matches_sequential():
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-6)
 
 
-def test_expert_parallel_matches_single_device():
+@pytest.mark.parametrize("experts", [2, 4, 8])
+def test_expert_parallel_matches_single_device(experts):
     "The ep-sharded MoE FFN must equal its unsharded evaluation."
     import numpy as np
     from jax.sharding import Mesh, NamedSharding
 
     from skrample_tpu.parallel.experts import init_moe_ffn, moe_ffn, moe_ffn_spec
 
-    experts = 4
     mesh = Mesh(np.asarray(jax.devices()[:experts]), ("ep",))
     params = init_moe_ffn(jax.random.PRNGKey(3), dim=16, hidden=32, experts=experts)
     tokens = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 16), jnp.float32)
