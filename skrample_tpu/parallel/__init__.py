@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from .experts import init_moe_ffn, moe_ffn, moe_ffn_spec  # noqa: E402
 from .pipeline_stages import pipeline_apply  # noqa: E402
+from .ring_attention import ring_attention  # noqa: E402
 
 __all__ = [
     "batch_keys",
@@ -36,6 +37,7 @@ __all__ = [
     "moe_ffn_spec",
     "pipeline_apply",
     "replicated",
+    "ring_attention",
     "shard_batch",
 ]
 

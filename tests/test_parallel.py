@@ -180,3 +180,29 @@ def test_expert_parallel_matches_single_device(experts):
     # routing must actually spread tokens across experts for the test to mean anything
     logits = jnp.einsum("bnd,de->bne", tokens, params["gate"])
     assert len(set(np.asarray(jnp.argmax(logits, -1)).ravel().tolist())) > 1
+
+
+@pytest.mark.parametrize("ring", [2, 4])
+def test_ring_attention_matches_full(ring):
+    "Ring attention over sp-sharded K/V must equal full softmax attention."
+    import math
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from skrample_tpu.parallel.ring_attention import ring_attention
+
+    mesh = Mesh(np.asarray(jax.devices()[:ring]), ("sp",))
+    B, H, N, D = 2, 4, 8 * ring, 16
+    key = jax.random.PRNGKey(ring)
+    q = jax.random.normal(key, (B, H, N, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, N, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, N, D), jnp.float32)
+
+    with mesh:
+        ringed = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh))(q, k, v)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(D)
+    full = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
+
+    np.testing.assert_allclose(np.asarray(ringed), np.asarray(full), rtol=2e-5, atol=2e-6)
