@@ -31,6 +31,12 @@ class DiTConfig:
     heads: int = 6
     mlp_ratio: int = 4
     compute_dtype: Any = jnp.bfloat16
+    attention: str = "full"
+    """``"full"`` (every chip holds all K/V) or ``"ring"`` (sequence-parallel
+    exact attention: K/V blocks rotate over the mesh's ``sp_axis`` with
+    ``ppermute`` — 1/S of the K/V and scores memory per chip).  Ring requires
+    constructing the :class:`DiT` with a mesh that has the ``sp_axis``."""
+    sp_axis: str = "sp"
 
     @property
     def head_dim(self) -> int:
@@ -73,8 +79,13 @@ def _timestep_embedding(t: jax.Array, dim: int) -> jax.Array:
 class DiT:
     "Functional model: ``init`` -> params pytree, ``apply(params, x, t)``."
 
-    def __init__(self, config: DiTConfig = DiTConfig()):
+    def __init__(self, config: DiTConfig = DiTConfig(), mesh: Any = None):
         self.config = config
+        self.mesh = mesh
+        if config.attention == "ring" and mesh is None:
+            raise ValueError("DiTConfig(attention='ring') needs DiT(config, mesh=...) with the sp axis")
+        if config.attention not in ("full", "ring"):
+            raise ValueError(f"unknown attention kind {config.attention!r}")
 
     def init(self, key: jax.Array) -> dict:
         c = self.config
@@ -146,6 +157,14 @@ class DiT:
             t = jnp.broadcast_to(t, (B,))
 
         tokens = _dense(params["patch_in"], self.patchify(x).astype(dtype), dtype)
+        if c.attention == "ring" and self.mesh is not None:
+            # keep the whole residual stream token-sharded over sp: the dense
+            # layers are token-parallel, so only the ring hops touch ICI
+            from jax.sharding import NamedSharding
+
+            tokens = jax.lax.with_sharding_constraint(
+                tokens, NamedSharding(self.mesh, P(None, c.sp_axis, None))
+            )
 
         temb = _timestep_embedding(t, 256)
         temb = _dense(params["t_mlp2"], jax.nn.silu(_dense(params["t_mlp1"], temb.astype(dtype), dtype)), dtype)
@@ -162,9 +181,14 @@ class DiT:
             q = q.reshape(B, N, c.heads, c.head_dim).transpose(0, 2, 1, 3)
             k = k.reshape(B, N, c.heads, c.head_dim).transpose(0, 2, 1, 3)
             v = v.reshape(B, N, c.heads, c.head_dim).transpose(0, 2, 1, 3)
-            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-            attn = jax.nn.softmax(attn / math.sqrt(c.head_dim), axis=-1).astype(dtype)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32).astype(dtype)
+            if c.attention == "ring":
+                from ..parallel.ring_attention import ring_attention
+
+                out = ring_attention(q, k, v, self.mesh, axis=c.sp_axis)
+            else:
+                attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+                attn = jax.nn.softmax(attn / math.sqrt(c.head_dim), axis=-1).astype(dtype)
+                out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32).astype(dtype)
             out = out.transpose(0, 2, 1, 3).reshape(B, N, c.dim)
             tokens = tokens + g_attn[:, None] * _dense(block["proj"], out, dtype)
 

@@ -56,6 +56,7 @@ class CompiledDenoiser:
     kernel: str = "xla"
     "'xla' (fused multiply-add chain) or 'pallas' (explicit TPU kernel)."
     _jitted_step: Callable | None = None
+    _jitted_step_indexed: Callable | None = None
 
     @classmethod
     def build(cls, compiled: CompiledSampler, dtype: Any = jnp.float32, kernel: str = "auto") -> "CompiledDenoiser":
@@ -181,6 +182,40 @@ class CompiledDenoiser:
             else:
                 self._jitted_step = jax.jit(lambda w, x, o, ring: self.step(w, x, o, ring), donate_argnums=donate)
         return self._jitted_step
+
+    def jitted_step_indexed(self) -> Callable:
+        """Like :meth:`jitted_step`, but the whole weight table stays resident
+        on device and the host passes only the step index ``n`` (a scalar):
+        ``(n, x, o, ring, noise?) -> (next x, next ring)``.
+
+        This removes all per-step host work beyond the dispatch itself — no
+        weight-row lookup, no per-step host->device row transfer — so it is
+        the fastest single-step path for wrapper drivers that cannot scan.
+        The row gather (``weights[n]``) is a device-side dynamic slice over a
+        table that was uploaded once at build time."""
+        if self._jitted_step_indexed is None:
+            weights = self.weights  # uploaded once; closed over as a device constant
+            # jitted_step's donation indices are positional over (w|n, x, o,
+            # ring[, z]) — identical layout here, so the same analysis applies.
+            if jax.default_backend() == "cpu":
+                donate_idx: tuple[int, ...] = ()
+            else:
+                passthrough = self.rows == 1 and self.history > 0
+                consumed = [3]
+                if not passthrough:
+                    consumed = [1, 2, 3]
+                if self.requires_noise and not (passthrough and self.slots == 3):
+                    consumed.append(4)
+                donate_idx = tuple(consumed)
+            if self.requires_noise:
+                self._jitted_step_indexed = jax.jit(
+                    lambda n, x, o, ring, z: self.step(weights[n], x, o, ring, z), donate_argnums=donate_idx
+                )
+            else:
+                self._jitted_step_indexed = jax.jit(
+                    lambda n, x, o, ring: self.step(weights[n], x, o, ring), donate_argnums=donate_idx
+                )
+        return self._jitted_step_indexed
 
     def run(
         self,

@@ -24,16 +24,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from .experts import init_moe_ffn, moe_ffn, moe_ffn_spec  # noqa: E402
+from .experts import expert_capacity, init_moe_ffn, moe_ffn, moe_ffn_capacity, moe_ffn_spec  # noqa: E402
 from .pipeline_stages import pipeline_apply  # noqa: E402
 from .ring_attention import ring_attention  # noqa: E402
 
 __all__ = [
     "batch_keys",
+    "expert_capacity",
     "init_moe_ffn",
     "latent_sharding",
     "make_mesh",
     "moe_ffn",
+    "moe_ffn_capacity",
     "moe_ffn_spec",
     "pipeline_apply",
     "replicated",

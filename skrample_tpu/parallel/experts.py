@@ -1,11 +1,22 @@
 """Expert parallelism: a mixture-of-experts FFN sharded over an ``ep`` axis.
 
-Expert weights carry a leading expert axis sharded over ``ep``; routing is
-dense top-1 (every expert computes every token, the gate mask selects) so
-the whole layer is three einsums and GSPMD inserts the ``ep`` all-reduce at
-the combine.  Dense dispatch costs E× FLOPs — the right trade below the
-scale where capacity-based all-to-all dispatch pays off, and it keeps the
-layer a pure function of shardings.
+Expert weights carry a leading expert axis sharded over ``ep``.  Two dispatch
+strategies share the same parameters and (when nothing overflows) the same
+output:
+
+* :func:`moe_ffn` — dense top-1: every expert computes every token, the
+  one-hot gate mask selects.  E× FLOPs, zero dispatch machinery; the right
+  trade at small scale and the equivalence oracle for the capacity path.
+* :func:`moe_ffn_capacity` — Switch-Transformer-style capacity dispatch
+  (one-hot dispatch tensor built from a cumulative position within each
+  expert's queue; cf. arXiv 2101.03961 §2.2 and the mesh-tensorflow einsum
+  formulation).  Each expert computes only ``capacity`` token slots, so the
+  FFN FLOPs drop from E× to ~capacity_factor×; tokens past an expert's
+  capacity contribute zero (documented Switch behavior).  Static shapes
+  throughout — jit/mesh friendly; GSPMD turns the dispatch/combine einsums
+  into the ``ep`` scatter/gather.
+
+Measured crossover between the two paths: ``docs/SCALING.md``.
 """
 
 from __future__ import annotations
@@ -49,3 +60,74 @@ def moe_ffn(params: dict, tokens: jax.Array) -> jax.Array:
     hidden = jax.nn.gelu(jnp.einsum("...nd,edh->...neh", tokens, params["w_in"]))
     expert_out = jnp.einsum("...neh,ehd->...ned", hidden, params["w_out"])
     return jnp.einsum("...ned,...ne->...nd", expert_out, mask)
+
+
+def expert_capacity(tokens: int, experts: int, capacity_factor: float = 1.25) -> int:
+    "Per-expert slot count: ceil(factor * tokens / experts), at least 1."
+    return max(1, math.ceil(capacity_factor * tokens / experts))
+
+
+def moe_ffn_capacity(
+    params: dict,
+    tokens: jax.Array,
+    capacity: int | None = None,
+    capacity_factor: float = 1.25,
+    method: str = "gather",
+) -> jax.Array:
+    """Top-1 routed FFN with per-expert capacity over ``tokens`` (..., N, dim).
+
+    Routing order is token order (first come, first served within each
+    expert's queue); a token beyond its expert's capacity is dropped — its
+    output is zero, exactly like Switch.  With ``capacity >= N_total`` no
+    token can overflow and the result equals :func:`moe_ffn` bit-for-bit up
+    to summation order.
+
+    Two dispatch implementations, identical results:
+
+    * ``method="gather"`` (default) — scatter tokens into a flat ``(E*C, D)``
+      slot buffer by computed slot id, gather back after the expert matmuls.
+      O(T*D) dispatch cost; the scatter/gather lower to TPU dynamic-update
+      ops.  Expert FLOPs: ``E*C*4*D*H``.
+    * ``method="onehot"`` — the mesh-tensorflow/Switch einsum formulation:
+      an explicit ``(T, E, C)`` one-hot dispatch tensor contracted on both
+      sides.  Costs ``2*T*E*C*D`` per side — quadratic in T at fixed
+      capacity factor — but is a pure pair of matmuls, which rides the MXU
+      and gives GSPMD the cleanest sharding story.  Preferable only when T
+      is modest; see docs/SCALING.md for the measured crossover."""
+    *lead, N, D = tokens.shape
+    T = N
+    for n in lead:
+        T *= n
+    flat = tokens.reshape(T, D)
+    E = params["w_in"].shape[0]
+    C = capacity if capacity is not None else expert_capacity(T, E, capacity_factor)
+
+    logits = flat @ params["gate"].astype(flat.dtype)
+    choice = jnp.argmax(logits, axis=-1)  # (T,)
+    onehot = jax.nn.one_hot(choice, E, dtype=flat.dtype)  # (T, E)
+    # position of each token within its expert's queue, in token order
+    position = jnp.cumsum(onehot, axis=0) - 1.0
+    keep = onehot * (position < C)
+
+    w_in = params["w_in"].astype(flat.dtype)
+    w_out = params["w_out"].astype(flat.dtype)
+
+    if method == "onehot":
+        slot = jax.nn.one_hot(position.astype(jnp.int32), C, dtype=flat.dtype)  # (T, E, C)
+        dispatch = slot * keep[..., None]  # (T, E, C) one-hot; zero row = dropped
+        expert_in = jnp.einsum("tec,td->ecd", dispatch, flat)  # (E, C, D), ep-sharded
+        hidden = jax.nn.gelu(jnp.einsum("ecd,edh->ech", expert_in, w_in))
+        expert_out = jnp.einsum("ech,ehd->ecd", hidden, w_out)
+        combined = jnp.einsum("tec,ecd->td", dispatch, expert_out)
+    elif method == "gather":
+        pos = jnp.sum(position * onehot, axis=-1).astype(jnp.int32)  # (T,) queue position
+        kept = jnp.sum(keep, axis=-1) > 0  # (T,) survived capacity
+        slot_id = jnp.where(kept, choice.astype(jnp.int32) * C + pos, E * C)  # overflow bin at the end
+        slots = jnp.zeros((E * C + 1, D), flat.dtype).at[slot_id].set(flat)
+        expert_in = slots[: E * C].reshape(E, C, D)
+        hidden = jax.nn.gelu(jnp.einsum("ecd,edh->ech", expert_in, w_in))
+        expert_out = jnp.einsum("ech,ehd->ecd", hidden, w_out).reshape(E * C, D)
+        combined = jnp.where(kept[:, None], expert_out[jnp.minimum(slot_id, E * C - 1)], 0.0)
+    else:
+        raise ValueError(f"unknown dispatch method {method!r}")
+    return combined.reshape(*lead, N, D)

