@@ -16,7 +16,12 @@ relative solver quality and confirmed the stage-count winners used by
 Falls back to a random-weight DiT + latent MSE when the checkpoint is
 missing (still proves execution, as in round 1).
 
-Usage: python scripts/compare_tableaux.py [nfe_budget=24] [seeds=4]
+Two surrogate families so rankings are not single-model artifacts:
+``flow`` (DiT, u-prediction, linear flow schedule — the round-2 surrogate)
+and ``eps`` (UNet, epsilon-prediction, VP Scaled schedule — the SD regime
+in miniature; see scripts/train_surrogate.py).
+
+Usage: python scripts/compare_tableaux.py [nfe_budget=24] [seeds=4] [flow|eps]
 """
 
 from __future__ import annotations
@@ -36,31 +41,42 @@ from skrample_tpu.sampling import models, structured, tableaux
 from skrample_tpu.sampling.rk_solvers import RKUltra
 from skrample_tpu.utils.quality import ssim
 
-SURROGATE = pathlib.Path(__file__).resolve().parent.parent / "skrample_tpu" / "models" / "assets" / "surrogate_flow_32.npz"
+ASSETS = pathlib.Path(__file__).resolve().parent.parent / "skrample_tpu" / "models" / "assets"
+SURROGATE = ASSETS / "surrogate_flow_32.npz"
+EPS_SURROGATE = ASSETS / "surrogate_eps_unet_32.npz"
 
 
-def build_model() -> tuple:
-    if SURROGATE.exists():
+def build_model(family: str = "flow") -> tuple:
+    "(model_fn, shape, trained, schedule, transform) for the chosen family."
+    if family == "eps" and EPS_SURROGATE.exists():
+        from skrample_tpu.models import UNet, UNetConfig
+
+        net = UNet(UNetConfig(channels=1, base=32, levels=3, groups=8, compute_dtype=jnp.float32))
+        params = jax.tree.map(jnp.asarray, load_params(EPS_SURROGATE))
+        shape = (1, 1, 32, 32)
+        trained = True
+        schedule, transform = scheduling.Scaled(), models.NoiseModel()
+    elif family == "flow" and SURROGATE.exists():
         config = DiTConfig(patch=2, channels=1, dim=128, depth=3, heads=4, compute_dtype=jnp.float32)
-        dit = DiT(config)
+        net = DiT(config)
         params = jax.tree.map(jnp.asarray, load_params(SURROGATE))
         shape = (1, 1, 32, 32)
         trained = True
+        schedule, transform = scheduling.Linear(), models.FlowModel()
     else:
         print("# surrogate checkpoint missing - falling back to random weights + MSE", file=sys.stderr)
         config = DiTConfig(dim=128, depth=3, heads=4, compute_dtype=jnp.float32)
-        dit = DiT(config)
-        params = dit.init(jax.random.PRNGKey(0))
+        net = DiT(config)
+        params = net.init(jax.random.PRNGKey(0))
         shape = (1, 4, 32, 32)
         trained = False
-    model_fn = jax.jit(lambda x, t, s, a: dit.apply(params, x, t))
-    return model_fn, shape, trained
+        schedule, transform = scheduling.Linear(), models.FlowModel()
+    model_fn = jax.jit(lambda x, t, s, a: net.apply(params, x, t))
+    return model_fn, shape, trained, schedule, transform
 
 
-def main(nfe_budget: int = 24, seeds: int = 4) -> None:
-    model_fn, shape, trained = build_model()
-    schedule = scheduling.Linear()
-    transform = models.FlowModel()
+def main(nfe_budget: int = 24, seeds: int = 4, family: str = "flow") -> None:
+    model_fn, shape, trained, schedule, transform = build_model(family)
 
     noises = [jax.random.normal(jax.random.PRNGKey(100 + k), shape, jnp.float32) for k in range(seeds)]
     references = [
@@ -126,4 +142,4 @@ def main(nfe_budget: int = 24, seeds: int = 4) -> None:
 
 if __name__ == "__main__":
     args = [int(a) for a in sys.argv[1:3]]
-    main(*args)
+    main(*args, family=sys.argv[3] if len(sys.argv) > 3 else "flow")

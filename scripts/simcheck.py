@@ -58,11 +58,26 @@ PAIRS = [
 ]
 
 if __name__ == "__main__":
-    if len(sys.argv) == 3:
+    if len(sys.argv) == 3 and sys.argv[1] != "--gate":
         print(f"{ratio(sys.argv[1], sys.argv[2]):.3f}")
     else:
+        # --gate [threshold]: exit nonzero if any pair exceeds the threshold
+        # (CI provenance gate; default 0.66, just above the documented
+        # API-pinned residue ceiling — see docs/REWRITE.md)
+        gate = None
+        if len(sys.argv) >= 2 and sys.argv[1] == "--gate":
+            gate = float(sys.argv[2]) if len(sys.argv) > 2 else 0.66
+        if not Path(PAIRS[0][1]).parent.parent.is_dir():
+            print("reference tree not mounted; nothing to check")
+            sys.exit(0)
         root = Path(__file__).resolve().parent.parent
+        worst = 0.0
         for mine, ref in PAIRS:
             p = root / mine
             if p.exists():
-                print(f"{ratio(str(p), ref):.3f}  {mine}")
+                r = ratio(str(p), ref)
+                worst = max(worst, r)
+                flag = "  <-- OVER GATE" if gate is not None and r > gate else ""
+                print(f"{r:.3f}  {mine}{flag}")
+        if gate is not None and worst > gate:
+            sys.exit(1)

@@ -1,18 +1,29 @@
 #!/usr/bin/env python
-"""Train the committed quality-search surrogate.
+"""Train the committed quality-search surrogates.
 
-A small flow-matching DiT trained on a *synthetic but structured* image
-distribution (soft ellipse blobs + oriented stripe fields on gradient
-backgrounds).  The resulting checkpoint gives the tableau quality search a
-real learned vector field to integrate — solver quality differences show up
-as perceptual (SSIM) differences in the decoded images, which random-weight
-nets cannot provide.
+Two families, so tableau rankings are not single-model artifacts:
 
-Limitations (documented, deliberate): 1.2M params, 32x32 single-channel
+* ``flow`` (default) — a small flow-matching DiT (u-prediction on the linear
+  flow schedule), the round-2 surrogate.
+* ``eps`` — a UNet trained with epsilon-prediction on the VP ``Scaled``
+  schedule: the closest offline analogue to the SD1.5 regime the
+  reference's EES tableaux were tuned in (conv UNet, noise-prediction,
+  cosine-ish VP noise levels).
+
+Both train on a *synthetic but structured* image distribution (soft ellipse
+blobs + oriented stripe fields on gradient backgrounds).  The resulting
+checkpoints give the tableau quality search real learned vector fields to
+integrate — solver quality differences show up as perceptual (SSIM)
+differences in the decoded images, which random-weight nets cannot provide.
+
+Limitations (documented, deliberate): ~1-2M params, 32x32 single-channel
 images, synthetic data.  This calibrates *relative* solver quality; absolute
 rankings on SD-class models may differ.
 
-Writes ``skrample_tpu/models/assets/surrogate_flow_32.npz``.
+Writes ``skrample_tpu/models/assets/surrogate_flow_32.npz`` /
+``surrogate_eps_unet_32.npz``.
+
+Usage: python scripts/train_surrogate.py [steps] [flow|eps]
 """
 
 from __future__ import annotations
@@ -59,10 +70,21 @@ def synth_batch(key: jax.Array, batch: int) -> jax.Array:
     return jax.vmap(one)(jax.random.split(kg, batch))[:, None]  # (B, 1, H, W)
 
 
-def main(steps: int = 4000, batch: int = 128, lr: float = 2e-4) -> None:
+def main(steps: int = 4000, batch: int = 128, lr: float = 2e-4, family: str = "flow") -> None:
     import optax
 
-    model = DiT(CONFIG)
+    if family == "flow":
+        model = DiT(CONFIG)
+        out_path = OUT
+    else:  # eps: UNet + VP Scaled schedule (the SD regime, in miniature)
+        from skrample_tpu import scheduling
+        from skrample_tpu.models import UNet, UNetConfig
+
+        model = UNet(UNetConfig(channels=1, base=32, levels=3, groups=8, compute_dtype=jnp.float32))
+        out_path = OUT.parent / "surrogate_eps_unet_32.npz"
+        # (timestep, normalized sigma, alpha) lookup for traced continuous t
+        vp_table = jnp.asarray(scheduling.Scaled().points_np(np.linspace(1e-4, 1.0, 1024)), jnp.float32)
+
     params = model.init(jax.random.PRNGKey(0))
     opt = optax.adamw(optax.cosine_decay_schedule(lr, steps), weight_decay=1e-4)
     opt_state = opt.init(params)
@@ -71,11 +93,20 @@ def main(steps: int = 4000, batch: int = 128, lr: float = 2e-4) -> None:
         kd, kn, kt = jax.random.split(key, 3)
         x0 = synth_batch(kd, batch)
         noise = jax.random.normal(kn, x0.shape, jnp.float32)
-        sigma = jax.random.uniform(kt, (batch,), minval=1e-3, maxval=1.0)
-        s = sigma[:, None, None, None]
-        xt = (1 - s) * x0 + s * noise
-        target = noise - x0  # flow velocity (u-prediction)
-        pred = model.apply(params, xt, sigma * 1000.0)
+        if family == "flow":
+            sigma = jax.random.uniform(kt, (batch,), minval=1e-3, maxval=1.0)
+            s = sigma[:, None, None, None]
+            xt = (1 - s) * x0 + s * noise
+            target = noise - x0  # flow velocity (u-prediction)
+            pred = model.apply(params, xt, sigma * 1000.0)
+        else:
+            idx = jax.random.randint(kt, (batch,), 0, vp_table.shape[0])
+            point = vp_table[idx]  # (B, 3): timestep, sigma, alpha
+            s = point[:, 1][:, None, None, None]
+            a = point[:, 2][:, None, None, None]
+            xt = a * x0 + s * noise
+            target = noise  # epsilon-prediction
+            pred = model.apply(params, xt, point[:, 0])
         return jnp.mean((pred - target) ** 2)
 
     @jax.jit
@@ -100,9 +131,12 @@ def main(steps: int = 4000, batch: int = 128, lr: float = 2e-4) -> None:
 
     from skrample_tpu.models import save_params
 
-    save_params(OUT, params)
-    print(f"saved {OUT} ({OUT.stat().st_size / 1e6:.1f} MB), final loss {float(loss):.4f}")
+    save_params(out_path, params)
+    print(f"saved {out_path} ({out_path.stat().st_size / 1e6:.1f} MB), final loss {float(loss):.4f}")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 4000)
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 4000,
+        family=sys.argv[2] if len(sys.argv) > 2 else "flow",
+    )

@@ -10,6 +10,14 @@ This is deliberately the minimal correct schedule (fill + drain, no
 interleaving): the sampler framework itself never needs pp — this exists so
 models too deep for one chip slot into the same mesh machinery, and the
 multi-chip dryrun exercises it.
+
+Intentional fill/drain cost: every device executes ``stage_fn`` on all
+``M + S - 1`` ticks, so during fill/drain some devices compute garbage that
+is never read (stage 0 re-feeds the last microbatch for ``t >= M``).  Under
+SPMD this is not avoidable by masking — the program is uniform across
+devices, so zeroing inputs saves no wall time; the S-1-tick bubble is the
+textbook GPipe fill/drain overhead (amortize by raising M/S, or interleave
+stages, which this minimal schedule deliberately does not).
 """
 
 from __future__ import annotations

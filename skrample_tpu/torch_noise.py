@@ -140,7 +140,16 @@ class Pyramid(TensorNoiseCommon[PyramidProps]):
 @dataclass
 class Brownian(TensorNoiseCommon[BrownianProps]):
     """Deterministic-over-interval noise from the virtual Brownian tree
-    (counter-based; replaces torchsde's stateful C++ interval tree)."""
+    (counter-based; replaces torchsde's stateful C++ interval tree,
+    cf. reference skrample/pytorch/noise.py:225-242).
+
+    NOT seed-compatible with the reference: the same seed yields different
+    (equally distributed) draws, because torchsde's Philox interval tree
+    cannot be replayed by a counter-based PRNG.  Interval-additivity,
+    step-count invariance, and the N(0, |b-a|) marginal are preserved and
+    tested.  See docs/MIGRATION.md, "Brownian streams are NOT
+    seed-compatible with torchsde", for how to pin cross-library
+    reproducibility (precomputed noise buffers)."""
 
     def __post_init__(self) -> None:
         self._impl = jaxnoise.Brownian.from_inputs(
