@@ -176,14 +176,19 @@ def dispatch_section(jax, jnp, sampler, schedule, transform, shape, steps: int =
     nullsig = jax.jit(lambda w, x, o, ring: (x, ring), donate_argnums=donate)
     null1 = jax.jit(lambda v: v + jnp.float32(0))
 
-    def timed(loop, reps: int = 3) -> float:
-        loop()  # compile / warm
-        best = float("inf")
+    def timed_interleaved(loops: dict[str, object], reps: int = 5) -> dict[str, float]:
+        """Best-of-reps per loop, round-robin so tunnel/host drift hits every
+        loop equally (sequential timing made the subtraction fields
+        incoherent — nullsig once measured faster than null)."""
+        for loop in loops.values():
+            loop()  # compile / warm
+        best = {name: float("inf") for name in loops}
         for _ in range(reps):
-            t0 = time.perf_counter()
-            loop()
-            best = min(best, time.perf_counter() - t0)
-        return best / steps * 1e6
+            for name, loop in loops.items():
+                t0 = time.perf_counter()
+                loop()
+                best[name] = min(best[name], time.perf_counter() - t0)
+        return {name: t / steps * 1e6 for name, t in best.items()}
 
     def loop_null1():
         v = jnp.ones(shape, jnp.float32)
@@ -223,11 +228,10 @@ def dispatch_section(jax, jnp, sampler, schedule, transform, shape, steps: int =
             xx, ring = jstep(w_rows[n], xx, o, ring)
         xx.block_until_ready()
 
-    t_null1 = timed(loop_null1)
-    t_nullsig = timed(loop_nullsig)
-    t_step = timed(loop_step)
-    t_indexed = timed(loop_indexed)
-    t_path = timed(loop_path)
+    t = timed_interleaved(
+        {"null1": loop_null1, "nullsig": loop_nullsig, "step": loop_step, "indexed": loop_indexed, "path": loop_path}
+    )
+    t_null1, t_nullsig, t_step, t_indexed, t_path = (t[k] for k in ("null1", "nullsig", "step", "indexed", "path"))
 
     return {
         "us_single_step_dispatch_path": round(t_path, 3),
@@ -279,8 +283,12 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
     peak_bf16 = 197e12 if "v5 lite" in device or "v5e" in device else None
 
     out: dict = {"batch": batch, "steps": steps, "latent_hw": hw}
-    for tag, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
-        config = DiTConfig(dim=dim, depth=depth, heads=8, compute_dtype=dtype)
+    # flash is the serving path (headline tags); full attention is the A/B,
+    # bf16-only — it shows what the Pallas online-softmax kernel buys over
+    # letting the (N, N) f32 score tensor round-trip HBM every block
+    cases = [("bf16", jnp.bfloat16, "flash"), ("f32", jnp.float32, "flash"), ("bf16_full_attn", jnp.bfloat16, "full")]
+    for tag, dtype, attention in cases:
+        config = DiTConfig(dim=dim, depth=depth, heads=8, compute_dtype=dtype, attention=attention)
         dit = DiT(config)
         params = dit.init(jax.random.PRNGKey(0))
         pipe = GenerationPipeline(
@@ -306,8 +314,9 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
         out[f"ms_per_image_{tag}"] = round(best / batch * 1e3, 3)
         out[f"tflops_eff_{tag}"] = round(eff / 1e12, 3)
         if peak_bf16:
-            peak = peak_bf16 if tag == "bf16" else peak_bf16 / 3
+            peak = peak_bf16 if "f32" not in tag else peak_bf16 / 3
             out[f"mfu_model_fwd_{tag}"] = round(eff / peak, 4)
+    out["attention"] = "flash (Pallas online-softmax); *_full_attn = einsum A/B"
     return out
 
 

@@ -12,6 +12,8 @@ from typing import Any
 
 import numpy as np
 
+_NONE_SUFFIX = ".__none__"
+
 
 def _flatten(node: Any, prefix: str = "") -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
@@ -21,6 +23,11 @@ def _flatten(node: Any, prefix: str = "") -> dict[str, np.ndarray]:
     elif isinstance(node, (list, tuple)):
         for i, v in enumerate(node):
             out.update(_flatten(v, f"{prefix}/#{i}" if prefix else f"#{i}"))
+    elif node is None:
+        # None leaves (e.g. identity skip connections) get a portable
+        # sentinel; np.savez would otherwise pickle them as object arrays,
+        # which np.load refuses without allow_pickle.
+        out[prefix + _NONE_SUFFIX] = np.zeros((), np.uint8)
     else:
         out[prefix] = np.asarray(node)
     return out
@@ -29,6 +36,8 @@ def _flatten(node: Any, prefix: str = "") -> dict[str, np.ndarray]:
 def _unflatten(flat: dict[str, np.ndarray]) -> Any:
     tree: dict = {}
     for key, value in flat.items():
+        if key.endswith(_NONE_SUFFIX):
+            key, value = key[: -len(_NONE_SUFFIX)], None
         node = tree
         parts = key.split("/")
         for part in parts[:-1]:

@@ -32,10 +32,13 @@ class DiTConfig:
     mlp_ratio: int = 4
     compute_dtype: Any = jnp.bfloat16
     attention: str = "full"
-    """``"full"`` (every chip holds all K/V) or ``"ring"`` (sequence-parallel
-    exact attention: K/V blocks rotate over the mesh's ``sp_axis`` with
-    ``ppermute`` — 1/S of the K/V and scores memory per chip).  Ring requires
-    constructing the :class:`DiT` with a mesh that has the ``sp_axis``."""
+    """``"full"`` (plain einsum; the (N, N) score tensor hits HBM),
+    ``"flash"`` (single-chip Pallas online-softmax kernel — scores never
+    leave VMEM; see ``ops/flash_attention.py``), or ``"ring"``
+    (sequence-parallel exact attention: K/V blocks rotate over the mesh's
+    ``sp_axis`` with ``ppermute`` — 1/S of the K/V and scores memory per
+    chip).  Ring requires constructing the :class:`DiT` with a mesh that has
+    the ``sp_axis``."""
     sp_axis: str = "sp"
 
     @property
@@ -84,7 +87,7 @@ class DiT:
         self.mesh = mesh
         if config.attention == "ring" and mesh is None:
             raise ValueError("DiTConfig(attention='ring') needs DiT(config, mesh=...) with the sp axis")
-        if config.attention not in ("full", "ring"):
+        if config.attention not in ("full", "flash", "ring"):
             raise ValueError(f"unknown attention kind {config.attention!r}")
 
     def init(self, key: jax.Array) -> dict:
@@ -185,6 +188,10 @@ class DiT:
                 from ..parallel.ring_attention import ring_attention
 
                 out = ring_attention(q, k, v, self.mesh, axis=c.sp_axis)
+            elif c.attention == "flash":
+                from ..ops.flash_attention import flash_attention
+
+                out = flash_attention(q, k, v)
             else:
                 attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
                 attn = jax.nn.softmax(attn / math.sqrt(c.head_dim), axis=-1).astype(dtype)

@@ -12,10 +12,13 @@ Three tiers, all consuming the same sampler specs from
   sampler code directly.
 * :mod:`.adaptive` — the fully device-resident adaptive RK controller
   (``lax.while_loop`` over precomputed (cursor, size) coefficient tables).
+* :mod:`.flash_attention` — online-softmax attention kernel for the model
+  tier (scores never materialize in HBM).
 """
 
 from .adaptive import rkmoire_device_loop
 from .compiler import CompiledSampler, NonlinearSamplerError, compile_sampler
+from .flash_attention import attention_reference, flash_attention
 from .fused import fused_step, fused_step_pallas
 from .loop import CompiledDenoiser, generic_sample_loop, rk_sample_loop, rkmoire_sample_loop, sample_loop
 
@@ -23,7 +26,9 @@ __all__ = [
     "CompiledDenoiser",
     "CompiledSampler",
     "NonlinearSamplerError",
+    "attention_reference",
     "compile_sampler",
+    "flash_attention",
     "fused_step",
     "fused_step_pallas",
     "generic_sample_loop",

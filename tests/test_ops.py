@@ -413,3 +413,93 @@ def test_compiled_vs_eager_fuzz(case: int) -> None:
     if not bool(jnp.isfinite(expected).all()):
         return  # degenerate config blows up identically on both paths
     np.testing.assert_allclose(np.asarray(device), np.asarray(expected), rtol=1e-9, atol=1e-11)
+
+
+# --- flash attention kernel -------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("shape", [(2, 4, 256, 64), (1, 2, 512, 128), (1, 1, 128, 32)])
+def test_flash_attention_matches_f64_truth(dtype, shape) -> None:
+    """The Pallas kernel must be at least as close to exact attention as the
+    einsum path is.  Both run matmuls at the backend's default (bf16-pass)
+    precision, so they are compared against a float64 ground truth rather
+    than each other."""
+    from skrample_tpu.ops.flash_attention import attention_reference, flash_attention
+
+    dt = jnp.dtype(dtype)
+    B, H, N, d = shape
+    keys = jax.random.split(jax.random.PRNGKey(hash(shape) % 2**31), 3)
+    q, k, v = (jax.random.normal(kk, shape).astype(dt) for kk in keys)
+
+    q6, k6, v6 = (np.asarray(a, np.float64) for a in (q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)))
+    s = np.einsum("bhqd,bhkd->bhqk", q6, k6) / np.sqrt(d)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    truth = np.einsum("bhqk,bhkd->bhqd", p, v6)
+
+    flash_err = np.abs(np.asarray(flash_attention(q, k, v), np.float64) - truth).max()
+    einsum_err = np.abs(np.asarray(attention_reference(q, k, v), np.float64) - truth).max()
+    # same-precision budget: the kernel may differ in reduction order only
+    assert flash_err <= 2.0 * einsum_err + 1e-6, (flash_err, einsum_err)
+
+
+def test_flash_attention_gradients_match_reference() -> None:
+    from skrample_tpu.ops.flash_attention import attention_reference, flash_attention
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    q, k, v = (jax.random.normal(kk, (1, 2, 128, 64), jnp.float32) for kk in keys[:3])
+    g = jax.random.normal(keys[3], (1, 2, 128, 64), jnp.float32)
+
+    _, vjp_flash = jax.vjp(flash_attention, q, k, v)
+    _, vjp_ref = jax.vjp(attention_reference, q, k, v)
+    for a, b in zip(vjp_flash(g), vjp_ref(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_flash_attention_rejects_ragged_tokens() -> None:
+    from skrample_tpu.ops.flash_attention import flash_attention_forward
+
+    q = jnp.ones((1, 1, 192, 64), jnp.float32)  # 192 is not a multiple of 128
+    with pytest.raises(ValueError, match="divide"):
+        flash_attention_forward(q, q, q, block_q=192)
+
+
+def test_dit_flash_attention_matches_full() -> None:
+    "DiTConfig(attention='flash') is numerically the full-attention model."
+    from skrample_tpu.models import DiT, DiTConfig
+
+    kwargs = dict(dim=128, depth=2, heads=2, channels=4, compute_dtype=jnp.float32)
+    full = DiT(DiTConfig(attention="full", **kwargs))
+    flash = DiT(DiTConfig(attention="flash", **kwargs))
+    params = full.init(jax.random.PRNGKey(0))
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 32, 32), jnp.float32)
+    t = jnp.asarray([0.3, 0.8], jnp.float32)
+    out_full = full.apply(params, x, t)
+    out_flash = flash.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_full), atol=5e-3)
+
+
+def test_dit_flash_attention_trains() -> None:
+    "The custom-vjp backward lets jax.grad flow through the flash DiT."
+    from skrample_tpu.models import DiT, DiTConfig
+
+    model = DiT(DiTConfig(dim=128, depth=1, heads=2, channels=1, attention="flash", compute_dtype=jnp.float32))
+    params = model.init(jax.random.PRNGKey(0))
+    # adaLN-zero initializes the output projections to 0 (so the model is the
+    # identity map at init and all grads vanish); perturb to get signal
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    params = jax.tree.unflatten(
+        treedef, [leaf + 0.02 * jax.random.normal(kk, leaf.shape, leaf.dtype) for leaf, kk in zip(leaves, keys)]
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 32, 32), jnp.float32)
+
+    def loss(p):
+        return jnp.mean(model.apply(p, x, jnp.asarray([0.5])) ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+    assert any(float(jnp.abs(g).max()) > 0 for g in leaves)

@@ -69,6 +69,35 @@ def test_param_checkpoint_roundtrip(tmp_path):
     assert isinstance(loaded["blocks"], list) and len(loaded["blocks"]) == 2
 
 
+def test_param_checkpoint_none_leaves(tmp_path):
+    """None leaves (identity skips in the UNet tree) round-trip without
+    pickled object arrays — np.load(allow_pickle=False) must succeed."""
+    import numpy as np
+
+    from skrample_tpu.models import load_params, save_params
+
+    tree = {"a": {"w": np.ones((2, 2), np.float32), "skip": None}, "b": [None, np.arange(3)]}
+    save_params(tmp_path / "p.npz", tree)
+    with np.load(tmp_path / "p.npz") as raw:  # allow_pickle defaults to False
+        assert all(raw[k].dtype != object for k in raw.files)
+    loaded = load_params(tmp_path / "p.npz")
+    assert loaded["a"]["skip"] is None and loaded["b"][0] is None
+    assert np.array_equal(loaded["a"]["w"], tree["a"]["w"])
+    assert np.array_equal(loaded["b"][1], tree["b"][1])
+
+
+def test_committed_surrogates_load():
+    "Both committed quality-search surrogate checkpoints must deserialize."
+    import pathlib
+
+    from skrample_tpu.models import load_params
+
+    assets = pathlib.Path(__file__).parent.parent / "skrample_tpu" / "models" / "assets"
+    for name in ("surrogate_flow_32.npz", "surrogate_eps_unet_32.npz"):
+        params = load_params(assets / name)
+        assert params  # non-empty tree
+
+
 def test_classifier_free_guidance():
     import jax
     import jax.numpy as jnp
