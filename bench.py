@@ -270,10 +270,11 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
     """End-to-end DiT serving (25-step denoise, one dispatch per request) and
     model-forward MFU, bf16 and f32.
 
-    Peak used for MFU: TPU v5e bf16 matmul peak 197 TFLOP/s (published).  No
-    f32 matmul peak is published for v5e — XLA emulates f32 matmuls with
-    multi-pass bf16 (~3 passes), so f32 MFU is reported against 197/3
-    TFLOP/s and additionally as raw effective TFLOP/s."""
+    Peak used for MFU: TPU v5e bf16 matmul peak 197 TFLOP/s (published),
+    for BOTH dtypes — at JAX's default matmul precision, f32 matmuls run as
+    single bf16 passes on the MXU (measured: a multi-pass /3 assumption put
+    the f32 figure at an impossible 1.01), so bf16 peak is the honest
+    denominator.  Raw effective TFLOP/s is reported alongside."""
     from skrample_tpu import scheduling
     from skrample_tpu.models import DiT, DiTConfig
     from skrample_tpu.pipeline import GenerationPipeline
@@ -314,8 +315,7 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
         out[f"ms_per_image_{tag}"] = round(best / batch * 1e3, 3)
         out[f"tflops_eff_{tag}"] = round(eff / 1e12, 3)
         if peak_bf16:
-            peak = peak_bf16 if "f32" not in tag else peak_bf16 / 3
-            out[f"mfu_model_fwd_{tag}"] = round(eff / peak, 4)
+            out[f"mfu_model_fwd_{tag}"] = round(eff / peak_bf16, 4)
     out["attention"] = "flash (Pallas online-softmax); *_full_attn = einsum A/B"
     return out
 

@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """End-to-end serving throughput: DiT + compiled DPM++(2M) through
-GenerationPipeline — seconds per batch and per image on the local device."""
+GenerationPipeline — ms per image and img/s over a batch-size sweep, for
+the flash and full attention paths.
+
+Usage: python scripts/bench_serving.py [steps=25] [attention=flash]
+                                       [batch batch ...=1 4 16]
+"""
 
 from __future__ import annotations
 
+import sys
 import time
 
 import jax
@@ -15,8 +21,8 @@ from skrample_tpu.pipeline import GenerationPipeline
 from skrample_tpu.sampling import models, structured
 
 
-def main(batch: int = 4, steps: int = 25) -> None:
-    config = DiTConfig(dim=512, depth=8, heads=8, compute_dtype=jnp.bfloat16)
+def run(batch: int, steps: int, attention: str) -> None:
+    config = DiTConfig(dim=512, depth=8, heads=8, compute_dtype=jnp.bfloat16, attention=attention)
     dit = DiT(config)
     params = dit.init(jax.random.PRNGKey(0))
 
@@ -41,11 +47,20 @@ def main(batch: int = 4, steps: int = 25) -> None:
 
     tokens = (64 // config.patch) ** 2
     print(
-        f"DiT(dim={config.dim}, depth={config.depth}, {tokens} tokens) batch={batch} steps={steps}: "
+        f"DiT(dim={config.dim}, depth={config.depth}, {tokens} tokens, {attention}) "
+        f"batch={batch} steps={steps}: "
         f"{best * 1e3:.1f} ms/request, {best / batch * 1e3:.1f} ms/image, "
         f"{batch / best:.2f} img/s on {jax.devices()[0]}"
     )
 
 
+def main(steps: int = 25, attention: str = "flash", batches: tuple[int, ...] = (1, 4, 16)) -> None:
+    for batch in batches:
+        run(batch, steps, attention)
+
+
 if __name__ == "__main__":
-    main()
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    attention = sys.argv[2] if len(sys.argv) > 2 else "flash"
+    batches = tuple(int(a) for a in sys.argv[3:]) or (1, 4, 16)
+    main(steps, attention, batches)

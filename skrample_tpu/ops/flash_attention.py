@@ -70,43 +70,66 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: f
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]  # (block_q, d)
-    k = k_ref[0]  # (block_k=128, d)
-    # scores tile, f32 on the MXU: (block_q, 128)
+    k = k_ref[0]  # (block_k, d)
+    # scores tile, f32 on the MXU: (block_q, block_k)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     s = s * scale
 
-    m_prev = m_ref[:]  # (block_q, 128): every lane holds the same running max
-    l_prev = l_ref[:]
+    m_prev = m_ref[:, :1]  # (block_q, 1): lane 0 holds the running max
+    l_prev = l_ref[:, :1]
     m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
-    m_next = jnp.maximum(m_prev, m_curr)  # lanes stay uniform
+    m_next = jnp.maximum(m_prev, m_curr)
     alpha = jnp.exp(m_prev - m_next)  # correction for prior tiles
-    p = jnp.exp(s - m_next)  # (block_q, 128)
+    p = jnp.exp(s - m_next)  # (block_q, block_k)
     l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-    m_ref[:] = m_next
-    l_ref[:] = l_next
+    m_ref[:, :1] = m_next
+    l_ref[:, :1] = l_next
 
-    v = v_ref[0]  # (128, d)
+    v = v_ref[0]  # (block_k, d)
     o_curr = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] * alpha[:, :1] + o_curr
+    acc_ref[:] = acc_ref[:] * alpha + o_curr
 
     @pl.when(kv_i == kv_blocks - 1)
     def _store():
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _softmax_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Single-KV-block case: the whole row of scores fits one VMEM tile, so
+    plain max/exp/sum replaces the online recurrence (no scratch, one pass)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = s * scale
+    p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0]
+    o_ref[0] = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention_forward(
-    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 256, interpret: bool = False
+    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 512, block_k: int = 1024, interpret: bool = False
 ) -> jax.Array:
     """(B, H, N, d) x3 -> (B, H, N, d) without materializing (N, N) scores.
 
-    ``N`` must divide by ``block_q`` and by 128; ``d`` is unconstrained (the
-    compiler pads the lane dimension when d < 128)."""
+    ``N`` must divide by ``block_q`` and ``block_k`` (both clamped to ``N``),
+    which must divide by 128; ``d`` is unconstrained (the compiler pads the
+    lane dimension when d < 128).  Large KV blocks amortize grid overhead —
+    the (block_q, block_k) f32 score tile is the VMEM budget to watch
+    (512 x 1024 x 4 = 2 MB); when one KV block covers the whole row the
+    kernel drops the online-softmax scratch entirely.
+
+    Defaults measured on a v5e at (4, 8, 1024, 64) bf16: 113 us/attention
+    vs 397 us for the einsum path (3.5x) — bq512/bk1024 beat bq256 (152),
+    bq1024 (122), and bk512 (288); a first cut with bq256/bk128 was
+    *slower* than einsum (857) because 1024 tiny grid cells paid more in
+    grid stepping than they saved in HBM traffic."""
     B, H, N, d = q.shape
     block_q = min(block_q, N)
-    block_k = _LANE
-    if N % block_q or N % block_k:
-        raise ValueError(f"token count {N} must divide by block_q={block_q} and {block_k}")
+    block_k = min(block_k, N)
+    if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
+        raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k} (multiples of 128)")
 
     bh = B * H
     qf = q.reshape(bh, N, d)
@@ -114,22 +137,25 @@ def flash_attention_forward(
     vf = v.reshape(bh, N, d)
     kv_blocks = N // block_k
 
-    kernel = functools.partial(_flash_kernel, scale=1.0 / math.sqrt(d), kv_blocks=kv_blocks)
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM)
+    if kv_blocks == 1:
+        kernel = functools.partial(_softmax_kernel, scale=1.0 / math.sqrt(d))
+        scratch = []
+    else:
+        kernel = functools.partial(_flash_kernel, scale=1.0 / math.sqrt(d), kv_blocks=kv_blocks)
+        scratch = [
+            pltpu.VMEM((block_q, _LANE), jnp.float32),  # running max m
+            pltpu.VMEM((block_q, _LANE), jnp.float32),  # running normalizer l
+            pltpu.VMEM((block_q, d), jnp.float32),  # unnormalized output accumulator
+        ]
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, N, d), q.dtype),
         grid=(bh, N // block_q, kv_blocks),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, _LANE), jnp.float32),  # running max m
-            pltpu.VMEM((block_q, _LANE), jnp.float32),  # running normalizer l
-            pltpu.VMEM((block_q, d), jnp.float32),  # unnormalized output accumulator
-        ],
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -152,6 +178,103 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     if q.shape[2] % _LANE:
         return attention_reference(q, k, v)
     return _flash_vjp(q, k, v)
+
+
+def _softmax_stats_kernel(q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref, *, scale: float):
+    """Single-KV-block softmax that also emits the row statistics (max,
+    normalizer) so a caller can fold blocks together — the kernel for one
+    hop of ring attention."""
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = s * scale
+    m = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0]
+    o = jax.lax.dot((p / l).astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+    mo_ref[0] = jnp.broadcast_to(m, (m.shape[0], _LANE))
+    lo_ref[0] = jnp.broadcast_to(l, (l.shape[0], _LANE))
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def flash_attention_block_stats(
+    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 512, interpret: bool | None = None
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One attention *block*: softmax(q k^T / sqrt(d)) v over the given K/V
+    plus the row statistics needed to merge with other blocks.
+
+    Returns ``(o, m, l)``: block-normalized output (B, H, Nq, d), row max m
+    and normalizer l, both (B, H, Nq) float32.  ``softmax_merge`` folds a
+    sequence of such results into exact global attention — this is the inner
+    op of ring attention (the K/V block that just arrived over ICI is
+    attended without its (Nq, Nkv) scores ever reaching HBM).
+
+    Shapes that don't tile into lanes fall back to the einsum path.  The
+    whole K/V block is one VMEM tile, so per-hop block lengths are bounded
+    by VMEM (~a few thousand tokens at d=64 bf16); ``interpret=None`` picks
+    interpret mode automatically off-TPU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, Nq, d = q.shape
+    Nk = k.shape[2]
+    block_q = min(block_q, Nq)
+    if Nq % block_q or block_q % _LANE or Nk % _LANE:
+        scale = 1.0 / math.sqrt(d)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1)
+        p = jnp.exp(s - m[..., None])
+        l = jnp.sum(p, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", (p / l[..., None]).astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return o.astype(q.dtype), m, l
+
+    bh = B * H
+    qf = q.reshape(bh, Nq, d)
+    kf = k.reshape(bh, Nk, d)
+    vf = v.reshape(bh, Nk, d)
+    kernel = functools.partial(_softmax_stats_kernel, scale=1.0 / math.sqrt(d))
+    stat_spec = pl.BlockSpec((1, block_q, _LANE), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    o, m, l = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, Nq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, Nq, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((bh, Nq, _LANE), jnp.float32),
+        ),
+        grid=(bh, Nq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            stat_spec,
+            stat_spec,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return o.reshape(B, H, Nq, d), m[:, :, 0].reshape(B, H, Nq), l[:, :, 0].reshape(B, H, Nq)
+
+
+def softmax_merge(
+    state: tuple[jax.Array, jax.Array, jax.Array], block: tuple[jax.Array, jax.Array, jax.Array]
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fold one ``(o, m, l)`` block result into a running ``(acc, peak,
+    total)`` state (acc unnormalized float32).  After folding every block,
+    the exact attention output is ``acc / total[..., None]``."""
+    acc, peak, total = state
+    o_blk, m_blk, l_blk = block
+    peak_next = jnp.maximum(peak, m_blk)
+    r_old = jnp.exp(peak - peak_next)
+    r_new = jnp.exp(m_blk - peak_next)
+    total_next = total * r_old + l_blk * r_new
+    acc_next = acc * r_old[..., None] + o_blk.astype(jnp.float32) * (l_blk * r_new)[..., None]
+    return acc_next, peak_next, total_next
 
 
 @jax.custom_vjp

@@ -26,16 +26,29 @@ def ring_attention(
     v: jax.Array,
     mesh: Mesh,
     axis: str = "sp",
+    block_op: str = "flash",
 ) -> jax.Array:
     """Exact softmax attention with sequence-sharded K/V.
 
     ``q/k/v``: (batch, heads, tokens, head_dim) with ``tokens`` sharded over
-    ``axis``.  Non-causal (diffusion transformers are bidirectional)."""
+    ``axis``.  Non-causal (diffusion transformers are bidirectional).
+
+    ``block_op`` picks the per-hop attention kernel: ``"flash"`` (default)
+    attends each arriving K/V block with the Pallas stats kernel
+    (:func:`~skrample_tpu.ops.flash_attention.flash_attention_block_stats` —
+    the (Nq_local, Nkv_local) score tile never reaches HBM) and folds blocks
+    with the exact online-softmax merge; ``"einsum"`` is the plain-XLA
+    reference the flash path is equivalence-tested against."""
+    if block_op not in ("flash", "einsum"):
+        raise ValueError(f"unknown block_op {block_op!r}")
     ring = mesh.shape[axis]
     scale = 1.0 / math.sqrt(q.shape[-1])
 
     def per_device(q_loc, k_loc, v_loc):
+        from ..ops.flash_attention import flash_attention_block_stats, softmax_merge
+
         hops = [(i, (i + 1) % ring) for i in range(ring)]
+        interpret = jax.default_backend() != "tpu"
 
         state = (
             jnp.full(q_loc.shape[:-1], -jnp.inf, jnp.float32),  # running max
@@ -47,24 +60,31 @@ def ring_attention(
 
         for _ in range(ring):
             peak, total, acc, k_blk, v_blk = state
-            scores = jnp.einsum(
-                "bhqd,bhkd->bhqk", q_loc, k_blk, preferred_element_type=jnp.float32
-            ) * scale
-            block_peak = jnp.maximum(peak, scores.max(-1))
-            rescale = jnp.exp(peak - block_peak)
-            probs = jnp.exp(scores - block_peak[..., None])
-            total = total * rescale + probs.sum(-1)
-            acc = acc * rescale[..., None] + jnp.einsum(
-                "bhqk,bhkd->bhqd", probs, v_blk.astype(jnp.float32)
-            )
+            if block_op == "flash":
+                block = flash_attention_block_stats(q_loc, k_blk, v_blk, interpret=interpret)
+                acc, peak, total = softmax_merge((acc, peak, total), block)
+            else:
+                scores = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q_loc, k_blk, preferred_element_type=jnp.float32
+                ) * scale
+                block_peak = jnp.maximum(peak, scores.max(-1))
+                rescale = jnp.exp(peak - block_peak)
+                probs = jnp.exp(scores - block_peak[..., None])
+                total = total * rescale + probs.sum(-1)
+                acc = acc * rescale[..., None] + jnp.einsum(
+                    "bhqk,bhkd->bhqd", probs, v_blk.astype(jnp.float32)
+                )
+                peak = block_peak
             k_blk = jax.lax.ppermute(k_blk, axis, hops)
             v_blk = jax.lax.ppermute(v_blk, axis, hops)
-            state = (block_peak, total, acc, k_blk, v_blk)
+            state = (peak, total, acc, k_blk, v_blk)
 
         peak, total, acc, _, _ = state
         return (acc / total[..., None]).astype(q_loc.dtype)
 
     spec = P(None, None, axis, None)
+    # check_vma=False: pallas_call does not declare varying-mesh-axes
+    # metadata, so the flash block kernel would trip the vma validator
     return jax.shard_map(
-        per_device, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+        per_device, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False
     )(q, k, v)

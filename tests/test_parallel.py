@@ -182,8 +182,9 @@ def test_expert_parallel_matches_single_device(experts):
     assert len(set(np.asarray(jnp.argmax(logits, -1)).ravel().tolist())) > 1
 
 
+@pytest.mark.parametrize("block_op", ["flash", "einsum"])
 @pytest.mark.parametrize("ring", [2, 4])
-def test_ring_attention_matches_full(ring):
+def test_ring_attention_matches_full(ring, block_op):
     "Ring attention over sp-sharded K/V must equal full softmax attention."
     import math
 
@@ -200,12 +201,67 @@ def test_ring_attention_matches_full(ring):
     v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, N, D), jnp.float32)
 
     with mesh:
-        ringed = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh))(q, k, v)
+        ringed = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh, block_op=block_op))(q, k, v)
 
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(D)
     full = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
 
     np.testing.assert_allclose(np.asarray(ringed), np.asarray(full), rtol=2e-5, atol=2e-6)
+
+
+def test_ring_flash_exercises_pallas_block() -> None:
+    """Lane-aligned token counts route ring hops through the Pallas stats
+    kernel (not the small-shape einsum fallback) and must still match the
+    full softmax exactly up to reduction order."""
+    import math
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from skrample_tpu.parallel.ring_attention import ring_attention
+
+    ring = 2
+    mesh = Mesh(np.asarray(jax.devices()[:ring]), ("sp",))
+    B, H, N, D = 1, 2, 128 * ring, 64  # 128 tokens per chip: the kernel path
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(key, (B, H, N, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, N, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, N, D), jnp.float32)
+
+    with mesh:
+        ringed = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh, block_op="flash"))(q, k, v)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(D)
+    full = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
+    np.testing.assert_allclose(np.asarray(ringed), np.asarray(full), rtol=5e-5, atol=5e-5)
+
+
+def test_flash_block_stats_merge_equals_full() -> None:
+    "Folding per-block (o, m, l) with softmax_merge reproduces exact attention."
+    import math
+
+    import numpy as np
+
+    from skrample_tpu.ops.flash_attention import flash_attention_block_stats, softmax_merge
+
+    B, H, N, D = 1, 2, 384, 64
+    key = jax.random.PRNGKey(9)
+    q = jax.random.normal(key, (B, H, 128, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, N, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, N, D), jnp.float32)
+
+    acc = jnp.zeros(q.shape, jnp.float32)
+    peak = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)
+    total = jnp.zeros(q.shape[:-1], jnp.float32)
+    for blk in range(3):  # three 128-token K/V blocks
+        ks = k[:, :, blk * 128 : (blk + 1) * 128]
+        vs = v[:, :, blk * 128 : (blk + 1) * 128]
+        acc, peak, total = softmax_merge((acc, peak, total), flash_attention_block_stats(q, ks, vs))
+    merged = acc / total[..., None]
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(D)
+    full = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(full), rtol=5e-5, atol=5e-5)
 
 
 @pytest.mark.parametrize("sp", [2, 4])
@@ -237,7 +293,8 @@ def test_dit_ring_requires_mesh():
     with pytest.raises(ValueError):
         DiT(DiTConfig(attention="ring"))
     with pytest.raises(ValueError):
-        DiT(DiTConfig(attention="flash"))
+        DiT(DiTConfig(attention="no-such-kind"))
+    DiT(DiTConfig(attention="flash"))  # single-chip kernel: no mesh needed
 
 
 class TestMoECapacity:
