@@ -1,0 +1,117 @@
+"""Fused adaLN modulation (layernorm + shift/scale) as a Pallas TPU kernel.
+
+The DiT applies ``modulate(layernorm(tokens), shift, scale)`` twice per
+transformer block plus once at the head — 17 times per forward at depth 8.
+The ablation profiler (``scripts/profile_dit.py``) attributes ~380 us of the
+~2.6 ms forward to these: the mean/var reductions break XLA's elementwise
+fusion, so the token stream makes several float32 HBM round-trips per call.
+This kernel does the whole thing in one read + one write per token tile:
+statistics, normalization and the affine modulation all happen on a VMEM
+tile in float32, and only the input dtype touches HBM.
+
+Semantics match ``models/dit.py``'s ``_modulate(_layernorm(x), shift, scale)``
+bit-for-bit up to reduction order: layernorm over the last axis in float32
+with eps 1e-6 and no learned ln params (adaLN-zero supplies the affine), then
+``y * (1 + scale[:, None]) + shift[:, None]``.
+
+The reference library has no model layer (SURVEY.md §2.0); this op belongs to
+the TPU-native model extension.
+
+Gradients: ``jax.custom_vjp`` whose backward differentiates the eager
+composition — same memory as a remat'd layernorm, exact to reduction order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_EPS = 1e-6
+
+
+def adaln_reference(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    "Eager composition: the kernel's oracle and backward body."
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + _EPS)
+    y = y * (1.0 + scale.astype(jnp.float32)[:, None]) + shift.astype(jnp.float32)[:, None]
+    return y.astype(x.dtype)
+
+
+def _adaln_kernel(x_ref, shift_ref, scale_ref, o_ref):
+    # shift/scale arrive viewed (B, 1, D) so their (1, 1, D) block satisfies
+    # Mosaic's tiling rule (a (1, D) block of a (B, D) array does not, and
+    # dynamic sublane indexing can't be proven aligned)
+    x32 = x_ref[0].astype(jnp.float32)  # (block_n, D)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    centered = x32 - mean
+    var = jnp.mean(centered * centered, axis=1, keepdims=True)
+    y = centered * jax.lax.rsqrt(var + _EPS)
+    y = y * (1.0 + scale_ref[0].astype(jnp.float32)) + shift_ref[0].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def adaln_forward(
+    x: jax.Array, shift: jax.Array, scale: jax.Array, block_n: int = 256, interpret: bool = False
+) -> jax.Array:
+    """``(B, N, D), (B, D), (B, D) -> (B, N, D)`` in one HBM pass.
+
+    ``D`` must be a multiple of 128 (the full feature row lives on the lane
+    axis of one tile so the mean/var reduction is a single in-register pass);
+    ``N`` must divide by ``block_n``."""
+    B, N, D = x.shape
+    block_n = min(block_n, N)
+    if D % _LANE or N % block_n:
+        raise ValueError(f"adaln kernel needs D % 128 == 0 and N % block_n == 0, got {x.shape}, block_n={block_n}")
+    mod_spec = pl.BlockSpec((1, 1, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _adaln_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        grid=(B, N // block_n),
+        in_specs=[
+            pl.BlockSpec((1, block_n, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            mod_spec,
+            mod_spec,
+        ],
+        out_specs=pl.BlockSpec((1, block_n, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, shift.reshape(B, 1, D), scale.reshape(B, 1, D))
+
+
+@jax.custom_vjp
+def _adaln_vjp(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    return adaln_forward(x, shift, scale, interpret=jax.default_backend() != "tpu")
+
+
+def _adaln_fwd(x, shift, scale):
+    return _adaln_vjp(x, shift, scale), (x, shift, scale)
+
+
+def _adaln_bwd(residuals, g):
+    x, shift, scale = residuals
+    _, vjp = jax.vjp(adaln_reference, x, shift, scale)
+    return vjp(g)
+
+
+_adaln_vjp.defvjp(_adaln_fwd, _adaln_bwd)
+
+
+def adaln_modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    """Fused ``modulate(layernorm(x), shift, scale)`` with exact gradients.
+
+    Shapes the kernel can't tile fall back to the eager composition
+    (trace-time dispatch; shapes are static under jit)."""
+    B, N, D = x.shape
+    if D % _LANE or N % min(256, N):
+        return adaln_reference(x, shift, scale)
+    return _adaln_vjp(x, shift, scale)

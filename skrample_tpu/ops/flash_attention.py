@@ -60,8 +60,8 @@ def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.einsum("bhqk,bhkd->bhqd", p, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: float, kv_blocks: int):
-    kv_i = pl.program_id(2)
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: float, kv_blocks: int, kv_dim: int = 2):
+    kv_i = pl.program_id(kv_dim)
 
     @pl.when(kv_i == 0)
     def _init():
@@ -162,6 +162,204 @@ def flash_attention_forward(
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(B, H, N, d)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k", "interpret"))
+def flash_attention_packed_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention on the **packed** ``(B, N, heads*d)`` layout.
+
+    The transpose-based entry point costs four ``(B, N, H, d) <-> (B, H, N, d)``
+    HBM round-trips per attention (the profiler attributed ~50 us/block of the
+    DiT forward to them).  Here the head axis never materializes: the grid
+    carries a head dimension and each BlockSpec slices head ``h``'s lane range
+    ``[h*d, (h+1)*d)`` straight out of the packed projection output, so the
+    kernel consumes the qkv matmul's layout as-is and writes the layout the
+    output projection wants.
+
+    Requires ``d = dim // heads`` to be a multiple of 128 so every head slice
+    is lane-tile aligned — the TPU-native head shape (d=128 also runs the
+    score matmul at full 128-deep MXU contraction; d=64 caps it at half).
+    Callers with other head widths use :func:`flash_attention`.
+    """
+    B, N, D = q.shape
+    d = D // heads
+    if D % heads or d % _LANE:
+        raise ValueError(f"packed layout needs head_dim {d} to be a multiple of {_LANE} (dim {D}, heads {heads})")
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
+    if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
+        raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k} (multiples of 128)")
+
+    kv_blocks = N // block_k
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, h, i, j: (b, i, h), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, d), lambda b, h, i, j: (b, j, h), memory_space=pltpu.VMEM)
+    if kv_blocks == 1:
+        kernel = functools.partial(_softmax_kernel, scale=1.0 / math.sqrt(d))
+        scratch = []
+    else:
+        kernel = functools.partial(_flash_kernel, scale=1.0 / math.sqrt(d), kv_blocks=kv_blocks, kv_dim=3)
+        scratch = [
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),
+        grid=(B, heads, N // block_q, kv_blocks),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k", "interpret"))
+def flash_attention_qkv_forward(
+    qkv: jax.Array,
+    heads: int,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed flash attention straight off the fused qkv projection.
+
+    ``qkv`` is the ``(B, N, 3*H*d)`` output of the fused qkv matmul, laid out
+    ``[q | k | v]`` on the feature axis with heads packed inside each third
+    (exactly what ``W_qkv = [W_q | W_k | W_v]`` produces).  Splitting that
+    into three arrays costs three HBM copies of the token stream per block;
+    here the same array is passed three times and the q/k/v BlockSpecs index
+    disjoint lane ranges of it, so the kernel reads the matmul output
+    in place.  Same tiling constraints as
+    :func:`flash_attention_packed_forward`; returns ``(B, N, H*d)``."""
+    B, N, D3 = qkv.shape
+    D = D3 // 3
+    d = D // heads
+    if D3 % 3 or D % heads or d % _LANE:
+        raise ValueError(f"qkv layout needs head_dim {d} to be a multiple of {_LANE} (packed dim {D3}, heads {heads})")
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
+    if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
+        raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k} (multiples of 128)")
+
+    kv_blocks = N // block_k
+    # block index units on the feature axis are d-wide: head h of q sits at
+    # block h, of k at block heads+h, of v at block 2*heads+h
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, h, i, j: (b, i, h), memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, block_k, d), lambda b, h, i, j: (b, j, heads + h), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, block_k, d), lambda b, h, i, j: (b, j, 2 * heads + h), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, block_q, d), lambda b, h, i, j: (b, i, h), memory_space=pltpu.VMEM)
+    if kv_blocks == 1:
+        kernel = functools.partial(_softmax_kernel, scale=1.0 / math.sqrt(d))
+        scratch = []
+    else:
+        kernel = functools.partial(_flash_kernel, scale=1.0 / math.sqrt(d), kv_blocks=kv_blocks, kv_dim=3)
+        scratch = [
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+        grid=(B, heads, N // block_q, kv_blocks),
+        in_specs=[q_spec, k_spec, v_spec],
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+
+
+def _qkv_reference(qkv: jax.Array, heads: int) -> jax.Array:
+    "Split-then-einsum attention on the fused qkv layout: oracle/backward."
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return _packed_reference(q, k, v, heads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _flash_qkv_vjp(qkv: jax.Array, heads: int) -> jax.Array:
+    return flash_attention_qkv_forward(qkv, heads, interpret=jax.default_backend() != "tpu")
+
+
+def _flash_qkv_fwd(qkv, heads):
+    return _flash_qkv_vjp(qkv, heads), (qkv,)
+
+
+def _flash_qkv_bwd(heads, residuals, g):
+    (qkv,) = residuals
+    _, vjp = jax.vjp(lambda a: _qkv_reference(a, heads), qkv)
+    return vjp(g)
+
+
+_flash_qkv_vjp.defvjp(_flash_qkv_fwd, _flash_qkv_bwd)
+
+
+def flash_attention_qkv(qkv: jax.Array, heads: int) -> jax.Array:
+    """Fused-qkv flash attention with exact gradients.
+
+    ``(B, N, 3*H*d) -> (B, N, H*d)`` — no head transposes and no q/k/v
+    split copies.  Falls back to split + einsum for shapes the kernel can't
+    tile (trace-time dispatch; shapes are static under jit)."""
+    B, N, D3 = qkv.shape
+    if D3 % (3 * heads) or (D3 // 3 // heads) % _LANE or N % _LANE:
+        return _qkv_reference(qkv, heads)
+    return _flash_qkv_vjp(qkv, heads)
+
+
+def _packed_reference(q: jax.Array, k: jax.Array, v: jax.Array, heads: int) -> jax.Array:
+    "Einsum attention on the packed layout: the packed kernel's oracle/backward."
+    B, N, D = q.shape
+    d = D // heads
+
+    def split(x):
+        return x.reshape(B, N, heads, d).transpose(0, 2, 1, 3)
+
+    out = attention_reference(split(q), split(k), split(v))
+    return out.transpose(0, 2, 1, 3).reshape(B, N, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_packed_vjp(q: jax.Array, k: jax.Array, v: jax.Array, heads: int) -> jax.Array:
+    return flash_attention_packed_forward(q, k, v, heads, interpret=jax.default_backend() != "tpu")
+
+
+def _flash_packed_fwd(q, k, v, heads):
+    return _flash_packed_vjp(q, k, v, heads), (q, k, v)
+
+
+def _flash_packed_bwd(heads, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda a, b, c: _packed_reference(a, b, c, heads), q, k, v)
+    return vjp(g)
+
+
+_flash_packed_vjp.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
+def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array, heads: int) -> jax.Array:
+    """Packed-layout flash attention with exact gradients.
+
+    ``(B, N, heads*d) x3 -> (B, N, heads*d)`` — no head transposes anywhere
+    on the forward path.  Falls back to the einsum reference for shapes the
+    kernel can't tile (trace-time dispatch; shapes are static under jit)."""
+    B, N, D = q.shape
+    if D % heads or (D // heads) % _LANE or N % _LANE:
+        return _packed_reference(q, k, v, heads)
+    return _flash_packed_vjp(q, k, v, heads)
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:

@@ -465,6 +465,172 @@ def test_flash_attention_rejects_ragged_tokens() -> None:
         flash_attention_forward(q, q, q, block_q=192)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize(
+    ("shape", "heads", "blocks"),
+    [
+        ((2, 256, 256), 2, {}),  # head_dim 128, single KV block
+        ((1, 512, 128), 1, {"block_q": 128, "block_k": 128}),  # online-softmax path (4 KV blocks)
+        ((1, 256, 384), 3, {}),  # 3 heads of 128
+    ],
+)
+def test_flash_attention_packed_matches_truth(dtype, shape, heads, blocks) -> None:
+    "The packed (B, N, H*d) kernel equals f64 attention within einsum's budget."
+    from skrample_tpu.ops.flash_attention import _packed_reference, flash_attention_packed_forward
+
+    dt = jnp.dtype(dtype)
+    B, N, D = shape
+    d = D // heads
+    keys = jax.random.split(jax.random.PRNGKey(hash((shape, heads)) % 2**31), 3)
+    q, k, v = (jax.random.normal(kk, shape).astype(dt) for kk in keys)
+
+    q6, k6, v6 = (
+        np.asarray(a, np.float64).reshape(B, N, heads, d).transpose(0, 2, 1, 3)
+        for a in (q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    )
+    s = np.einsum("bhqd,bhkd->bhqk", q6, k6) / np.sqrt(d)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    truth = np.einsum("bhqk,bhkd->bhqd", p, v6).transpose(0, 2, 1, 3).reshape(B, N, D)
+
+    interpret = jax.default_backend() != "tpu"
+    packed = flash_attention_packed_forward(q, k, v, heads, interpret=interpret, **blocks)
+    packed_err = np.abs(np.asarray(packed, np.float64) - truth).max()
+    einsum_err = np.abs(np.asarray(_packed_reference(q, k, v, heads), np.float64) - truth).max()
+    assert packed_err <= 2.0 * einsum_err + 1e-6, (packed_err, einsum_err)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize(
+    ("B", "N", "heads", "d", "blocks"),
+    [
+        (2, 256, 2, 128, {}),  # single KV block
+        (1, 512, 1, 128, {"block_q": 128, "block_k": 128}),  # 4 KV blocks, online softmax
+    ],
+)
+def test_flash_attention_qkv_matches_split_reference(dtype, B, N, heads, d, blocks) -> None:
+    "The fused-qkv kernel equals split + per-head f64 attention."
+    from skrample_tpu.ops.flash_attention import _qkv_reference, flash_attention_qkv_forward
+
+    dt = jnp.dtype(dtype)
+    qkv = jax.random.normal(jax.random.PRNGKey(B * N + heads), (B, N, 3 * heads * d)).astype(dt)
+
+    q6, k6, v6 = np.split(np.asarray(qkv.astype(jnp.float32), np.float64), 3, axis=-1)
+    q6, k6, v6 = (a.reshape(B, N, heads, d).transpose(0, 2, 1, 3) for a in (q6, k6, v6))
+    s = np.einsum("bhqd,bhkd->bhqk", q6, k6) / np.sqrt(d)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    truth = np.einsum("bhqk,bhkd->bhqd", p, v6).transpose(0, 2, 1, 3).reshape(B, N, heads * d)
+
+    interpret = jax.default_backend() != "tpu"
+    mine = flash_attention_qkv_forward(qkv, heads, interpret=interpret, **blocks)
+    kernel_err = np.abs(np.asarray(mine, np.float64) - truth).max()
+    einsum_err = np.abs(np.asarray(_qkv_reference(qkv, heads), np.float64) - truth).max()
+    assert kernel_err <= 2.0 * einsum_err + 1e-6, (kernel_err, einsum_err)
+
+
+def test_flash_attention_qkv_gradients_match_reference() -> None:
+    from skrample_tpu.ops.flash_attention import _qkv_reference, flash_attention_qkv
+
+    keys = jax.random.split(jax.random.PRNGKey(13), 2)
+    qkv = jax.random.normal(keys[0], (2, 128, 3 * 256), jnp.float32)
+    g = jax.random.normal(keys[1], (2, 128, 256), jnp.float32)
+
+    _, vjp_kernel = jax.vjp(lambda a: flash_attention_qkv(a, 2), qkv)
+    _, vjp_ref = jax.vjp(lambda a: _qkv_reference(a, 2), qkv)
+    np.testing.assert_allclose(np.asarray(vjp_kernel(g)[0]), np.asarray(vjp_ref(g)[0]), atol=1e-5)
+
+
+def test_flash_attention_packed_gradients_match_reference() -> None:
+    from skrample_tpu.ops.flash_attention import _packed_reference, flash_attention_packed
+
+    keys = jax.random.split(jax.random.PRNGKey(11), 4)
+    q, k, v = (jax.random.normal(kk, (2, 128, 256), jnp.float32) for kk in keys[:3])
+    g = jax.random.normal(keys[3], (2, 128, 256), jnp.float32)
+
+    _, vjp_packed = jax.vjp(lambda a, b, c: flash_attention_packed(a, b, c, 2), q, k, v)
+    _, vjp_ref = jax.vjp(lambda a, b, c: _packed_reference(a, b, c, 2), q, k, v)
+    for a, b in zip(vjp_packed(g), vjp_ref(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_flash_attention_packed_fallback_on_narrow_heads() -> None:
+    "head_dim 64 can't lane-align: the public entry silently takes the einsum path."
+    from skrample_tpu.ops.flash_attention import _packed_reference, flash_attention_packed
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 128), jnp.float32)
+    out = flash_attention_packed(q, q, q, heads=2)  # head_dim 64
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_packed_reference(q, q, q, 2)), atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("shape", [(2, 256, 256), (1, 512, 128), (3, 128, 384)])
+def test_adaln_kernel_matches_eager(dtype, shape) -> None:
+    "The fused layernorm+modulate kernel equals the eager composition."
+    from skrample_tpu.ops.adaln import adaln_forward, adaln_reference
+
+    dt = jnp.dtype(dtype)
+    B, N, D = shape
+    keys = jax.random.split(jax.random.PRNGKey(hash(shape) % 2**31), 3)
+    x = (jax.random.normal(keys[0], shape) * 3.0 + 0.5).astype(dt)
+    shift = jax.random.normal(keys[1], (B, D)).astype(dt)
+    scale = jax.random.normal(keys[2], (B, D)).astype(dt)
+
+    fused = adaln_forward(x, shift, scale, interpret=jax.default_backend() != "tpu")
+    eager = adaln_reference(x, shift, scale)
+    # the kernel reduces in a different order than the eager composition
+    atol = 1e-5 if dtype == "float32" else 1e-2
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(eager, np.float32), atol=atol
+    )
+
+
+def test_adaln_gradients_match_eager() -> None:
+    from skrample_tpu.ops.adaln import adaln_modulate, adaln_reference
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)
+    x = jax.random.normal(keys[0], (2, 128, 256), jnp.float32)
+    shift = jax.random.normal(keys[1], (2, 256), jnp.float32)
+    scale = jax.random.normal(keys[2], (2, 256), jnp.float32)
+    g = jax.random.normal(keys[3], (2, 128, 256), jnp.float32)
+
+    _, vjp_fused = jax.vjp(adaln_modulate, x, shift, scale)
+    _, vjp_ref = jax.vjp(adaln_reference, x, shift, scale)
+    for a, b in zip(vjp_fused(g), vjp_ref(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_adaln_fallback_on_ragged_shapes() -> None:
+    "Non-lane-aligned D silently takes the eager path with identical results."
+    from skrample_tpu.ops.adaln import adaln_modulate, adaln_reference
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 96), jnp.float32)
+    shift = jnp.zeros((1, 96), jnp.float32)
+    scale = jnp.ones((1, 96), jnp.float32) * 0.1
+    np.testing.assert_allclose(
+        np.asarray(adaln_modulate(x, shift, scale)),
+        np.asarray(adaln_reference(x, shift, scale)),
+        atol=1e-7,
+    )
+
+
+def test_dit_packed_flash_matches_full() -> None:
+    "A head_dim-128 DiT routes flash through the packed kernel and matches full attention."
+    from skrample_tpu.models import DiT, DiTConfig
+
+    kwargs = dict(dim=256, depth=2, heads=2, channels=4, compute_dtype=jnp.float32)
+    full = DiT(DiTConfig(attention="full", **kwargs))
+    flash = DiT(DiTConfig(attention="flash", **kwargs))
+    assert flash.config.head_dim % 128 == 0
+    params = full.init(jax.random.PRNGKey(0))
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 32, 32), jnp.float32)
+    t = jnp.asarray([0.3, 0.8], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(flash.apply(params, x, t)), np.asarray(full.apply(params, x, t)), atol=5e-3
+    )
+
+
 def test_dit_flash_attention_matches_full() -> None:
     "DiTConfig(attention='flash') is numerically the full-attention model."
     from skrample_tpu.models import DiT, DiTConfig

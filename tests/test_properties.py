@@ -10,6 +10,11 @@ import math
 
 import numpy as np
 from hypothesis import given, settings
+
+# property tests share the box with TPU-bench compiles in CI; wall-clock
+# deadlines under that load are flakes, not signal
+settings.register_profile("no_deadline", deadline=None)
+settings.load_profile("no_deadline")
 from hypothesis import strategies as st
 
 from skrample_tpu.common import MergeStrategy, Point, Step, bashforth, spowf, sumprod
