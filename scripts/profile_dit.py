@@ -75,18 +75,22 @@ def main() -> None:
     flops = dit_forward_flops(config, BATCH, HW, HW)
     peak = 197e12
 
-    real_layernorm = dit_mod._layernorm
+    real_adaln = dit_mod._adaln
     import importlib
 
     fa_mod = importlib.import_module("skrample_tpu.ops.flash_attention")
 
     real_flash = fa_mod.flash_attention
+    real_flash_qkv = fa_mod.flash_attention_qkv
 
     def run(label, attention=None, layernorm=None, flash=None):
         cfgs = {"full": config} if attention is None else {attention: DiTConfig(
             dim=DIM, depth=DEPTH, heads=HEADS, compute_dtype=jnp.bfloat16, attention=attention)}
-        dit_mod._layernorm = layernorm or real_layernorm
+        dit_mod._adaln = layernorm or real_adaln
         fa_mod.flash_attention = flash or real_flash
+        fa_mod.flash_attention_qkv = (
+            (lambda qkv, heads: qkv[..., : qkv.shape[-1] // 3]) if flash else real_flash_qkv
+        )
         try:
             for _, cfg in cfgs.items():
                 m = DiT(cfg)
@@ -95,15 +99,16 @@ def main() -> None:
                 print(f"{label:44s} {us:9.1f} us/fwd   eff {flops / sec / 1e12:6.1f} TF/s  mfu {flops / sec / peak:.3f}", flush=True)
                 return sec
         finally:
-            dit_mod._layernorm = real_layernorm
+            dit_mod._adaln = real_adaln
             fa_mod.flash_attention = real_flash
+            fa_mod.flash_attention_qkv = real_flash_qkv
 
     print(f"DiT dim={DIM} depth={DEPTH} heads={HEADS} N={N} batch={BATCH} bf16; analytic {flops / 1e9:.1f} GFLOP/fwd")
     base = run("full (flash attention)")
     no_attn = run("attention -> identity (keeps transposes)", flash=lambda q, k, v: q)
-    no_ln = run("layernorm -> identity", layernorm=lambda z: z)
-    both = run("attention+layernorm -> identity",
-               flash=lambda q, k, v: q, layernorm=lambda z: z)
+    no_ln = run("adaln -> identity", layernorm=lambda z, sh, sc: z)
+    both = run("attention+adaln -> identity",
+               flash=lambda q, k, v: q, layernorm=lambda z, sh, sc: z)
 
     # matmul-only ceiling at the same shapes: qkv, proj, mlp_in, mlp_out per block
     w_qkv = jnp.zeros((DIM, 3 * DIM), jnp.bfloat16)
@@ -128,7 +133,7 @@ def main() -> None:
 
     print()
     print(f"attention total (incl. transposes): {(base - no_attn) * 1e6:8.1f} us/fwd")
-    print(f"layernorm total:                    {(base - no_ln) * 1e6:8.1f} us/fwd")
+    print(f"adaln total:                        {(base - no_ln) * 1e6:8.1f} us/fwd")
     print(f"everything-else residual:           {(both - mm_sec) * 1e6:8.1f} us/fwd vs bare matmuls")
 
 

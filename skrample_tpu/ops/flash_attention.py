@@ -290,19 +290,248 @@ def _qkv_reference(qkv: jax.Array, heads: int) -> jax.Array:
     return _packed_reference(q, k, v, heads)
 
 
+# --- flash backward (training path) -----------------------------------------
+#
+# The einsum-vjp backward re-materializes the (N, N) score matrix in HBM.
+# These kernels recompute score tiles in VMEM from the forward's saved
+# logsumexp instead (the standard flash backward):
+#
+#   delta_i = rowsum(dO_i * O_i)              (eager, one fused HBM pass)
+#   P_ij    = exp(s_ij - lse_i)               (recomputed per tile)
+#   dV_j    = sum_i P_ij^T dO_i
+#   dS_ij   = P_ij * (dO_i . V_j - delta_i)
+#   dQ_i    = scale * sum_j dS_ij K_j
+#   dK_j    = scale * sum_i dS_ij^T Q_i
+#
+# dQ iterates KV blocks per Q tile; dK/dV iterate Q blocks per KV tile.
+# lse/delta ride in (B, H, N, 1) layout so their (1, 1, block, 1) blocks
+# satisfy Mosaic's tiling rule.
+
+
+def _softmax_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
+    "Single-KV-block forward that also stores the row logsumexp."
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = s * scale
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0]
+    o_ref[0] = jax.lax.dot((p / l).astype(v.dtype), v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(l)
+
+
+def _flash_lse_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale: float, kv_blocks: int, kv_dim: int
+):
+    "Online-softmax forward that also stores the row logsumexp."
+    _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, scale=scale, kv_blocks=kv_blocks, kv_dim=kv_dim)
+
+    @pl.when(pl.program_id(kv_dim) == kv_blocks - 1)
+    def _store_lse():
+        lse_ref[0, 0] = m_ref[:, :1] + jnp.log(l_ref[:, :1])
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k", "interpret"))
+def flash_attention_qkv_forward_lse(
+    qkv: jax.Array,
+    heads: int,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    "Like :func:`flash_attention_qkv_forward` but also returns lse (B, H, N, 1) f32."
+    B, N, D3 = qkv.shape
+    D = D3 // 3
+    d = D // heads
+    if D3 % 3 or D % heads or d % _LANE:
+        raise ValueError(f"qkv layout needs head_dim {d} to be a multiple of {_LANE}")
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
+    if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
+        raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k}")
+
+    kv_blocks = N // block_k
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, h, i, j: (b, i, h), memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, block_k, d), lambda b, h, i, j: (b, j, heads + h), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, block_k, d), lambda b, h, i, j: (b, j, 2 * heads + h), memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM)
+    if kv_blocks == 1:
+        kernel = functools.partial(_softmax_lse_kernel, scale=1.0 / math.sqrt(d))
+        scratch = []
+    else:
+        kernel = functools.partial(_flash_lse_kernel, scale=1.0 / math.sqrt(d), kv_blocks=kv_blocks, kv_dim=3)
+        scratch = [
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ]
+    o, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+            jax.ShapeDtypeStruct((B, heads, N, 1), jnp.float32),
+        ),
+        grid=(B, heads, N // block_q, kv_blocks),
+        in_specs=[q_spec, k_spec, v_spec],
+        out_specs=(q_spec, lse_spec),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return o, lse
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref, *, scale, kv_blocks):
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse_ref[0, 0])  # (bq, bk), rows already normalized
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0, 0])
+    acc_ref[:] += jax.lax.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
+
+    @pl.when(j == kv_blocks - 1)
+    def _store():
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale, q_blocks
+):
+    i = pl.program_id(3)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse_ref[0, 0])
+    # dV_j += P^T dO  and  dK_j += dS^T Q: contract over the q-block axis
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0, 0])
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == q_blocks - 1)
+    def _store():
+        dk_ref[0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k", "interpret"))
+def flash_attention_qkv_backward(
+    qkv: jax.Array,
+    o: jax.Array,
+    lse: jax.Array,
+    g: jax.Array,
+    heads: int,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """dL/d(qkv) from the forward's saved output and logsumexp.
+
+    Score tiles are recomputed in VMEM — the (N, N) matrix never exists in
+    HBM, so training-path attention memory is O(N) like the forward (the
+    einsum-vjp fallback it replaces was O(N^2))."""
+    B, N, D3 = qkv.shape
+    D = D3 // 3
+    d = D // heads
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
+    scale = 1.0 / math.sqrt(d)
+
+    delta = (g.astype(jnp.float32) * o.astype(jnp.float32)).reshape(B, N, heads, d).sum(-1)
+    delta = delta.transpose(0, 2, 1)[..., None]  # (B, H, N, 1)
+
+    q_spec = lambda sel: pl.BlockSpec((1, block_q, d), lambda b, h, i, j, s=sel: (b, [i, j][s], h), memory_space=pltpu.VMEM)  # noqa: E731
+    row_spec = lambda sel: pl.BlockSpec(  # noqa: E731
+        (1, 1, block_q, 1), lambda b, h, i, j, s=sel: (b, h, [i, j][s], 0), memory_space=pltpu.VMEM
+    )
+
+    def kv_spec(third: int, sel: int):
+        return pl.BlockSpec(
+            (1, block_k, d), lambda b, h, i, j: (b, [i, j][sel], third * heads + h), memory_space=pltpu.VMEM
+        )
+
+    common = dict(
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, kv_blocks=N // block_k),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+        grid=(B, heads, N // block_q, N // block_k),
+        in_specs=[q_spec(0), kv_spec(1, 1), kv_spec(2, 1), q_spec(0), row_spec(0), row_spec(0)],
+        out_specs=q_spec(0),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        **common,
+    )(qkv, qkv, qkv, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, q_blocks=N // block_q),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+            jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+        ),
+        # grid axis 2 walks KV tiles, axis 3 (innermost) walks Q tiles
+        grid=(B, heads, N // block_k, N // block_q),
+        in_specs=[q_spec(1), kv_spec(1, 0), kv_spec(2, 0), q_spec(1), row_spec(1), row_spec(1)],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda b, h, i, j: (b, i, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, h, i, j: (b, i, h), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32), pltpu.VMEM((block_k, d), jnp.float32)],
+        **common,
+    )(qkv, qkv, qkv, g, lse, delta)
+
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _flash_qkv_vjp(qkv: jax.Array, heads: int) -> jax.Array:
     return flash_attention_qkv_forward(qkv, heads, interpret=jax.default_backend() != "tpu")
 
 
 def _flash_qkv_fwd(qkv, heads):
-    return _flash_qkv_vjp(qkv, heads), (qkv,)
+    if jax.default_backend() == "tpu":
+        o, lse = flash_attention_qkv_forward_lse(qkv, heads)
+        return o, (qkv, o, lse)
+    # off-TPU: interpret-mode kernels would make CPU tests crawl; einsum vjp
+    # is exact and the kernels are covered by direct interpret-mode tests
+    return _flash_qkv_vjp(qkv, heads), (qkv, None, None)
 
 
 def _flash_qkv_bwd(heads, residuals, g):
-    (qkv,) = residuals
-    _, vjp = jax.vjp(lambda a: _qkv_reference(a, heads), qkv)
-    return vjp(g)
+    qkv, o, lse = residuals
+    if o is None:
+        _, vjp = jax.vjp(lambda a: _qkv_reference(a, heads), qkv)
+        return vjp(g)
+    return (flash_attention_qkv_backward(qkv, o, lse, g, heads),)
 
 
 _flash_qkv_vjp.defvjp(_flash_qkv_fwd, _flash_qkv_bwd)

@@ -529,6 +529,51 @@ def test_flash_attention_qkv_matches_split_reference(dtype, B, N, heads, d, bloc
     assert kernel_err <= 2.0 * einsum_err + 1e-6, (kernel_err, einsum_err)
 
 
+@pytest.mark.parametrize(
+    ("B", "N", "heads", "blocks"),
+    [
+        (2, 256, 2, {}),  # single KV block forward, one Q/KV tile pair backward
+        (1, 512, 1, {"block_q": 128, "block_k": 128}),  # 4x4 tile sweep: online softmax + accumulators
+    ],
+)
+def test_flash_qkv_backward_kernel_matches_vjp(B, N, heads, blocks) -> None:
+    "The Pallas backward (recomputed score tiles) equals the einsum vjp."
+    from skrample_tpu.ops.flash_attention import (
+        _qkv_reference,
+        flash_attention_qkv_backward,
+        flash_attention_qkv_forward_lse,
+    )
+
+    d = 128
+    keys = jax.random.split(jax.random.PRNGKey(N + heads), 2)
+    qkv = jax.random.normal(keys[0], (B, N, 3 * heads * d), jnp.float32)
+    g = jax.random.normal(keys[1], (B, N, heads * d), jnp.float32)
+
+    interpret = jax.default_backend() != "tpu"
+    o, lse = flash_attention_qkv_forward_lse(qkv, heads, interpret=interpret, **blocks)
+    ref_o, vjp_ref = jax.vjp(lambda a: _qkv_reference(a, heads), qkv)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref_o), atol=2e-5)
+
+    mine = flash_attention_qkv_backward(qkv, o, lse, g, heads, interpret=interpret, **blocks)
+    np.testing.assert_allclose(np.asarray(mine), np.asarray(vjp_ref(g)[0]), atol=2e-4)
+
+
+def test_flash_qkv_lse_values() -> None:
+    "The saved logsumexp matches a direct f64 computation."
+    from skrample_tpu.ops.flash_attention import flash_attention_qkv_forward_lse
+
+    B, N, heads, d = 1, 256, 2, 128
+    qkv = jax.random.normal(jax.random.PRNGKey(3), (B, N, 3 * heads * d), jnp.float32)
+    _, lse = flash_attention_qkv_forward_lse(qkv, heads, interpret=jax.default_backend() != "tpu")
+
+    q, k, _ = np.split(np.asarray(qkv, np.float64), 3, axis=-1)
+    q = q.reshape(B, N, heads, d).transpose(0, 2, 1, 3)
+    k = k.reshape(B, N, heads, d).transpose(0, 2, 1, 3)
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+    truth = s.max(-1) + np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1))
+    np.testing.assert_allclose(np.asarray(lse)[..., 0], truth, atol=1e-4)
+
+
 def test_flash_attention_qkv_gradients_match_reference() -> None:
     from skrample_tpu.ops.flash_attention import _qkv_reference, flash_attention_qkv
 
