@@ -88,9 +88,58 @@ def adaln_forward(
     )(x, shift.reshape(B, 1, D), scale.reshape(B, 1, D))
 
 
+def _adaln_local(x: jax.Array, shift: jax.Array, scale: jax.Array, interpret: bool) -> jax.Array:
+    "Kernel on one shard: adapt block_n to the (possibly shard-local) N."
+    _B, N, D = x.shape
+    block_n = next((b for b in (256, 128, 64, 32, 16, 8) if N % b == 0), None)
+    if D % _LANE or block_n is None:
+        return adaln_reference(x, shift, scale)
+    return adaln_forward(x, shift, scale, block_n=block_n, interpret=interpret)
+
+
+@functools.cache
+def _adaln_spmd(interpret: bool):
+    """SPMD wrapper: batch AND token axes shard (the op is per-token), the
+    feature axis must be replicated (the mean/var reduce over it).  Without
+    this, XLA replicates the opaque pallas custom call — which would also
+    forcibly gather ring/sp-sharded token axes."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    def fn(x, shift, scale):
+        return _adaln_local(x, shift, scale, interpret)
+
+    cp = custom_partitioning(fn)
+
+    def _shardings(x_sharding):
+        spec = getattr(x_sharding, "spec", None)
+        batch = spec[0] if spec is not None and len(spec) else None
+        token = spec[1] if spec is not None and len(spec) > 1 else None
+        mesh = x_sharding.mesh
+        x_s = NamedSharding(mesh, P(batch, token, None))
+        mod_s = NamedSharding(mesh, P(batch, None))
+        return x_s, mod_s
+
+    def partition(mesh, arg_shapes, result_shape):
+        x_s, mod_s = _shardings(arg_shapes[0].sharding)
+        return mesh, fn, x_s, (x_s, mod_s, mod_s)
+
+    def infer(mesh, arg_shapes, shape):
+        return _shardings(arg_shapes[0].sharding)[0]
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b n d, b d, b d -> b n d",
+        need_replication_factors=("d",),
+    )
+    return jax.jit(cp)
+
+
 @jax.custom_vjp
 def _adaln_vjp(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
-    return adaln_forward(x, shift, scale, interpret=jax.default_backend() != "tpu")
+    return _adaln_spmd(jax.default_backend() != "tpu")(x, shift, scale)
 
 
 def _adaln_fwd(x, shift, scale):
@@ -110,8 +159,10 @@ def adaln_modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Arra
     """Fused ``modulate(layernorm(x), shift, scale)`` with exact gradients.
 
     Shapes the kernel can't tile fall back to the eager composition
-    (trace-time dispatch; shapes are static under jit)."""
-    B, N, D = x.shape
-    if D % _LANE or N % min(256, N):
+    (trace-time dispatch; shapes are static under jit); under a sharded jit
+    the op partitions over batch and token axes (see ``_adaln_spmd``), and
+    a shard-local token count the kernel can't tile falls back per-shard."""
+    _B, N, D = x.shape
+    if D % _LANE or all(N % b for b in (256, 128, 64, 32, 16, 8)):
         return adaln_reference(x, shift, scale)
     return _adaln_vjp(x, shift, scale)

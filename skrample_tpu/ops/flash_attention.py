@@ -512,14 +512,95 @@ def flash_attention_qkv_backward(
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
+# --- SPMD partitioning -------------------------------------------------------
+#
+# Under a sharded jit, XLA treats a pallas_call as an opaque custom call and
+# replicates it — a dp-sharded batch would be all-gathered through every
+# attention.  custom_partitioning teaches the partitioner that these kernels
+# are embarrassingly parallel over dim 0 (batch) and need everything else
+# replicated (full attention mixes all tokens; token sharding is ring
+# attention's job, `parallel/ring_attention.py`).  Each per-shard lowering
+# just re-invokes the kernel on the shard-local batch.
+
+
+def _dim0_sharding(named, ndim: int):
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    spec = getattr(named, "spec", None)
+    batch = spec[0] if spec is not None and len(spec) else None
+    return NamedSharding(named.mesh, P(batch, *([None] * (ndim - 1))))
+
+
+def _batch_parallel(fn, rule: str, need_replication: tuple[str, ...], out_ndims):
+    """Wrap ``fn`` (array args -> array or tuple) so dim 0 shards and every
+    other dimension is replicated.  ``out_ndims`` is an int or tuple of ints
+    (rank per result) used to build the result shardings."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    cp = custom_partitioning(fn)
+    many = isinstance(out_ndims, tuple)
+
+    def _results(mesh_sharding):
+        if many:
+            return tuple(_dim0_sharding(mesh_sharding, nd) for nd in out_ndims)
+        return _dim0_sharding(mesh_sharding, out_ndims)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg0 = arg_shapes[0].sharding
+        arg_shardings = tuple(_dim0_sharding(arg0, len(a.shape)) for a in arg_shapes)
+        return mesh, fn, _results(arg0), arg_shardings
+
+    def infer(mesh, arg_shapes, shape):
+        return _results(arg_shapes[0].sharding)
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        need_replication_factors=need_replication,
+    )
+    return jax.jit(cp)
+
+
+@functools.cache
+def _qkv_fwd_spmd(heads: int, interpret: bool):
+    return _batch_parallel(
+        lambda qkv: flash_attention_qkv_forward(qkv, heads, interpret=interpret),
+        "b n e -> b n f",
+        ("n", "e", "f"),
+        3,
+    )
+
+
+@functools.cache
+def _qkv_fwd_lse_spmd(heads: int, interpret: bool):
+    return _batch_parallel(
+        lambda qkv: flash_attention_qkv_forward_lse(qkv, heads, interpret=interpret),
+        "b n e -> b n f, b h n u",
+        ("n", "e", "f", "h", "u"),
+        (3, 4),
+    )
+
+
+@functools.cache
+def _qkv_bwd_spmd(heads: int, interpret: bool):
+    return _batch_parallel(
+        lambda qkv, o, lse, g: flash_attention_qkv_backward(qkv, o, lse, g, heads, interpret=interpret),
+        "b n e, b n f, b h n u, b n f -> b n e",
+        ("n", "e", "f", "h", "u"),
+        3,
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _flash_qkv_vjp(qkv: jax.Array, heads: int) -> jax.Array:
-    return flash_attention_qkv_forward(qkv, heads, interpret=jax.default_backend() != "tpu")
+    return _qkv_fwd_spmd(heads, jax.default_backend() != "tpu")(qkv)
 
 
 def _flash_qkv_fwd(qkv, heads):
     if jax.default_backend() == "tpu":
-        o, lse = flash_attention_qkv_forward_lse(qkv, heads)
+        o, lse = _qkv_fwd_lse_spmd(heads, False)(qkv)
         return o, (qkv, o, lse)
     # off-TPU: interpret-mode kernels would make CPU tests crawl; einsum vjp
     # is exact and the kernels are covered by direct interpret-mode tests
@@ -531,7 +612,7 @@ def _flash_qkv_bwd(heads, residuals, g):
     if o is None:
         _, vjp = jax.vjp(lambda a: _qkv_reference(a, heads), qkv)
         return vjp(g)
-    return (flash_attention_qkv_backward(qkv, o, lse, g, heads),)
+    return (_qkv_bwd_spmd(heads, False)(qkv, o, lse, g),)
 
 
 _flash_qkv_vjp.defvjp(_flash_qkv_fwd, _flash_qkv_bwd)
