@@ -77,15 +77,21 @@ def headline_section(jax, jnp, sampler, schedule, transform, shape) -> dict:
             denoiser = CompiledDenoiser.build(compiled, dtype=dtype, kernel=kernel)
             xd = jnp.ones(shape, dtype)
             run = jax.jit(lambda x, d=denoiser: d.run(model_fn, x))
-            run(xd).block_until_ready()  # compile + warm
+            np.asarray(run(xd))  # compile + warm; forced host transfer (see below)
             runners[(name, steps)] = (run, xd)
 
     def time_cell(key: tuple[str, int]) -> float:
+        # every wait is a host transfer, not block_until_ready: through the
+        # axon tunnel a block_until_ready-only warm-up was observed to make
+        # later block_until_ready calls return while the scan was still in
+        # flight (the round-2 negative headline's likely mechanism); the
+        # transfer constant is identical across scan lengths, so the slope
+        # is unaffected
         run, xd = runners[key]
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            run(xd).block_until_ready()
+            np.asarray(run(xd))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -194,7 +200,7 @@ def dispatch_section(jax, jnp, sampler, schedule, transform, shape, steps: int =
         v = jnp.ones(shape, jnp.float32)
         for _ in range(steps):
             v = null1(v)
-        v.block_until_ready()
+        np.asarray(v)  # forced transfer, not block_until_ready (tunnel quirk)
 
     def loop_nullsig():
         xx = jnp.ones(shape, jnp.float32)
@@ -202,7 +208,7 @@ def dispatch_section(jax, jnp, sampler, schedule, transform, shape, steps: int =
         ring = denoiser.init_ring(xx)
         for n in range(steps):
             xx, ring = nullsig(w_rows[n], xx, o, ring)
-        xx.block_until_ready()
+        np.asarray(xx)
 
     def loop_step():
         xx = jnp.ones(shape, jnp.float32)
@@ -210,7 +216,7 @@ def dispatch_section(jax, jnp, sampler, schedule, transform, shape, steps: int =
         ring = denoiser.init_ring(xx)
         for n in range(steps):
             xx, ring = jstep(w_rows[n], xx, o, ring)
-        xx.block_until_ready()
+        np.asarray(xx)
 
     def loop_indexed():
         xx = jnp.ones(shape, jnp.float32)
@@ -218,7 +224,7 @@ def dispatch_section(jax, jnp, sampler, schedule, transform, shape, steps: int =
         ring = denoiser.init_ring(xx)
         for n in range(steps):
             xx, ring = jstep_idx(idx[n], xx, o, ring)
-        xx.block_until_ready()
+        np.asarray(xx)
 
     def loop_path():
         xx = jnp.ones(shape, jnp.float32)
@@ -226,7 +232,7 @@ def dispatch_section(jax, jnp, sampler, schedule, transform, shape, steps: int =
         for n in range(steps):
             o = xx * jnp.float32(0.999)
             xx, ring = jstep(w_rows[n], xx, o, ring)
-        xx.block_until_ready()
+        np.asarray(xx)
 
     t = timed_interleaved(
         {"null1": loop_null1, "nullsig": loop_nullsig, "step": loop_step, "indexed": loop_indexed, "path": loop_path}
@@ -314,11 +320,11 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
         )
 
     def timed(pipe, reps=3):
-        pipe.generate(key).block_until_ready()
+        np.asarray(pipe.generate(key))  # warm; forced transfer (tunnel quirk)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            pipe.generate(key).block_until_ready()
+            np.asarray(pipe.generate(key))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -345,14 +351,14 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
             # negative request constant.
             pipes = {steps: build_pipe(config, dit, params, steps), 2 * steps: build_pipe(config, dit, params, 2 * steps)}
             for p in pipes.values():
-                p.generate(key).block_until_ready()
+                np.asarray(p.generate(key))
             bests = {n: float("inf") for n in pipes}
             reps = 4
             for attempt in range(3):
                 for _ in range(reps):
                     for n, p in pipes.items():
                         t0 = time.perf_counter()
-                        p.generate(key).block_until_ready()
+                        np.asarray(p.generate(key))
                         bests[n] = min(bests[n], time.perf_counter() - t0)
                 marginal = (bests[2 * steps] - bests[steps]) / steps
                 constant = bests[steps] - marginal * steps
@@ -406,22 +412,38 @@ def training_section(jax, jnp, batch: int = 4, hw: int = 64, dim: int = 512, dep
         updates, o = opt.update(grads, o, p)
         return (optax.apply_updates(p, updates), o), loss
 
-    lengths = (2, 8)
+    # 2 -> 20 steps puts ~150 ms of signal over the tunnel's jitter; the
+    # first cut used 2 -> 8 (~50 ms) and published a negative slope once.
+    # Warm-up and timing both force a host transfer of the losses: through
+    # the axon tunnel, a block_until_ready-only warm-up left every later
+    # block_until_ready on that executable returning in ~1 ms while 160 ms
+    # of scanned work was still in flight (measured; np.asarray was the only
+    # change that restored coherent 8 ms/step slopes)
+    lengths = (2, 20)
     runners = {}
     for n in lengths:
         runners[n] = jax.jit(
             lambda p, o, n=n: jax.lax.scan(train_step, (p, o), jax.random.split(jax.random.PRNGKey(1), n))
         )
-        runners[n](params, opt_state)[1].block_until_ready()
+        np.asarray(runners[n](params, opt_state)[1])
 
     best = {n: float("inf") for n in lengths}
-    for _ in range(4):
-        for n in lengths:
-            t0 = time.perf_counter()
-            runners[n](params, opt_state)[1].block_until_ready()
-            best[n] = min(best[n], time.perf_counter() - t0)
     lo, hi = lengths
-    step_s = (best[hi] - best[lo]) / (hi - lo)
+    step_s = -1.0
+    reps = 4
+    for _attempt in range(3):
+        for _ in range(reps):
+            for n in lengths:  # interleaved so drift hits both lengths
+                t0 = time.perf_counter()
+                np.asarray(runners[n](params, opt_state)[1])
+                best[n] = min(best[n], time.perf_counter() - t0)
+        step_s = (best[hi] - best[lo]) / (hi - lo)
+        if step_s > 0:
+            break
+        reps = 6  # noise won this attempt: widen the sample
+    if not step_s > 0:
+        # refuse to publish a garbage number; the field's absence is the signal
+        return {"train_bench_unstable": True}
 
     flops = 3.0 * dit_forward_flops(config, batch, hw, hw)
     out = {
