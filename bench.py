@@ -234,12 +234,18 @@ def dispatch_section(jax, jnp, sampler, schedule, transform, shape, steps: int =
             xx, ring = jstep(w_rows[n], xx, o, ring)
         np.asarray(xx)
 
-    t = timed_interleaved(
-        {"null1": loop_null1, "nullsig": loop_nullsig, "step": loop_step, "indexed": loop_indexed, "path": loop_path}
-    )
+    loops = {"null1": loop_null1, "nullsig": loop_nullsig, "step": loop_step, "indexed": loop_indexed, "path": loop_path}
+    t = timed_interleaved(loops)
+    # the decomposition only means something if the parts are ordered
+    # (null <= nullsig <= step); tunnel noise can invert them — retry once
+    # with a wider sample, then flag rather than publish a negative part
+    if not (t["null1"] <= t["nullsig"] <= t["step"]):
+        t = timed_interleaved(loops, reps=9)
+    unstable = not (t["null1"] <= t["nullsig"] <= t["step"])
     t_null1, t_nullsig, t_step, t_indexed, t_path = (t[k] for k in ("null1", "nullsig", "step", "indexed", "path"))
 
     return {
+        **({"dispatch_decomposition_unstable": True} if unstable else {}),
         "us_single_step_dispatch_path": round(t_path, 3),
         "us_null_dispatch": round(t_null1, 3),
         "us_nullsig_dispatch": round(t_nullsig, 3),
