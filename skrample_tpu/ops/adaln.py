@@ -88,6 +88,69 @@ def adaln_forward(
     )(x, shift.reshape(B, 1, D), scale.reshape(B, 1, D))
 
 
+def _adaln_bwd_kernel(x_ref, g_ref, scale_ref, dx_ref, dsh_ref, dsc_ref):
+    """One-pass adaLN backward: recompute the row statistics, emit dx for
+    this token tile and accumulate dshift/dscale across tiles (the (1, 1, D)
+    output blocks stay resident in VMEM while the grid walks the token axis
+    and flush once per batch row)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dsh_ref[0] = jnp.zeros_like(dsh_ref[0])
+        dsc_ref[0] = jnp.zeros_like(dsc_ref[0])
+
+    x32 = x_ref[0].astype(jnp.float32)  # (block_n, D)
+    g32 = g_ref[0].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    centered = x32 - mean
+    var = jnp.mean(centered * centered, axis=1, keepdims=True)
+    inv_std = jax.lax.rsqrt(var + _EPS)
+    xhat = centered * inv_std
+
+    dxhat = g32 * (1.0 + scale_ref[0].astype(jnp.float32))
+    m1 = jnp.mean(dxhat, axis=1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
+    dx_ref[0] = ((dxhat - m1 - xhat * m2) * inv_std).astype(dx_ref.dtype)
+
+    dsh_ref[0] += jnp.sum(g32, axis=0, keepdims=True)
+    dsc_ref[0] += jnp.sum(g32 * xhat, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def adaln_backward(
+    x: jax.Array, g: jax.Array, scale: jax.Array, block_n: int = 256, interpret: bool = False
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """``(dx, dshift, dscale)`` from the upstream cotangent ``g``.
+
+    One read of x and g, one write of dx, per-(B,D) reductions accumulated
+    in VMEM — the eager vjp costs ~0.73 ms of the 8 ms train step across
+    the DiT's 17 call sites (scripts/profile_train.py); this kernel does
+    the whole backward at streaming bandwidth."""
+    B, N, D = x.shape
+    block_n = min(block_n, N)
+    if D % _LANE or N % block_n:
+        raise ValueError(f"adaln backward needs D % 128 == 0 and N % block_n == 0, got {x.shape}")
+    tile = pl.BlockSpec((1, block_n, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, 1, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    dx, dsh, dsc = pl.pallas_call(
+        _adaln_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D), x.dtype),
+            jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+        ),
+        grid=(B, N // block_n),
+        in_specs=[tile, tile, row],
+        out_specs=(tile, row, row),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, g, scale.reshape(B, 1, D))
+    return dx, dsh.reshape(B, D), dsc.reshape(B, D)
+
+
 def _adaln_local(x: jax.Array, shift: jax.Array, scale: jax.Array, interpret: bool) -> jax.Array:
     "Kernel on one shard: adapt block_n to the (possibly shard-local) N."
     _B, N, D = x.shape
@@ -146,10 +209,67 @@ def _adaln_fwd(x, shift, scale):
     return _adaln_vjp(x, shift, scale), (x, shift, scale)
 
 
+def _adaln_bwd_local(x: jax.Array, g: jax.Array, scale: jax.Array, interpret: bool):
+    _B, N, D = x.shape
+    block_n = next((b for b in (256, 128, 64, 32, 16, 8) if N % b == 0), None)
+    if D % _LANE or block_n is None:
+        _, vjp = jax.vjp(lambda xx, sc: adaln_reference(xx, jnp.zeros_like(sc), sc), x, scale)
+        dx, dsc = vjp(g)
+        return dx, jnp.sum(g.astype(jnp.float32), axis=1), dsc.astype(jnp.float32)
+    return adaln_backward(x, g, scale, block_n=block_n, interpret=interpret)
+
+
+@functools.cache
+def _adaln_bwd_spmd(interpret: bool):
+    """SPMD wrapper for the backward kernel: batch shards, token and feature
+    axes replicated (dshift/dscale reduce over tokens — a sharded token axis
+    would need a cross-shard reduction the single-chip kernel doesn't do, so
+    the partitioner gathers instead; sp-model training keeps correctness)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    def fn(x, g, scale):
+        return _adaln_bwd_local(x, g, scale, interpret)
+
+    cp = custom_partitioning(fn)
+
+    def _shard(named, ndim):
+        spec = getattr(named, "spec", None)
+        batch = spec[0] if spec is not None and len(spec) else None
+        return NamedSharding(named.mesh, P(batch, *([None] * (ndim - 1))))
+
+    def partition(mesh, arg_shapes, result_shape):
+        s0 = arg_shapes[0].sharding
+        return (
+            mesh,
+            fn,
+            (_shard(s0, 3), _shard(s0, 2), _shard(s0, 2)),
+            (_shard(s0, 3), _shard(s0, 3), _shard(s0, 2)),
+        )
+
+    def infer(mesh, arg_shapes, shape):
+        s0 = arg_shapes[0].sharding
+        return (_shard(s0, 3), _shard(s0, 2), _shard(s0, 2))
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b n d, b n d, b d -> b n d, b d, b d",
+        need_replication_factors=("n", "d"),
+    )
+    return jax.jit(cp)
+
+
 def _adaln_bwd(residuals, g):
     x, shift, scale = residuals
-    _, vjp = jax.vjp(adaln_reference, x, shift, scale)
-    return vjp(g)
+    if jax.default_backend() != "tpu":
+        # eager vjp off-TPU: interpret-mode kernels would slow CPU tests;
+        # the kernel is covered by direct interpret-mode equivalence tests
+        _, vjp = jax.vjp(adaln_reference, x, shift, scale)
+        return vjp(g)
+    dx, dsh, dsc = _adaln_bwd_spmd(False)(x, g, scale)
+    return dx, dsh.astype(shift.dtype), dsc.astype(scale.dtype)
 
 
 _adaln_vjp.defvjp(_adaln_fwd, _adaln_bwd)

@@ -645,6 +645,34 @@ def test_adaln_gradients_match_eager() -> None:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize(
+    ("shape", "block_n"),
+    [((2, 256, 256), 256), ((1, 512, 128), 128), ((3, 128, 384), 64)],  # incl. multi-tile accumulation
+)
+def test_adaln_backward_kernel_matches_vjp(dtype, shape, block_n) -> None:
+    "The one-pass backward kernel (dx + accumulated dshift/dscale) equals the eager vjp."
+    from skrample_tpu.ops.adaln import adaln_backward, adaln_reference
+
+    dt = jnp.dtype(dtype)
+    B, N, D = shape
+    keys = jax.random.split(jax.random.PRNGKey(hash(shape) % 2**31), 4)
+    x = (jax.random.normal(keys[0], shape) * 2.0 + 0.3).astype(dt)
+    shift = jax.random.normal(keys[1], (B, D)).astype(dt)
+    scale = jax.random.normal(keys[2], (B, D)).astype(dt)
+    g = jax.random.normal(keys[3], shape).astype(dt)
+
+    _, vjp = jax.vjp(adaln_reference, x, shift, scale)
+    ref_dx, ref_dsh, ref_dsc = vjp(g)
+
+    interpret = jax.default_backend() != "tpu"
+    dx, dsh, dsc = adaln_backward(x, g, scale, block_n=block_n, interpret=interpret)
+    atol = 2e-5 if dtype == "float32" else 5e-2
+    np.testing.assert_allclose(np.asarray(dx, np.float32), np.asarray(ref_dx, np.float32), atol=atol)
+    np.testing.assert_allclose(np.asarray(dsh), np.asarray(ref_dsh, np.float32), atol=atol * N)
+    np.testing.assert_allclose(np.asarray(dsc), np.asarray(ref_dsc, np.float32), atol=atol * N)
+
+
 def test_adaln_fallback_on_ragged_shapes() -> None:
     "Non-lane-aligned D silently takes the eager path with identical results."
     from skrample_tpu.ops.adaln import adaln_modulate, adaln_reference
