@@ -558,6 +558,79 @@ def test_flash_qkv_backward_kernel_matches_vjp(B, N, heads, blocks) -> None:
     np.testing.assert_allclose(np.asarray(mine), np.asarray(vjp_ref(g)[0]), atol=2e-4)
 
 
+@pytest.mark.parametrize("case", range(8))
+def test_flash_qkv_fuzz_shapes(case: int) -> None:
+    """Randomized (B, N, heads, d, blocks, dtype) sweep through the packed
+    forward AND backward kernels vs the einsum reference — catches tiling
+    edge cases the hand-picked shapes miss."""
+    from skrample_tpu.ops.flash_attention import (
+        _qkv_reference,
+        flash_attention_qkv_backward,
+        flash_attention_qkv_forward_lse,
+    )
+
+    rng = np.random.default_rng(9000 + case)
+    B = int(rng.integers(1, 4))
+    N = 128 * int(rng.integers(1, 5))
+    heads = int(rng.integers(1, 4))
+    d = 128 * int(rng.integers(1, 3))
+    block_q = int(rng.choice([128, 256, 512]))
+    block_k = int(rng.choice([128, 256, 512]))
+    dt = jnp.dtype(str(rng.choice(["float32", "bfloat16"])))
+
+    keys = jax.random.split(jax.random.PRNGKey(case), 2)
+    qkv = jax.random.normal(keys[0], (B, N, 3 * heads * d)).astype(dt)
+    g = jax.random.normal(keys[1], (B, N, heads * d)).astype(dt)
+
+    interpret = jax.default_backend() != "tpu"
+    o, lse = flash_attention_qkv_forward_lse(qkv, heads, block_q=block_q, block_k=block_k, interpret=interpret)
+    ref_o, vjp = jax.vjp(lambda a: _qkv_reference(a, heads), qkv)
+    atol = 1e-5 if dt == jnp.float32 else 5e-2
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.asarray(ref_o, np.float32), atol=atol,
+        err_msg=f"fwd case {case}: B{B} N{N} h{heads} d{d} bq{block_q} bk{block_k} {dt}",
+    )
+    mine = flash_attention_qkv_backward(qkv, o, lse, g, heads, block_q=block_q, block_k=block_k, interpret=interpret)
+    np.testing.assert_allclose(
+        np.asarray(mine, np.float32), np.asarray(vjp(g)[0], np.float32), atol=atol * 20,
+        err_msg=f"bwd case {case}: B{B} N{N} h{heads} d{d} bq{block_q} bk{block_k} {dt}",
+    )
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_adaln_fuzz_shapes(case: int) -> None:
+    "Randomized shapes/blocks through the adaLN forward + backward kernels."
+    from skrample_tpu.ops.adaln import adaln_backward, adaln_forward, adaln_reference
+
+    rng = np.random.default_rng(7000 + case)
+    B = int(rng.integers(1, 5))
+    D = 128 * int(rng.integers(1, 5))
+    block_n = int(rng.choice([8, 32, 64, 128, 256]))
+    N = block_n * int(rng.integers(1, 5))
+    dt = jnp.dtype(str(rng.choice(["float32", "bfloat16"])))
+
+    keys = jax.random.split(jax.random.PRNGKey(case), 4)
+    x = (jax.random.normal(keys[0], (B, N, D)) * 2 + 0.1).astype(dt)
+    shift = jax.random.normal(keys[1], (B, D)).astype(dt)
+    scale = jax.random.normal(keys[2], (B, D)).astype(dt)
+    g = jax.random.normal(keys[3], (B, N, D)).astype(dt)
+
+    interpret = jax.default_backend() != "tpu"
+    atol = 1e-5 if dt == jnp.float32 else 5e-2
+    msg = f"case {case}: B{B} N{N} D{D} block_n{block_n} {dt}"
+    fused = adaln_forward(x, shift, scale, block_n=block_n, interpret=interpret)
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(adaln_reference(x, shift, scale), np.float32),
+        atol=atol, err_msg=msg,
+    )
+    _, vjp = jax.vjp(adaln_reference, x, shift, scale)
+    rdx, rdsh, rdsc = vjp(g)
+    dx, dsh, dsc = adaln_backward(x, g, scale, block_n=block_n, interpret=interpret)
+    np.testing.assert_allclose(np.asarray(dx, np.float32), np.asarray(rdx, np.float32), atol=atol * 10, err_msg=msg)
+    np.testing.assert_allclose(np.asarray(dsh), np.asarray(rdsh, np.float32), atol=atol * N, err_msg=msg)
+    np.testing.assert_allclose(np.asarray(dsc), np.asarray(rdsc, np.float32), atol=atol * N, err_msg=msg)
+
+
 def test_flash_qkv_lse_values() -> None:
     "The saved logsumexp matches a direct f64 computation."
     from skrample_tpu.ops.flash_attention import flash_attention_qkv_forward_lse
