@@ -40,6 +40,12 @@ class DiTConfig:
     chip).  Ring requires constructing the :class:`DiT` with a mesh that has
     the ``sp_axis``."""
     sp_axis: str = "sp"
+    remat: bool = False
+    """Rematerialize each transformer block under ``jax.checkpoint``: the
+    backward pass recomputes block activations instead of storing them, so
+    training activation memory drops from O(depth) residual streams to
+    O(1) at ~1/3 extra FLOPs — the standard memory/compute trade for
+    training models that do not otherwise fit HBM."""
 
     @property
     def head_dim(self) -> int:
@@ -185,50 +191,61 @@ class DiT:
         temb = _dense(params["t_mlp2"], jax.nn.silu(_dense(params["t_mlp1"], temb.astype(dtype), dtype)), dtype)
         temb = jax.nn.silu(temb)
 
+        block_fn = self._block
+        if c.remat:
+            block_fn = jax.checkpoint(block_fn)
         for block in params["blocks"]:
-            mods = _dense(block["ada"], temb, dtype)
-            (s_attn, g_attn, sc_attn, s_mlp, g_mlp, sc_mlp) = jnp.split(mods, 6, axis=-1)
-
-            h = _adaln(tokens, s_attn, sc_attn)
-            qkv = _dense(block["qkv"], h, dtype)
-            N = qkv.shape[1]
-            if c.attention == "flash" and c.head_dim % 128 == 0:
-                # TPU-native head shape: head_dim a multiple of the 128 lane
-                # width lets the kernel slice each head's q/k/v straight out
-                # of the fused qkv matmul output — no (B, N, H, d) <->
-                # (B, H, N, d) transposes, no split copies, and the score
-                # matmul contracts at full MXU depth
-                from ..ops.flash_attention import flash_attention_qkv
-
-                out = flash_attention_qkv(qkv, c.heads)
-            else:
-                q, k, v = jnp.split(qkv, 3, axis=-1)
-                q = q.reshape(B, N, c.heads, c.head_dim).transpose(0, 2, 1, 3)
-                k = k.reshape(B, N, c.heads, c.head_dim).transpose(0, 2, 1, 3)
-                v = v.reshape(B, N, c.heads, c.head_dim).transpose(0, 2, 1, 3)
-                if c.attention == "ring":
-                    from ..parallel.ring_attention import ring_attention
-
-                    out = ring_attention(q, k, v, self.mesh, axis=c.sp_axis)
-                elif c.attention == "flash":
-                    from ..ops.flash_attention import flash_attention
-
-                    out = flash_attention(q, k, v)
-                else:
-                    attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-                    attn = jax.nn.softmax(attn / math.sqrt(c.head_dim), axis=-1).astype(dtype)
-                    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32).astype(dtype)
-                out = out.transpose(0, 2, 1, 3).reshape(B, N, c.dim)
-            tokens = tokens + g_attn[:, None] * _dense(block["proj"], out, dtype)
-
-            h = _adaln(tokens, s_mlp, sc_mlp)
-            h = _dense(block["mlp_out"], jax.nn.gelu(_dense(block["mlp_in"], h, dtype)), dtype)
-            tokens = tokens + g_mlp[:, None] * h
+            tokens = block_fn(block, tokens, temb)
 
         shift, scale = jnp.split(_dense(params["final_mod"], temb, dtype), 2, axis=-1)
         tokens = _adaln(tokens, shift, scale)
         out = _dense(params["final_out"], tokens, dtype)
         return self.unpatchify(out, H, W).astype(in_dtype)
+
+    def _block(self, block: dict, tokens: jax.Array, temb: jax.Array) -> jax.Array:
+        "One transformer block (adaLN-zero attention + MLP residual)."
+        c = self.config
+        dtype = c.compute_dtype
+        B = tokens.shape[0]
+        mods = _dense(block["ada"], temb, dtype)
+        (s_attn, g_attn, sc_attn, s_mlp, g_mlp, sc_mlp) = jnp.split(mods, 6, axis=-1)
+
+        h = _adaln(tokens, s_attn, sc_attn)
+        qkv = _dense(block["qkv"], h, dtype)
+        N = qkv.shape[1]
+        if c.attention == "flash" and c.head_dim % 128 == 0:
+            # TPU-native head shape: head_dim a multiple of the 128 lane
+            # width lets the kernel slice each head's q/k/v straight out
+            # of the fused qkv matmul output — no (B, N, H, d) <->
+            # (B, H, N, d) transposes, no split copies, and the score
+            # matmul contracts at full MXU depth
+            from ..ops.flash_attention import flash_attention_qkv
+
+            out = flash_attention_qkv(qkv, c.heads)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, N, c.heads, c.head_dim).transpose(0, 2, 1, 3)
+            k = k.reshape(B, N, c.heads, c.head_dim).transpose(0, 2, 1, 3)
+            v = v.reshape(B, N, c.heads, c.head_dim).transpose(0, 2, 1, 3)
+            if c.attention == "ring":
+                from ..parallel.ring_attention import ring_attention
+
+                out = ring_attention(q, k, v, self.mesh, axis=c.sp_axis)
+            elif c.attention == "flash":
+                from ..ops.flash_attention import flash_attention
+
+                out = flash_attention(q, k, v)
+            else:
+                attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+                attn = jax.nn.softmax(attn / math.sqrt(c.head_dim), axis=-1).astype(dtype)
+                out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32).astype(dtype)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, c.dim)
+        tokens = tokens + g_attn[:, None] * _dense(block["proj"], out, dtype)
+
+        h = _adaln(tokens, s_mlp, sc_mlp)
+        h = _dense(block["mlp_out"], jax.nn.gelu(_dense(block["mlp_in"], h, dtype)), dtype)
+        tokens = tokens + g_mlp[:, None] * h
+        return tokens
 
     def as_sampleable(self, params: dict):
         "Adapter to the sampling closure signature (x, t, sigma, alpha) -> pred."

@@ -793,6 +793,36 @@ def test_dit_flash_attention_matches_full() -> None:
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_full), atol=5e-3)
 
 
+def test_dit_remat_matches_plain() -> None:
+    """``DiTConfig(remat=True)`` must change memory, not results: forward and
+    gradients equal the un-checkpointed model bit-for-bit on CPU."""
+    from skrample_tpu.models import DiT, DiTConfig
+
+    kwargs = dict(dim=128, depth=2, heads=1, channels=4, compute_dtype=jnp.float32, attention="flash")
+    plain = DiT(DiTConfig(**kwargs))
+    remat = DiT(DiTConfig(**kwargs, remat=True))
+    params = plain.init(jax.random.PRNGKey(0))
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    params = jax.tree.unflatten(
+        treedef, [leaf + 0.02 * jax.random.normal(kk, leaf.shape, leaf.dtype) for leaf, kk in zip(leaves, keys)]
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 32, 32), jnp.float32)
+    t = jnp.asarray([0.2, 0.9], jnp.float32)
+
+    np.testing.assert_array_equal(
+        np.asarray(plain.apply(params, x, t)), np.asarray(remat.apply(params, x, t))
+    )
+
+    def loss(model, p):
+        return jnp.mean(model.apply(p, x, t) ** 2)
+
+    g_plain = jax.grad(lambda p: loss(plain, p))(params)
+    g_remat = jax.grad(lambda p: loss(remat, p))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_dit_flash_attention_trains() -> None:
     "The custom-vjp backward lets jax.grad flow through the flash DiT."
     from skrample_tpu.models import DiT, DiTConfig
