@@ -1,0 +1,140 @@
+"""Train the flagship DiT with flow matching — the full TPU training story.
+
+One jitted train step: conditional-flow-matching loss (linear interpolant,
+velocity target — the objective `FlowModel()` sampling expects), grads,
+adamw, all under `jax.lax.scan` so an epoch is one dispatch.  Flags show the
+production knobs:
+
+  --remat        per-block jax.checkpoint (-46% activation memory at
+                 DiT-1024/16 for +20% step time; see BASELINE.md)
+  --dp/--tp      shard over a (dp, tp) mesh: data-parallel batch,
+                 megatron col/row tensor-parallel params (DiT.param_spec);
+                 XLA inserts the all-reduces from the shardings alone
+  --checkpoint   save/restore the param tree (models/checkpoint.py)
+
+Synthetic data (a fixed random image set) keeps the example hermetic; swap
+`make_batch` for a real loader.  Runs on CPU in seconds at the default toy
+size; scale dims up on a chip.
+
+Run: python examples/train_flow_matching.py [--steps 200] [--remat]
+     [--dp 2 --tp 2] [--checkpoint /tmp/dit.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from skrample_tpu.models import DiT, DiTConfig, load_params, save_params
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--heads", type=int, default=2, help="set so dim/heads is a multiple of 128 to hit the fused TPU kernels (on CPU those run in slow interpret mode, so the toy default stays at head_dim 64)")
+    ap.add_argument("--size", type=int, default=16, help="latent H=W")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--dp", type=int, default=1)
+    ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--checkpoint", type=str, default="")
+    args = ap.parse_args()
+
+    config = DiTConfig(
+        dim=args.dim,
+        depth=args.depth,
+        heads=args.heads,
+        compute_dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
+        attention="flash",
+        remat=args.remat,
+    )
+    model = DiT(config)
+    params = model.init(jax.random.PRNGKey(0))
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        params = load_params(args.checkpoint)
+        print(f"resumed from {args.checkpoint}")
+
+    mesh = None
+    if args.dp * args.tp > 1:
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()[: args.dp * args.tp]).reshape(args.dp, args.tp), ("dp", "tp"))
+        params = jax.tree.map(
+            lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+            params,
+            model.param_spec(),
+            is_leaf=lambda v: isinstance(v, jax.Array | np.ndarray),
+        )
+
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+
+    # hermetic "dataset": 64 fixed random images
+    data = jax.random.normal(jax.random.PRNGKey(42), (64, 4, args.size, args.size), jnp.float32)
+
+    def make_batch(key):
+        idx = jax.random.randint(key, (args.batch,), 0, data.shape[0])
+        return data[idx]
+
+    def loss_fn(p, x0, noise, sigma):
+        s = sigma[:, None, None, None]
+        xt = (1 - s) * x0 + s * noise  # linear interpolant: x_t
+        pred = model.apply(p, xt, sigma * 1000.0)
+        return jnp.mean((pred - (noise - x0)) ** 2)  # velocity target
+
+    def train_step(carry, key):
+        p, o = carry
+        kb, kn, kt = jax.random.split(key, 3)
+        x0 = make_batch(kb)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            x0 = jax.lax.with_sharding_constraint(x0, NamedSharding(mesh, P("dp")))
+        noise = jax.random.normal(kn, x0.shape, jnp.float32)
+        sigma = jax.random.uniform(kt, (args.batch,), minval=1e-3, maxval=1.0)
+        loss, grads = jax.value_and_grad(loss_fn)(p, x0, noise, sigma)
+        updates, o = opt.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o), loss
+
+    @jax.jit
+    def epoch(p, o, key):
+        return jax.lax.scan(train_step, (p, o), jax.random.split(key, args.steps))
+
+    t0 = time.perf_counter()
+    ctx = mesh if mesh is not None else _null()
+    with ctx:
+        (params, opt_state), losses = epoch(params, opt_state, jax.random.PRNGKey(1))
+        losses = np.asarray(losses)
+    dt = time.perf_counter() - t0
+    print(f"{args.steps} steps in {dt:.2f}s ({dt / args.steps * 1e3:.2f} ms/step incl. compile)")
+    print(f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+    assert np.isfinite(losses).all()
+
+    if args.checkpoint:
+        save_params(args.checkpoint, params)
+        print(f"saved {args.checkpoint}")
+
+
+class _null:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+if __name__ == "__main__":
+    main()
