@@ -1,6 +1,9 @@
 #!/usr/bin/env python
 """Attribute the DiT forward-pass time on the chip by ablation.
 
+Default config is the serving flagship (heads=4, head_dim 128: fused-qkv
+kernel + fused adaLN); set HEADS=8 to profile the transpose path.
+
 The serving benchmark reports ~36% model-forward MFU (bf16, batch 4,
 dim 512, depth 8, 1024 tokens).  This script times the jitted forward with
 pieces knocked out — attention replaced by identity, layer norms replaced by
@@ -28,7 +31,7 @@ from skrample_tpu.utils import enable_compilation_cache
 enable_compilation_cache("/tmp/skrample_tpu_xla_cache")
 from skrample_tpu.models import dit as dit_mod
 
-BATCH, HW, DIM, DEPTH, HEADS = 4, 64, 512, 8, 8
+BATCH, HW, DIM, DEPTH, HEADS = 4, 64, 512, 8, 4
 LENGTHS = (2, 10)
 
 
