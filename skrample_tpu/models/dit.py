@@ -61,6 +61,10 @@ def _dense_init(key: jax.Array, d_in: int, d_out: int, scale: float | None = Non
 
 
 def _dense(params: dict, x: jax.Array, dtype: Any) -> jax.Array:
+    if "w_q" in params:  # int8 serving tree from DiT.quantize_params
+        from ..ops.quant import dense_int8
+
+        return dense_int8(params, x, dtype)
     return (
         jnp.dot(x, params["w"].astype(dtype), preferred_element_type=jnp.float32) + params["b"]
     ).astype(dtype)
@@ -246,6 +250,20 @@ class DiT:
         h = _dense(block["mlp_out"], jax.nn.gelu(_dense(block["mlp_in"], h, dtype)), dtype)
         tokens = tokens + g_mlp[:, None] * h
         return tokens
+
+    def quantize_params(self, params: dict) -> dict:
+        """Int8 serving tree: block qkv/proj/mlp weights become per-channel
+        int8 (+ scale vectors) and ``apply`` runs those matmuls on the MXU's
+        int8 path with dynamic per-token activation scales — ~2x the bf16
+        MXU rate on v5e (see ``ops/quant.py``).  The whole conditioning
+        pathway (timestep MLPs + modulation heads) stays f32: its outputs
+        gate every residual branch, and at batch-size rows its matmuls are
+        latency noise.  Serving only: the int8 tree is not differentiable
+        (round/clip), so keep the f32 tree for training and re-quantize
+        after updates."""
+        from ..ops.quant import quantize_params
+
+        return quantize_params(params, exclude=frozenset({"ada", "final_mod", "t_mlp1", "t_mlp2"}))
 
     def as_sampleable(self, params: dict):
         "Adapter to the sampling closure signature (x, t, sigma, alpha) -> pred."
