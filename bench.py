@@ -294,7 +294,13 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
     copies, full-depth MXU contraction in the score matmul) and the fused
     adaLN kernel normalizes in one HBM pass — measured 87% model-forward
     MFU vs 53% for the same-FLOPs heads=8 transpose path (the `_h8` A/B
-    row, round 2's config), and 25% for einsum attention (`_full_attn`)."""
+    row, round 2's config), and 25% for einsum attention (`_full_attn`).
+
+    The `int8` rows run the same flagship with `DiT.quantize_params`
+    (dynamic W8A8 block matmuls on the MXU's 2x-rate int8 mode,
+    `ops/quant.py`); their `mfu_*` fields keep the bf16 peak as the
+    denominator, so >1.0 is possible and simply means
+    faster-than-bf16-peak."""
     from skrample_tpu import scheduling
     from skrample_tpu.models import DiT, DiTConfig
     from skrample_tpu.pipeline import GenerationPipeline
@@ -308,6 +314,7 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
     # head shape or the kernel fixed so each win is attributable.
     cases = [
         ("bf16", jnp.bfloat16, "flash", 4),
+        ("int8", jnp.bfloat16, "flash", 4),  # W8A8 block matmuls (ops/quant.py)
         ("f32", jnp.float32, "flash", 4),
         ("bf16_h8", jnp.bfloat16, "flash", 8),
         ("bf16_full_attn", jnp.bfloat16, "full", 8),
@@ -338,6 +345,8 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
         config = DiTConfig(dim=dim, depth=depth, heads=heads, compute_dtype=dtype, attention=attention)
         dit = DiT(config)
         params = dit.init(jax.random.PRNGKey(0))
+        if tag == "int8":
+            params = dit.quantize_params(params)
         best = timed(build_pipe(config, dit, params, steps))
 
         flops = dit_forward_flops(config, batch, hw, hw) * steps
@@ -348,7 +357,7 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
         if peak_bf16:
             out[f"mfu_model_fwd_{tag}"] = round(eff / peak_bf16, 4)
 
-        if tag == "bf16":
+        if tag in ("bf16", "int8"):
             # marginal (steady-state) throughput: slope over two step counts
             # removes the per-request dispatch constant, which through the
             # dev tunnel is ~30 ms and on a local chip would be ~0.  The two
@@ -371,11 +380,11 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
                 if marginal > 0 and constant > 0:
                     break
                 reps = 6  # noise won this attempt: widen the sample
-            out["us_per_model_step_marginal_bf16"] = round(marginal * 1e6, 1)
-            out["img_per_s_marginal_bf16"] = round(batch / (marginal * steps), 3)
-            out["request_constant_ms_bf16"] = round(constant * 1e3, 3)
+            out[f"us_per_model_step_marginal_{tag}"] = round(marginal * 1e6, 1)
+            out[f"img_per_s_marginal_{tag}"] = round(batch / (marginal * steps), 3)
+            out[f"request_constant_ms_{tag}"] = round(constant * 1e3, 3)
             if peak_bf16:
-                out["mfu_model_fwd_marginal_bf16"] = round(
+                out[f"mfu_model_fwd_marginal_{tag}"] = round(
                     dit_forward_flops(config, batch, hw, hw) / marginal / peak_bf16, 4
                 )
     out["attention"] = "flash (Pallas online-softmax); *_full_attn = einsum A/B"
