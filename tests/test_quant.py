@@ -114,6 +114,52 @@ def test_dit_int8_forward_close(dit_pair) -> None:
     assert _rel_err(got, ref) < 0.15  # elementwise worst-case, quant noise through 2 blocks
 
 
+def test_quantize_rows_kernel_matches_xla_path() -> None:
+    "Interpret-mode Pallas one-pass quantize == the two-pass XLA formula, bit for bit."
+    from skrample_tpu.ops.quant import quantize_rows
+
+    x2 = jnp.asarray(np.random.default_rng(5).normal(size=(64, 256)), jnp.float32)
+    q, s = quantize_rows(x2, block_r=32, interpret=True)
+    qe, se = quantize_activation(x2)
+    # the kernel's divide may lower as reciprocal-multiply: 1 ulp on s,
+    # at most 1 lsb on q at round-to-nearest ties
+    assert np.abs(np.asarray(q, np.int32) - np.asarray(qe, np.int32)).max() <= 1
+    np.testing.assert_allclose(np.asarray(s).ravel(), np.asarray(se).ravel(), rtol=1e-6)
+
+
+def test_quantize_rows_zero_row_safe() -> None:
+    from skrample_tpu.ops.quant import quantize_rows
+
+    x2 = jnp.zeros((8, 128), jnp.float32)
+    q, s = quantize_rows(x2, block_r=8, interpret=True)
+    assert not np.asarray(q).any()
+    assert np.isfinite(np.asarray(s)).all()
+
+
+def test_quantize_rows_spmd_shards_rows() -> None:
+    """The custom_partitioning wrapper must shard the row axis (not replicate
+    the opaque kernel) and match the single-device result."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from skrample_tpu.ops.quant import _quant_rows_spmd
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    x2 = jnp.asarray(np.random.default_rng(6).normal(size=(512, 128)), jnp.float32)
+    qe, se = quantize_activation(x2)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("dp",))
+    xs = jax.device_put(x2, NamedSharding(mesh, P("dp", None)))
+    with mesh:
+        q, s = jax.jit(_quant_rows_spmd(True))(xs)
+        q.block_until_ready()
+    assert "dp" in str(q.sharding.spec), q.sharding
+    assert s.shape == (512,)
+    assert np.abs(np.asarray(q, np.int32) - np.asarray(qe, np.int32)).max() <= 1
+    np.testing.assert_allclose(np.asarray(s), np.asarray(se).ravel(), rtol=1e-6)
+
+
 def test_dit_int8_forward_jits(dit_pair) -> None:
     model, params, qparams = dit_pair
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 16, 16), jnp.float32)
