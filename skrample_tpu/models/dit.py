@@ -138,11 +138,23 @@ class DiT:
             )
         return params
 
-    def param_spec(self) -> dict:
-        "Tensor-parallel PartitionSpecs over mesh axis 'tp' (megatron layout)."
+    def param_spec(self, quantized: bool = False) -> dict:
+        """Tensor-parallel PartitionSpecs over mesh axis 'tp' (megatron layout).
+
+        With ``quantized=True`` the specs mirror the int8 serving tree from
+        :meth:`quantize_params`: the int8 weight shards exactly like its f32
+        counterpart and the per-output-channel scale vector follows the
+        output dim (so column-parallel scales shard, row-parallel scales
+        replicate).  Row-parallel int8 is exact under SPMD: the per-token
+        activation max reduces over the sharded feature dim as a collective
+        max, and the int32 partial products psum before the elementwise
+        rescale — both inserted by XLA from the shardings alone."""
         col = {"w": P(None, "tp"), "b": P("tp")}  # column parallel
         row = {"w": P("tp", None), "b": P()}  # row parallel
         rep = {"w": P(), "b": P()}
+        if quantized:
+            col = {"w_q": {"q": P(None, "tp"), "s": P("tp")}, "b": P("tp")}
+            row = {"w_q": {"q": P("tp", None), "s": P()}, "b": P()}
         c = self.config
         return {
             "patch_in": rep,

@@ -160,6 +160,41 @@ def test_quantize_rows_spmd_shards_rows() -> None:
     np.testing.assert_allclose(np.asarray(s), np.asarray(se).ravel(), rtol=1e-6)
 
 
+def test_dit_int8_tensor_parallel_matches_single(dit_pair) -> None:
+    """The quantized tree under a (dp x tp) sharded jit with
+    ``param_spec(quantized=True)``: int8 weights shard like their f32
+    counterparts, scales follow the output dim, and the result matches the
+    single-device int8 run (row-parallel int8 is exact under SPMD — the
+    activation max reduces collectively and int32 partials psum before the
+    rescale; residual f32 fusion differences stay under a quant bucket)."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    model, params, qparams = dit_pair
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 4, 16, 16), jnp.float32)
+    t = jnp.asarray([10.0, 250.0, 600.0, 990.0])
+    single = model.apply(qparams, x, t)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("dp", "tp"))
+    spec_tree = model.param_spec(quantized=True)
+    qs = jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        qparams,
+        spec_tree,
+        is_leaf=lambda v: isinstance(v, jax.Array | np.ndarray),
+    )
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    with mesh:
+        sharded = jax.jit(model.apply)(qs, xs, t)
+        sharded.block_until_ready()
+    qkv = qs["blocks"][0]["qkv"]
+    assert "tp" in str(qkv["w_q"]["q"].sharding.spec), qkv["w_q"]["q"].sharding
+    assert "tp" in str(qkv["w_q"]["s"].sharding.spec), qkv["w_q"]["s"].sharding
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=2e-4)
+
+
 def test_dit_int8_forward_jits(dit_pair) -> None:
     model, params, qparams = dit_pair
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 16, 16), jnp.float32)
