@@ -91,6 +91,17 @@ def main() -> None:
     print(f"adaln fwd max|diff|: {ada_err:.2e}   bwd dx max|diff|: {ada_bwd_err:.2e}", flush=True)
     assert ada_err < 1e-1 and ada_bwd_err < 1e-1
 
+    # int8 one-pass quantizer vs the XLA two-pass formula, on real Mosaic
+    from skrample_tpu.ops.quant import quantize_activation, quantize_rows
+
+    x2 = (jax.random.normal(jax.random.fold_in(keys[2], 1), (1024, 512)) * 3).astype(jnp.float32)
+    q, s = quantize_rows(x2)
+    qe, se = quantize_activation(x2)
+    q_err = int(jnp.abs(q.astype(jnp.int32) - qe.astype(jnp.int32)).max())
+    s_err = float(jnp.abs(s.ravel() / se.ravel() - 1.0).max())
+    print(f"quantize_rows max|dq|: {q_err} lsb   max scale rel dev: {s_err:.2e}", flush=True)
+    assert q_err <= 1 and s_err < 1e-6  # divide may lower as reciprocal-multiply
+
     # --- timings ---
     eps = jnp.asarray(1e-3, jnp.bfloat16)
     slope("attention fwd kernel", lambda c: jnp.concatenate([flash_attention_qkv_forward(c, H)] * 3, -1) * eps + c, qkv)
@@ -103,6 +114,12 @@ def main() -> None:
 
     slope("attention fwd+bwd einsum vjp", einsum_vjp, qkv)
     slope("adaln fwd kernel", lambda c: adaln_forward(c, sh, sc) * eps + c, x)
+    slope("quantize_rows kernel (1024x512)", lambda c: quantize_rows(c)[0].astype(jnp.float32) * jnp.float32(1e-3) + c, x2)
+    slope(
+        "quantize two-pass XLA (1024x512)",
+        lambda c: quantize_activation(c)[0].astype(jnp.float32) * jnp.float32(1e-3) + c,
+        x2,
+    )
     slope(
         "adaln bwd kernel",
         lambda c: adaln_backward(c, c, sc)[0] * eps + c,
