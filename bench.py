@@ -341,6 +341,7 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
             best = min(best, time.perf_counter() - t0)
         return best
 
+    marginal_tags: dict[str, tuple] = {}
     for tag, dtype, attention, heads in cases:
         config = DiTConfig(dim=dim, depth=depth, heads=heads, compute_dtype=dtype, attention=attention)
         dit = DiT(config)
@@ -356,30 +357,36 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
         out[f"tflops_eff_{tag}"] = round(eff / 1e12, 3)
         if peak_bf16:
             out[f"mfu_model_fwd_{tag}"] = round(eff / peak_bf16, 4)
-
         if tag in ("bf16", "int8"):
-            # marginal (steady-state) throughput: slope over two step counts
-            # removes the per-request dispatch constant, which through the
-            # dev tunnel is ~30 ms and on a local chip would be ~0.  The two
-            # lengths are timed in alternating rounds — sequential timing let
-            # tunnel drift land entirely on one length and once published a
-            # negative request constant.
-            pipes = {steps: build_pipe(config, dit, params, steps), 2 * steps: build_pipe(config, dit, params, 2 * steps)}
-            for p in pipes.values():
+            marginal_tags[tag] = (config, dit, params)
+
+    # marginal (steady-state) throughput: slope over two step counts removes
+    # the per-request dispatch constant (~30 ms through the dev tunnel, ~0 on
+    # a local chip).  ALL (tag, length) cells are timed in one alternating
+    # round-robin: sequential timing let tunnel drift land entirely on one
+    # cell — it once published a negative request constant, and in round 3 it
+    # made the bf16-vs-int8 marginal comparison incoherent across blocks.
+    pipes = {
+        (tag, n): build_pipe(config, dit, params, n)
+        for tag, (config, dit, params) in marginal_tags.items()
+        for n in (steps, 2 * steps)
+    }
+    for p in pipes.values():
+        np.asarray(p.generate(key))
+    bests = {k: float("inf") for k in pipes}
+    reps, todo = 4, set(marginal_tags)
+    for attempt in range(3):
+        for _ in range(reps):
+            for k, p in pipes.items():
+                t0 = time.perf_counter()
                 np.asarray(p.generate(key))
-            bests = {n: float("inf") for n in pipes}
-            reps = 4
-            for attempt in range(3):
-                for _ in range(reps):
-                    for n, p in pipes.items():
-                        t0 = time.perf_counter()
-                        np.asarray(p.generate(key))
-                        bests[n] = min(bests[n], time.perf_counter() - t0)
-                marginal = (bests[2 * steps] - bests[steps]) / steps
-                constant = bests[steps] - marginal * steps
-                if marginal > 0 and constant > 0:
-                    break
-                reps = 6  # noise won this attempt: widen the sample
+                bests[k] = min(bests[k], time.perf_counter() - t0)
+        for tag in sorted(todo):
+            config, dit, params = marginal_tags[tag]
+            marginal = (bests[(tag, 2 * steps)] - bests[(tag, steps)]) / steps
+            constant = bests[(tag, steps)] - marginal * steps
+            if not (marginal > 0 and constant > 0):
+                continue  # noise won this attempt for this tag: widen and retry
             out[f"us_per_model_step_marginal_{tag}"] = round(marginal * 1e6, 1)
             out[f"img_per_s_marginal_{tag}"] = round(batch / (marginal * steps), 3)
             out[f"request_constant_ms_{tag}"] = round(constant * 1e3, 3)
@@ -387,6 +394,10 @@ def serving_section(jax, jnp, batch: int = 4, steps: int = 25, hw: int = 64, dim
                 out[f"mfu_model_fwd_marginal_{tag}"] = round(
                     dit_forward_flops(config, batch, hw, hw) / marginal / peak_bf16, 4
                 )
+            todo.discard(tag)
+        if not todo:
+            break
+        reps = 6
     out["attention"] = "flash (Pallas online-softmax); *_full_attn = einsum A/B"
     return out
 
