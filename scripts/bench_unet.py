@@ -43,11 +43,12 @@ def count_flops(model: UNet, params, x, t) -> float:
     total = 0.0
     orig_conv, orig_dense, orig_attn = unet_mod._conv, unet_mod._dense, UNet._attention
 
-    def conv(p, xx, dtype, stride=1):
+    def conv(p, xx, dtype, stride=1, cl=False):
         nonlocal total
-        out = orig_conv(p, xx, dtype, stride)
+        out = orig_conv(p, xx, dtype, stride, cl)
         co, ci, k, _ = p["w"].shape
-        total += 2.0 * k * k * ci * co * out.shape[-2] * out.shape[-1] * xx.shape[0]
+        spatial = out.size // (out.shape[0] * co)  # H*W in either layout
+        total += 2.0 * k * k * ci * co * spatial * xx.shape[0]
         return out
 
     def dense(p, xx, dtype):
@@ -55,11 +56,13 @@ def count_flops(model: UNet, params, x, t) -> float:
         total += 2.0 * p["w"].shape[0] * p["w"].shape[1] * (xx.size // xx.shape[-1])
         return orig_dense(p, xx, dtype)
 
-    def attention(self, p, xx, dtype):
+    def attention(self, p, xx, dtype, cl=False):
         nonlocal total
-        B, C, H, W = xx.shape
-        total += 4.0 * B * (H * W) ** 2 * C  # scores + combine
-        return orig_attn(self, p, xx, dtype)
+        B = xx.shape[0]
+        C = p["qkv"]["w"].shape[0]
+        tokens = xx.size // (B * C)
+        total += 4.0 * B * tokens**2 * C  # scores + combine
+        return orig_attn(self, p, xx, dtype, cl)
 
     unet_mod._conv, unet_mod._dense, UNet._attention = conv, dense, attention
     try:
@@ -90,19 +93,20 @@ def slope_forward(model, params, x) -> float:
 
 def main() -> None:
     for base, blocks in ((64, 1), (128, 2)):
-        config = UNetConfig(base=base, levels=3, blocks_per_level=blocks, compute_dtype=jnp.bfloat16)
-        model = UNet(config)
-        params = model.init(jax.random.PRNGKey(0))
-        x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 4, HW, HW), jnp.float32)
-        flops = count_flops(model, params, x, jnp.zeros((BATCH,)))
-        sec = slope_forward(model, params, x)
-        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-        print(
-            f"UNet base={base} levels=3 blocks={blocks} ({n_params / 1e6:.1f}M params, "
-            f"{flops / 1e9:.1f} GFLOP/fwd, batch {BATCH}, {HW}x{HW}): "
-            f"{sec * 1e6:7.1f} us/fwd  eff {flops / sec / 1e12:6.1f} TF/s  mfu {flops / sec / PEAK_BF16:.3f}",
-            flush=True,
-        )
+        for layout in ("nchw", "nhwc"):
+            config = UNetConfig(base=base, levels=3, blocks_per_level=blocks, compute_dtype=jnp.bfloat16, layout=layout)
+            model = UNet(config)
+            params = model.init(jax.random.PRNGKey(0))
+            x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 4, HW, HW), jnp.float32)
+            flops = count_flops(model, params, x, jnp.zeros((BATCH,)))
+            sec = slope_forward(model, params, x)
+            n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+            print(
+                f"UNet base={base} levels=3 blocks={blocks} {layout} ({n_params / 1e6:.1f}M params, "
+                f"{flops / 1e9:.1f} GFLOP/fwd, batch {BATCH}, {HW}x{HW}): "
+                f"{sec * 1e6:7.1f} us/fwd  eff {flops / sec / 1e12:6.1f} TF/s  mfu {flops / sec / PEAK_BF16:.3f}",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -114,11 +114,19 @@ def main() -> None:
 
     slope("attention fwd+bwd einsum vjp", einsum_vjp, qkv)
     slope("adaln fwd kernel", lambda c: adaln_forward(c, sh, sc) * eps + c, x)
-    slope("quantize_rows kernel (1024x512)", lambda c: quantize_rows(c)[0].astype(jnp.float32) * jnp.float32(1e-3) + c, x2)
+    # ~2.5 us/iter ops: need a much wider length spread than the attention
+    # rows to put signal over the tunnel jitter
+    slope(
+        "quantize_rows kernel (1024x512)",
+        lambda c: quantize_rows(c)[0].astype(jnp.float32) * jnp.float32(1e-3) + c,
+        x2,
+        lengths=(100, 4000),
+    )
     slope(
         "quantize two-pass XLA (1024x512)",
         lambda c: quantize_activation(c)[0].astype(jnp.float32) * jnp.float32(1e-3) + c,
         x2,
+        lengths=(100, 4000),
     )
     slope(
         "adaln bwd kernel",

@@ -218,3 +218,17 @@ def test_unet_generation() -> None:
         x, unet.as_sampleable(params), transform, schedule, steps
     )
     np.testing.assert_allclose(np.asarray(latent), np.asarray(oracle), rtol=1e-4, atol=1e-5)
+
+
+def test_unet_layout_equivalence() -> None:
+    """The TPU-native channels-last interior matches the NCHW interior
+    bit-for-bit in f32 (same OIHW params tree, same NCHW interface)."""
+    from skrample_tpu.models import UNet, UNetConfig
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16), jnp.float32)
+    outs = {}
+    for layout in ("nchw", "nhwc"):
+        model = UNet(UNetConfig(base=32, levels=3, groups=8, compute_dtype=jnp.float32, layout=layout))
+        params = model.init(jax.random.PRNGKey(0))
+        outs[layout] = np.asarray(model.apply(params, x, jnp.float32(500.0)))
+    np.testing.assert_array_equal(outs["nchw"], outs["nhwc"])
