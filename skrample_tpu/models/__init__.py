@@ -4,6 +4,16 @@ multi-chip dry runs.  The sampling framework itself is model-agnostic — any
 
 from .checkpoint import load_params, save_params
 from .dit import DiT, DiTConfig
+from .mmdit import MMDiT, MMDiTConfig
 from .unet import UNet, UNetConfig
 
-__all__ = ["DiT", "DiTConfig", "UNet", "UNetConfig", "load_params", "save_params"]
+__all__ = [
+    "DiT",
+    "DiTConfig",
+    "MMDiT",
+    "MMDiTConfig",
+    "UNet",
+    "UNetConfig",
+    "load_params",
+    "save_params",
+]

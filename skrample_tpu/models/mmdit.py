@@ -1,0 +1,298 @@
+"""A text-conditioned dual-stream diffusion transformer (MMDiT) in pure JAX.
+
+Third reference model family: the SD3/Flux-class conditioned architecture
+(arXiv 2403.03206) — image patches and text tokens run as two residual
+streams with separate weights that meet in ONE joint attention per block.
+The reference library has no model code (SURVEY.md §2.0); its wrappers are
+driven by exactly this class of pipeline (Flux / SD3 examples in
+`/root/reference/examples/diffusers/wrapper.py`), so this model lets the
+FlowModel + FlowShift(Linear) serving stack be exercised end-to-end with
+real conditioning and classifier-free guidance instead of an unconditioned
+toy.
+
+TPU-native notes:
+
+* Joint attention concatenates the two streams' packed q/k/v along the
+  token axis and calls the packed Pallas flash kernel
+  (``ops/flash_attention.flash_attention_packed``) — head slices come
+  straight out of each stream's qkv matmul output, no transposes, and the
+  kernel's block sizes divisor-fit the joint token count (e.g. 1024 image
+  + 128 text = 1152 = 9 x 128 tiles as 384-wide blocks).
+* Text length is padded/truncated to ``context_tokens`` (a multiple of
+  128) at embedding time, the static-shape discipline XLA needs; real
+  encoders emit 77 CLIP / 256-512 T5 tokens, and masking is unnecessary
+  for *generation* parity because padded keys receive near-zero attention
+  through the learned null embedding added at init.
+* Conditioning vector = timestep embedding + pooled (mean) text projection,
+  the SD3 recipe; it drives every adaLN-zero modulation through the same
+  fused Pallas adaLN as the DiT.
+* ``param_spec`` extends the megatron tp layout to both streams (qkv/mlp-in
+  column-parallel, proj/mlp-out row-parallel), so tp serving shards text
+  and image matmuls identically and XLA inserts one all-reduce per
+  residual join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from .dit import _adaln, _dense, _dense_init, _timestep_embedding
+
+
+@dataclass(frozen=True)
+class MMDiTConfig:
+    patch: int = 2
+    channels: int = 4
+    dim: int = 512
+    depth: int = 8
+    heads: int = 4
+    mlp_ratio: int = 4
+    context_dim: int = 512
+    "Width of the incoming text-encoder features."
+    context_tokens: int = 128
+    "Static text-token count (multiple of 128); inputs are padded/truncated."
+    compute_dtype: Any = jnp.bfloat16
+    attention: str = "flash"
+    '``"flash"`` (packed Pallas joint attention) or ``"full"`` (einsum oracle).'
+    remat: bool = False
+    "Rematerialize each block under ``jax.checkpoint`` (see DiTConfig.remat)."
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+
+def _stream_init(keys, dim: int, mlp_ratio: int) -> dict:
+    return {
+        "qkv": _dense_init(next(keys), dim, 3 * dim),
+        "proj": _dense_init(next(keys), dim, dim),
+        "mlp_in": _dense_init(next(keys), dim, mlp_ratio * dim),
+        "mlp_out": _dense_init(next(keys), mlp_ratio * dim, dim),
+        "ada": _dense_init(next(keys), dim, 6 * dim, scale=0.0),
+    }
+
+
+class MMDiT:
+    "Functional model: ``init`` -> params pytree, ``apply(params, x, t, context)``."
+
+    def __init__(self, config: MMDiTConfig = MMDiTConfig()):
+        self.config = config
+        if config.attention not in ("full", "flash"):
+            raise ValueError(f"unknown attention kind {config.attention!r}")
+        if config.context_tokens % 128:
+            raise ValueError("context_tokens must be a multiple of 128 (static TPU tiling)")
+
+    def init(self, key: jax.Array) -> dict:
+        c = self.config
+        patch_dim = c.channels * c.patch * c.patch
+        keys = iter(jax.random.split(key, 8 + 10 * c.depth))
+
+        params: dict = {
+            "patch_in": _dense_init(next(keys), patch_dim, c.dim),
+            "ctx_in": _dense_init(next(keys), c.context_dim, c.dim),
+            "ctx_null": jax.random.normal(next(keys), (c.context_tokens, c.context_dim), jnp.float32) * 0.02,
+            "pool_mlp": _dense_init(next(keys), c.context_dim, c.dim),
+            "t_mlp1": _dense_init(next(keys), 256, c.dim),
+            "t_mlp2": _dense_init(next(keys), c.dim, c.dim),
+            "final_mod": _dense_init(next(keys), c.dim, 2 * c.dim, scale=0.0),
+            "final_out": _dense_init(next(keys), c.dim, patch_dim, scale=0.0),
+            "blocks": [],
+        }
+        for _ in range(c.depth):
+            params["blocks"].append(
+                {
+                    "img": _stream_init(keys, c.dim, c.mlp_ratio),
+                    "txt": _stream_init(keys, c.dim, c.mlp_ratio),
+                }
+            )
+        return params
+
+    def param_spec(self, quantized: bool = False) -> dict:
+        "Tensor-parallel PartitionSpecs over mesh axis 'tp', both streams."
+        col = {"w": P(None, "tp"), "b": P("tp")}
+        row = {"w": P("tp", None), "b": P()}
+        rep = {"w": P(), "b": P()}
+        if quantized:
+            col = {"w_q": {"q": P(None, "tp"), "s": P("tp")}, "b": P("tp")}
+            row = {"w_q": {"q": P("tp", None), "s": P()}, "b": P()}
+        stream = {"qkv": col, "proj": row, "mlp_in": col, "mlp_out": row, "ada": rep}
+        return {
+            "patch_in": rep,
+            "ctx_in": rep,
+            "ctx_null": P(),
+            "pool_mlp": rep,
+            "t_mlp1": rep,
+            "t_mlp2": rep,
+            "final_mod": rep,
+            "final_out": rep,
+            "blocks": [{"img": dict(stream), "txt": dict(stream)} for _ in range(self.config.depth)],
+        }
+
+    # patchify/unpatchify shared with the DiT layout
+    def patchify(self, x: jax.Array) -> jax.Array:
+        c = self.config
+        B, C, H, W = x.shape
+        x = x.reshape(B, C, H // c.patch, c.patch, W // c.patch, c.patch)
+        x = x.transpose(0, 2, 4, 1, 3, 5)
+        return x.reshape(B, (H // c.patch) * (W // c.patch), C * c.patch * c.patch)
+
+    def unpatchify(self, x: jax.Array, H: int, W: int) -> jax.Array:
+        c = self.config
+        B = x.shape[0]
+        x = x.reshape(B, H // c.patch, W // c.patch, c.channels, c.patch, c.patch)
+        x = x.transpose(0, 3, 1, 4, 2, 5)
+        return x.reshape(B, c.channels, H, W)
+
+    def embed_context(self, params: dict, context: jax.Array | None, batch: int) -> jax.Array:
+        """(B, M, context_dim) encoder features -> static (B, context_tokens,
+        context_dim): truncate or pad with the learned null embedding.
+        ``context=None`` is the unconditional branch (all-null)."""
+        c = self.config
+        null = jnp.broadcast_to(params["ctx_null"], (batch, c.context_tokens, c.context_dim))
+        if context is None:
+            return null
+        M = context.shape[1]
+        if M >= c.context_tokens:
+            return context[:, : c.context_tokens]
+        return jnp.concatenate([context, null[:, M:]], axis=1)
+
+    def apply(self, params: dict, x: jax.Array, t: jax.Array, context: jax.Array | None = None) -> jax.Array:
+        "(B, C, H, W), (B,) timestep, (B, M, context_dim) -> same-shape prediction."
+        c = self.config
+        dtype = c.compute_dtype
+        B, _C, H, W = x.shape
+        in_dtype = x.dtype
+
+        if jnp.ndim(t) == 0:
+            t = jnp.broadcast_to(t, (B,))
+        context = self.embed_context(params, context, B).astype(dtype)
+
+        img = _dense(params["patch_in"], self.patchify(x).astype(dtype), dtype)
+        txt = _dense(params["ctx_in"], context, dtype)
+
+        # SD3-style conditioning vector: timestep features + pooled text
+        temb = _dense(params["t_mlp1"], _timestep_embedding(t, 256).astype(dtype), dtype)
+        pooled = _dense(params["pool_mlp"], context.mean(axis=1), dtype)
+        cond = jax.nn.silu(_dense(params["t_mlp2"], jax.nn.silu(temb + pooled), dtype))
+
+        block_fn = self._block
+        if c.remat:
+            block_fn = jax.checkpoint(block_fn)
+        for block in params["blocks"]:
+            img, txt = block_fn(block, img, txt, cond)
+
+        shift, scale = jnp.split(_dense(params["final_mod"], cond, dtype), 2, axis=-1)
+        img = _adaln(img, shift, scale)
+        out = _dense(params["final_out"], img, dtype)
+        return self.unpatchify(out, H, W).astype(in_dtype)
+
+    def _joint_attention(self, qkv_img: jax.Array, qkv_txt: jax.Array) -> tuple[jax.Array, jax.Array]:
+        "Concat packed q/k/v along tokens, attend jointly, split back."
+        c = self.config
+        N = qkv_img.shape[1]
+        D = c.dim
+
+        def packed(qkv):
+            return qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :]
+
+        qi, ki, vi = packed(qkv_img)
+        qt, kt, vt = packed(qkv_txt)
+        q = jnp.concatenate([qi, qt], axis=1)
+        k = jnp.concatenate([ki, kt], axis=1)
+        v = jnp.concatenate([vi, vt], axis=1)
+        if c.attention == "flash" and c.head_dim % 128 == 0:
+            from ..ops.flash_attention import flash_attention_packed
+
+            out = flash_attention_packed(q, k, v, c.heads)
+        else:
+            from ..ops.flash_attention import _packed_reference
+
+            out = _packed_reference(q, k, v, c.heads)
+        return out[:, :N], out[:, N:]
+
+    def _block(self, block: dict, img: jax.Array, txt: jax.Array, cond: jax.Array) -> tuple[jax.Array, jax.Array]:
+        "One dual-stream block: per-stream adaLN-zero, one joint attention."
+        c = self.config
+        dtype = c.compute_dtype
+
+        mods_i = jnp.split(_dense(block["img"]["ada"], cond, dtype), 6, axis=-1)
+        mods_t = jnp.split(_dense(block["txt"]["ada"], cond, dtype), 6, axis=-1)
+        (si_a, gi_a, ci_a, si_m, gi_m, ci_m) = mods_i
+        (st_a, gt_a, ct_a, st_m, gt_m, ct_m) = mods_t
+
+        qkv_img = _dense(block["img"]["qkv"], _adaln(img, si_a, ci_a), dtype)
+        qkv_txt = _dense(block["txt"]["qkv"], _adaln(txt, st_a, ct_a), dtype)
+        attn_img, attn_txt = self._joint_attention(qkv_img, qkv_txt)
+        img = img + gi_a[:, None] * _dense(block["img"]["proj"], attn_img, dtype)
+        txt = txt + gt_a[:, None] * _dense(block["txt"]["proj"], attn_txt, dtype)
+
+        h = _adaln(img, si_m, ci_m)
+        h = _dense(block["img"]["mlp_out"], jax.nn.gelu(_dense(block["img"]["mlp_in"], h, dtype)), dtype)
+        img = img + gi_m[:, None] * h
+
+        h = _adaln(txt, st_m, ct_m)
+        h = _dense(block["txt"]["mlp_out"], jax.nn.gelu(_dense(block["txt"]["mlp_in"], h, dtype)), dtype)
+        txt = txt + gt_m[:, None] * h
+        return img, txt
+
+    def quantize_params(self, params: dict) -> dict:
+        "Int8 serving tree, same recipe as :meth:`DiT.quantize_params`."
+        from ..ops.quant import quantize_params
+
+        return quantize_params(
+            params, exclude=frozenset({"ada", "final_mod", "t_mlp1", "t_mlp2", "pool_mlp", "ctx_in"})
+        )
+
+    def as_sampleable(self, params: dict, context: jax.Array | None = None, guidance_scale: float = 1.0):
+        """Sampling closure with conditioning bound.
+
+        ``guidance_scale != 1`` runs classifier-free guidance against the
+        learned null context (both branches in one batched forward)."""
+
+        if context is None or guidance_scale == 1.0:
+
+            def model_fn(x, t, s, a):
+                return self.apply(params, x, t, context)
+
+            return model_fn
+
+        def guided_fn(x, t, s, a):
+            B = x.shape[0]
+            ctx_c = self.embed_context(params, context, B)
+            ctx_u = self.embed_context(params, None, B)
+            both = self.apply(
+                params,
+                jnp.concatenate([x, x]),
+                jnp.broadcast_to(t, (2 * B,)) if jnp.ndim(t) == 0 else jnp.concatenate([t, t]),
+                jnp.concatenate([ctx_c, ctx_u]),
+            )
+            c_out, u_out = both[:B], both[B:]
+            return u_out + guidance_scale * (c_out - u_out)
+
+        return guided_fn
+
+
+def mmdit_forward_flops(config: MMDiTConfig, batch: int, h: int, w: int) -> float:
+    "Analytic matmul FLOPs of one forward (joint attention counted exactly)."
+    c = config
+    n_img = (h // c.patch) * (w // c.patch)
+    n_txt = c.context_tokens
+    n = n_img + n_txt
+    d = c.dim
+    total = 0.0
+    for tokens in (n_img, n_txt):
+        # qkv + proj + mlp per block, per stream
+        total += c.depth * batch * tokens * d * d * (6 + 2 + 2 * c.mlp_ratio + 2 * c.mlp_ratio)
+    total += c.depth * batch * 2 * (2.0 * d * 6 * d)  # ada heads (per batch row, both streams)
+    total += 4.0 * batch * c.depth * n * n * d  # joint attention scores + combine
+    patch_dim = c.channels * c.patch * c.patch
+    total += 2.0 * batch * n_img * patch_dim * d * 2  # patch_in + final_out
+    total += 2.0 * batch * n_txt * c.context_dim * d  # ctx_in
+    # conditioning pathway (per batch row): pool_mlp, t_mlp1, t_mlp2, final_mod
+    total += 2.0 * batch * (c.context_dim * d + 256 * d + d * d + d * 2 * d)
+    return total

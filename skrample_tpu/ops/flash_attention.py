@@ -48,6 +48,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
+
+
+def _fit_block(n: int, target: int) -> int:
+    """Largest multiple of 128 that divides ``n`` and is <= ``target``.
+
+    The tuned defaults (bq512/bk1024) assume power-of-two token counts;
+    joint-attention token axes (image + text, e.g. 1024 + 128 = 1152) need
+    a divisor fit so the grid tiles exactly.  For ``n`` not a multiple of
+    128 this bottoms out at 128 and the caller's divisibility check fires."""
+    b = min(target, n)
+    b -= b % _LANE
+    while b > _LANE and n % b:
+        b -= _LANE
+    return max(b, _LANE)
+
+
 _NEG_INF = float("-inf")
 
 
@@ -127,8 +143,8 @@ def flash_attention_forward(
     *slower* than einsum (857) because 1024 tiny grid cells paid more in
     grid stepping than they saved in HBM traffic."""
     B, H, N, d = q.shape
-    block_q = min(block_q, N)
-    block_k = min(block_k, N)
+    block_q = _fit_block(N, block_q)
+    block_k = _fit_block(N, block_k)
     if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
         raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k} (multiples of 128)")
 
@@ -194,8 +210,8 @@ def flash_attention_packed_forward(
     d = D // heads
     if D % heads or d % _LANE:
         raise ValueError(f"packed layout needs head_dim {d} to be a multiple of {_LANE} (dim {D}, heads {heads})")
-    block_q = min(block_q, N)
-    block_k = min(block_k, N)
+    block_q = _fit_block(N, block_q)
+    block_k = _fit_block(N, block_k)
     if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
         raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k} (multiples of 128)")
 
@@ -249,8 +265,8 @@ def flash_attention_qkv_forward(
     d = D // heads
     if D3 % 3 or D % heads or d % _LANE:
         raise ValueError(f"qkv layout needs head_dim {d} to be a multiple of {_LANE} (packed dim {D3}, heads {heads})")
-    block_q = min(block_q, N)
-    block_k = min(block_k, N)
+    block_q = _fit_block(N, block_q)
+    block_k = _fit_block(N, block_k)
     if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
         raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k} (multiples of 128)")
 
@@ -348,8 +364,8 @@ def flash_attention_qkv_forward_lse(
     d = D // heads
     if D3 % 3 or D % heads or d % _LANE:
         raise ValueError(f"qkv layout needs head_dim {d} to be a multiple of {_LANE}")
-    block_q = min(block_q, N)
-    block_k = min(block_k, N)
+    block_q = _fit_block(N, block_q)
+    block_k = _fit_block(N, block_k)
     if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
         raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k}")
 
@@ -464,8 +480,8 @@ def flash_attention_qkv_backward(
     B, N, D3 = qkv.shape
     D = D3 // 3
     d = D // heads
-    block_q = min(block_q, N)
-    block_k = min(block_k, N)
+    block_q = _fit_block(N, block_q)
+    block_k = _fit_block(N, block_k)
     scale = 1.0 / math.sqrt(d)
 
     delta = (g.astype(jnp.float32) * o.astype(jnp.float32)).reshape(B, N, heads, d).sum(-1)
