@@ -102,6 +102,19 @@ def main() -> None:
     print(f"quantize_rows max|dq|: {q_err} lsb   max scale rel dev: {s_err:.2e}", flush=True)
     assert q_err <= 1 and s_err < 1e-6  # divide may lower as reciprocal-multiply
 
+    # grouped norm (+SiLU) whole-slice kernel vs eager, on real Mosaic
+    from skrample_tpu.ops.groupnorm import groupnorm_forward, groupnorm_reference
+
+    xg = (jax.random.normal(jax.random.fold_in(keys[3], 2), (B, 4096, 128)) * 2).astype(jnp.bfloat16)
+    gn_err = float(
+        jnp.abs(
+            groupnorm_forward(xg, 16, True).astype(jnp.float32)
+            - groupnorm_reference(xg, 16, True).astype(jnp.float32)
+        ).max()
+    )
+    print(f"groupnorm(+silu) fwd max|diff|: {gn_err:.2e}", flush=True)
+    assert gn_err < 1e-1
+
     # --- timings ---
     eps = jnp.asarray(1e-3, jnp.bfloat16)
     slope("attention fwd kernel", lambda c: jnp.concatenate([flash_attention_qkv_forward(c, H)] * 3, -1) * eps + c, qkv)
@@ -133,6 +146,8 @@ def main() -> None:
         lambda c: adaln_backward(c, c, sc)[0] * eps + c,
         x,
     )
+    slope("groupnorm+silu kernel (4x4096x128 g16)", lambda c: groupnorm_forward(c, 16, True) * eps + c, xg)
+    slope("groupnorm+silu eager  (4x4096x128 g16)", lambda c: groupnorm_reference(c, 16, True) * eps + c, xg)
     print("kernel validation OK", flush=True)
 
 

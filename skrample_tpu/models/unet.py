@@ -87,18 +87,22 @@ def _dense(params, x, dtype):
     return (jnp.dot(x, params["w"].astype(dtype), preferred_element_type=jnp.float32) + params["b"]).astype(dtype)
 
 
-def _groupnorm(x, groups, cl=False):
+def _groupnorm(x, groups, cl=False, silu=False):
+    """Grouped norm, f32 stats, optionally fused with the following SiLU.
+
+    Channels-last routes through the Pallas kernel on TPU
+    (``ops/groupnorm.py`` — the profiler attributed 35% of the base=128
+    forward to eager GroupNorm's broken fusion); NCHW stays eager."""
     if cl:
-        B, H, W, C = x.shape
-        x32 = x.astype(jnp.float32).reshape(B, H, W, groups, C // groups)
-        mean = x32.mean((1, 2, 4), keepdims=True)
-        var = x32.var((1, 2, 4), keepdims=True)
-        return ((x32 - mean) * jax.lax.rsqrt(var + 1e-6)).reshape(B, H, W, C).astype(x.dtype)
+        from ..ops.groupnorm import groupnorm_cl
+
+        return groupnorm_cl(x, groups, fuse_silu=silu)
     B, C, H, W = x.shape
     x32 = x.astype(jnp.float32).reshape(B, groups, C // groups, H, W)
     mean = x32.mean((2, 3, 4), keepdims=True)
     var = x32.var((2, 3, 4), keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + 1e-6)).reshape(B, C, H, W).astype(x.dtype)
+    y = ((x32 - mean) * jax.lax.rsqrt(var + 1e-6)).reshape(B, C, H, W).astype(x.dtype)
+    return jax.nn.silu(y) if silu else y
 
 
 def _timestep_embedding(t, dim):
@@ -168,9 +172,9 @@ class UNet:
     def _resblock(self, p, x, temb, dtype, cl):
         c = self.config
         temb_b = _dense(p["temb"], temb, dtype)
-        h = _conv(p["conv1"], jax.nn.silu(_groupnorm(x, c.groups, cl)), dtype, cl=cl)
+        h = _conv(p["conv1"], _groupnorm(x, c.groups, cl, silu=True), dtype, cl=cl)
         h = h + (temb_b[:, None, None, :] if cl else temb_b[:, :, None, None])
-        h = _conv(p["conv2"], jax.nn.silu(_groupnorm(h, c.groups, cl)), dtype, cl=cl)
+        h = _conv(p["conv2"], _groupnorm(h, c.groups, cl, silu=True), dtype, cl=cl)
         skip = _conv(p["skip"], x, dtype, cl=cl) if p["skip"] is not None else x
         return skip + h
 
@@ -231,7 +235,7 @@ class UNet:
             for block in level["blocks"]:
                 h = self._resblock(block, h, temb, dtype, cl)
 
-        h = jax.nn.silu(_groupnorm(h, c.groups, cl))
+        h = _groupnorm(h, c.groups, cl, silu=True)
         h = _conv(params["out_conv"], h, dtype, cl=cl)
         return (h.transpose(0, 3, 1, 2) if cl else h).astype(in_dtype)
 

@@ -1,0 +1,181 @@
+"""Fused GroupNorm(+SiLU) for channels-last activations as a Pallas kernel.
+
+The UNet ablation profiler (``scripts/profile_unet.py``) attributes 742 us
+of the 2147 us base=128 forward (35%) to GroupNorm: the grouped mean/var
+reductions break XLA's elementwise fusion, so every norm makes multiple
+float32 HBM round-trips, and the following SiLU is yet another pass.  A
+UNet activation slice per batch element is small — (H*W, C) is at most a
+couple of MB at latent resolutions — so this kernel loads the whole slice
+into VMEM once, computes the grouped statistics, normalizes, applies the
+optional SiLU, and writes once: one read + one write of the input dtype
+total.
+
+Grouped statistics on the lane axis: channels live on the 128-wide lane
+dimension, and a group's 8-32 channels do not align with any vector tile.
+Instead of lane-axis reshapes the kernel reduces rows to per-channel
+sums (a fast sublane reduction) and then applies a constant ``(C, C)``
+group-averaging matrix on the MXU — ``M[i, j] = 1/(N * C/g)`` when i and j
+share a group — which both reduces channel sums to group means AND
+broadcasts them back per channel in a single tiny matmul.  Variance uses
+the centered two-pass form (matching the eager ``x.var``'s numerics, not
+the catastrophic-cancellation-prone ``E[x^2] - mu^2``).
+
+Semantics match ``models/unet.py``'s ``_groupnorm`` (f32 statistics,
+eps 1e-6, no learned affine — the UNet's convs carry the affine role);
+the reference library has no model layer (SURVEY.md §2.0).
+
+Gradients: ``jax.custom_vjp`` whose backward differentiates the eager
+composition — same memory as a remat'd groupnorm, exact to reduction order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_EPS = 1e-6
+# per-sample f32 working set cap for the whole-slice kernel (VMEM is ~16 MB/core)
+_MAX_SLICE_BYTES = 6 * 1024 * 1024
+
+
+def groupnorm_reference(x: jax.Array, groups: int, fuse_silu: bool = False) -> jax.Array:
+    "(B, N, C) eager oracle: f32 grouped norm (+ optional SiLU)."
+    B, N, C = x.shape
+    x32 = x.astype(jnp.float32).reshape(B, N, groups, C // groups)
+    mean = x32.mean((1, 3), keepdims=True)
+    var = x32.var((1, 3), keepdims=True)
+    y = ((x32 - mean) * jax.lax.rsqrt(var + _EPS)).reshape(B, N, C)
+    if fuse_silu:
+        y = jax.nn.silu(y)
+    return y.astype(x.dtype)
+
+
+def _group_matrix(C: int, groups: int, N: int) -> np.ndarray:
+    "M[i, j] = 1/(N * C/g) iff channel i and j share a group: sums -> broadcast means."
+    c = C // groups
+    M = np.zeros((C, C), np.float32)
+    for g in range(groups):
+        M[g * c : (g + 1) * c, g * c : (g + 1) * c] = 1.0 / (N * c)
+    return M
+
+
+def _groupnorm_kernel(x_ref, m_ref, o_ref, *, fuse_silu: bool):
+    x32 = x_ref[0].astype(jnp.float32)  # (N, C)
+    M = m_ref[...]  # (C, C) group-averaging matrix
+    ch_sum = jnp.sum(x32, axis=0, keepdims=True)  # (1, C) sublane reduce
+    mean = jax.lax.dot(ch_sum, M, preferred_element_type=jnp.float32)  # (1, C): group mean per channel
+    centered = x32 - mean
+    ch_sq = jnp.sum(centered * centered, axis=0, keepdims=True)
+    var = jax.lax.dot(ch_sq, M, preferred_element_type=jnp.float32)
+    y = centered * jax.lax.rsqrt(var + _EPS)
+    if fuse_silu:
+        y = y * jax.lax.logistic(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "fuse_silu", "interpret"))
+def groupnorm_forward(
+    x: jax.Array, groups: int, fuse_silu: bool = False, interpret: bool = False
+) -> jax.Array:
+    """``(B, N, C) -> (B, N, C)`` grouped norm (+SiLU) in one HBM pass.
+
+    ``C`` must be a multiple of 128 and divisible by ``groups``; the whole
+    ``(N, C)`` slice of one batch element must fit the f32 VMEM budget
+    (callers gate on :func:`fits_kernel`)."""
+    B, N, C = x.shape
+    if C % _LANE or C % groups:
+        raise ValueError(f"groupnorm kernel needs C % 128 == 0 and C % groups == 0, got C={C}, groups={groups}")
+    M = jnp.asarray(_group_matrix(C, groups, N))
+    return pl.pallas_call(
+        functools.partial(_groupnorm_kernel, fuse_silu=fuse_silu),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(x, M)
+
+
+def fits_kernel(n: int, c: int) -> bool:
+    "Whole-slice f32 working set (x32 + centered + out) within the VMEM cap."
+    return 3 * 4 * n * c <= _MAX_SLICE_BYTES and c % _LANE == 0
+
+
+@functools.cache
+def _groupnorm_spmd(groups: int, fuse_silu: bool, interpret: bool):
+    """SPMD wrapper: the batch axis shards; token and channel axes must be
+    replicated (statistics reduce over both).  Without this XLA replicates
+    the opaque pallas custom call under a sharded jit."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    def fn(x):
+        return groupnorm_forward(x, groups, fuse_silu, interpret)
+
+    cp = custom_partitioning(fn)
+
+    def _shard(named):
+        spec = getattr(named, "spec", None)
+        batch = spec[0] if spec is not None and len(spec) else None
+        return NamedSharding(named.mesh, P(batch, None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        s = _shard(arg_shapes[0].sharding)
+        return mesh, fn, (s,), s
+
+    def infer(mesh, arg_shapes, shape):
+        return _shard(arg_shapes[0].sharding)
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b n c -> b n c",
+        need_replication_factors=("n", "c"),
+    )
+    return jax.jit(cp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _groupnorm_vjp(x: jax.Array, groups: int, fuse_silu: bool) -> jax.Array:
+    return _groupnorm_spmd(groups, fuse_silu, jax.default_backend() != "tpu")(x)
+
+
+def _groupnorm_fwd(x, groups, fuse_silu):
+    return _groupnorm_vjp(x, groups, fuse_silu), x
+
+
+def _groupnorm_bwd(groups, fuse_silu, x, g):
+    _, vjp = jax.vjp(lambda xx: groupnorm_reference(xx, groups, fuse_silu), x)
+    return vjp(g)
+
+
+_groupnorm_vjp.defvjp(_groupnorm_fwd, _groupnorm_bwd)
+
+
+def groupnorm_cl(x: jax.Array, groups: int, fuse_silu: bool = False) -> jax.Array:
+    """Fused grouped norm (+SiLU) over a channels-last ``(B, H, W, C)`` or
+    ``(B, N, C)`` activation, with exact gradients.
+
+    Off-TPU and for shapes outside the kernel's envelope this is the eager
+    composition (trace-time dispatch; shapes are static under jit), so CPU
+    runs stay bit-identical to the NCHW path."""
+    shape = x.shape
+    B, C = shape[0], shape[-1]
+    n = x.size // (B * C)
+    if jax.default_backend() != "tpu" or not fits_kernel(n, C) or C % groups:
+        y = groupnorm_reference(x.reshape(B, n, C), groups, fuse_silu)
+        return y.reshape(shape)
+    return _groupnorm_vjp(x.reshape(B, n, C), groups, fuse_silu).reshape(shape)

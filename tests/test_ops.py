@@ -845,3 +845,47 @@ def test_dit_flash_attention_trains() -> None:
     leaves = jax.tree.leaves(grads)
     assert all(bool(jnp.isfinite(g).all()) for g in leaves)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("fuse_silu", [False, True])
+@pytest.mark.parametrize(
+    ("shape", "groups"),
+    [((2, 256, 128), 16), ((1, 64, 256), 32), ((3, 128, 512), 16)],
+)
+def test_groupnorm_kernel_matches_eager(dtype, fuse_silu, shape, groups) -> None:
+    "The whole-slice grouped-norm(+SiLU) kernel equals the eager composition."
+    from skrample_tpu.ops.groupnorm import groupnorm_forward, groupnorm_reference
+
+    dt = jnp.dtype(dtype)
+    x = (jax.random.normal(jax.random.PRNGKey(hash(shape) % 2**31), shape) * 2.0 + 0.3).astype(dt)
+    fused = groupnorm_forward(x, groups, fuse_silu, interpret=jax.default_backend() != "tpu")
+    eager = groupnorm_reference(x, groups, fuse_silu)
+    atol = 2e-5 if dtype == "float32" else 1e-2
+    np.testing.assert_allclose(np.asarray(fused, np.float32), np.asarray(eager, np.float32), atol=atol)
+
+
+def test_groupnorm_gradients_match_eager() -> None:
+    "custom_vjp backward == differentiating the eager composition."
+    from skrample_tpu.ops.groupnorm import groupnorm_cl, groupnorm_reference
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 128), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(4), x.shape, jnp.float32)
+    _, vjp_fused = jax.vjp(lambda a: groupnorm_cl(a, 16, fuse_silu=True), x)
+    _, vjp_ref = jax.vjp(
+        lambda a: groupnorm_reference(a.reshape(2, 64, 128), 16, True).reshape(x.shape), x
+    )
+    np.testing.assert_allclose(np.asarray(vjp_fused(g)[0]), np.asarray(vjp_ref(g)[0]), atol=1e-5)
+
+
+def test_groupnorm_envelope_gating() -> None:
+    "Shapes outside the kernel envelope take the eager path with identical results."
+    from skrample_tpu.ops.groupnorm import fits_kernel, groupnorm_cl, groupnorm_reference
+
+    assert fits_kernel(4096, 128) and not fits_kernel(16384, 512)
+    assert not fits_kernel(256, 96)  # non-lane-aligned C
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 96), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(groupnorm_cl(x, 12)),
+        np.asarray(groupnorm_reference(x.reshape(1, 64, 96), 12).reshape(x.shape)),
+    )
