@@ -64,6 +64,31 @@ def _fit_block(n: int, target: int) -> int:
     return max(b, _LANE)
 
 
+_FULL_KV_ROW_MAX = 2048
+
+
+def _fit_kv_block(n: int, target: int) -> int:
+    """KV-axis block fit: prefer the whole row over shrunken tiles.
+
+    The measured tuning table (see :func:`flash_attention_forward`) shows
+    large KV blocks win decisively — a full row drops the online-softmax
+    scratch entirely, and small tiles pay more in grid stepping than they
+    save (the MMDiT profiler measured the 384-wide divisor fit at N=1152
+    running 2.3x slower per attention than the N=1024 full-row path).  So:
+    honor an exact caller request, otherwise take the LARGEST 128-multiple
+    divisor of ``n`` within the VMEM budget (a (512, 2048) f32 score tile is
+    4 MB) even when it exceeds ``target`` — e.g. N=1152 -> 1152 (full row,
+    one pass), N=4224 -> 1408 — and bottom out at 128 only when no larger
+    divisor exists (then the caller's divisibility check still holds)."""
+    if n <= target or n % target == 0:
+        return min(target, n)
+    b = min(n, _FULL_KV_ROW_MAX)
+    b -= b % _LANE
+    while b > _LANE and n % b:
+        b -= _LANE
+    return max(b, _LANE)
+
+
 _NEG_INF = float("-inf")
 
 
@@ -144,7 +169,7 @@ def flash_attention_forward(
     grid stepping than they saved in HBM traffic."""
     B, H, N, d = q.shape
     block_q = _fit_block(N, block_q)
-    block_k = _fit_block(N, block_k)
+    block_k = _fit_kv_block(N, block_k)
     if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
         raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k} (multiples of 128)")
 
@@ -211,7 +236,7 @@ def flash_attention_packed_forward(
     if D % heads or d % _LANE:
         raise ValueError(f"packed layout needs head_dim {d} to be a multiple of {_LANE} (dim {D}, heads {heads})")
     block_q = _fit_block(N, block_q)
-    block_k = _fit_block(N, block_k)
+    block_k = _fit_kv_block(N, block_k)
     if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
         raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k} (multiples of 128)")
 
@@ -266,7 +291,7 @@ def flash_attention_qkv_forward(
     if D3 % 3 or D % heads or d % _LANE:
         raise ValueError(f"qkv layout needs head_dim {d} to be a multiple of {_LANE} (packed dim {D3}, heads {heads})")
     block_q = _fit_block(N, block_q)
-    block_k = _fit_block(N, block_k)
+    block_k = _fit_kv_block(N, block_k)
     if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
         raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k} (multiples of 128)")
 
@@ -365,7 +390,7 @@ def flash_attention_qkv_forward_lse(
     if D3 % 3 or D % heads or d % _LANE:
         raise ValueError(f"qkv layout needs head_dim {d} to be a multiple of {_LANE}")
     block_q = _fit_block(N, block_q)
-    block_k = _fit_block(N, block_k)
+    block_k = _fit_kv_block(N, block_k)
     if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
         raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k}")
 
@@ -481,7 +506,7 @@ def flash_attention_qkv_backward(
     D = D3 // 3
     d = D // heads
     block_q = _fit_block(N, block_q)
-    block_k = _fit_block(N, block_k)
+    block_k = _fit_kv_block(N, block_k)
     scale = 1.0 / math.sqrt(d)
 
     delta = (g.astype(jnp.float32) * o.astype(jnp.float32)).reshape(B, N, heads, d).sum(-1)
