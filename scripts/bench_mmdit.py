@@ -90,6 +90,52 @@ def main(steps: int = 25) -> None:
             flush=True,
         )
 
+    # conditioned flow-matching train step (loss + grads + adamw), the
+    # training-path counterpart: joint attention runs the Pallas backward
+    # (score tiles recomputed from logsumexp — joint (N, N) never in HBM)
+    import optax
+
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+
+    def loss_fn(p, x0, noise, sigma, context):
+        s = sigma[:, None, None, None]
+        xt = (1 - s) * x0 + s * noise
+        pred = model.apply(p, xt, sigma * 1000.0, context)
+        return jnp.mean((pred - (noise - x0)) ** 2)
+
+    def train_step(carry, key):
+        p, o = carry
+        kd, kn, kt, kc = jax.random.split(key, 4)
+        x0 = jax.random.normal(kd, (BATCH, 4, HW, HW), jnp.float32)
+        noise = jax.random.normal(kn, (BATCH, 4, HW, HW), jnp.float32)
+        sigma = jax.random.uniform(kt, (BATCH,), minval=1e-3, maxval=1.0)
+        context = jax.random.normal(kc, (BATCH, config.context_tokens, config.context_dim), jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(p, x0, noise, sigma, context)
+        updates, o = opt.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o), loss
+
+    lengths = (2, 12)
+    runners = {}
+    for n in lengths:
+        runners[n] = jax.jit(
+            lambda p, o, n=n: jax.lax.scan(train_step, (p, o), jax.random.split(jax.random.PRNGKey(1), n))
+        )
+        np.asarray(runners[n](params, opt_state)[1])
+    best = {n: float("inf") for n in lengths}
+    for _ in range(3):
+        for n in lengths:
+            t0 = time.perf_counter()
+            np.asarray(runners[n](params, opt_state)[1])
+            best[n] = min(best[n], time.perf_counter() - t0)
+    lo, hi = lengths
+    sec = (best[hi] - best[lo]) / (hi - lo)
+    print(
+        f"{'train step (flow matching + adamw)':36s} {sec * 1e6:8.1f} us/step   "
+        f"{1 / sec:5.1f} steps/s   mfu {3 * fwd_flops / sec / PEAK_BF16:.3f} (3x-fwd convention)",
+        flush=True,
+    )
+
     # int8 serving tree, guided
     qparams = model.quantize_params(params)
     qfn = model.as_sampleable(qparams, ctx, guidance_scale=3.0)

@@ -192,26 +192,32 @@ class MMDiT:
         return self.unpatchify(out, H, W).astype(in_dtype)
 
     def _joint_attention(self, qkv_img: jax.Array, qkv_txt: jax.Array) -> tuple[jax.Array, jax.Array]:
-        "Concat packed q/k/v along tokens, attend jointly, split back."
+        "Concat the streams along tokens, attend jointly, split back."
         c = self.config
         N = qkv_img.shape[1]
         D = c.dim
-
-        def packed(qkv):
-            return qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :]
-
-        qi, ki, vi = packed(qkv_img)
-        qt, kt, vt = packed(qkv_txt)
-        q = jnp.concatenate([qi, qt], axis=1)
-        k = jnp.concatenate([ki, kt], axis=1)
-        v = jnp.concatenate([vi, vt], axis=1)
         if c.attention == "flash" and c.head_dim % 128 == 0:
-            from ..ops.flash_attention import flash_attention_packed
+            # qkv layout is per-token ([q | k | v] along features), so the
+            # JOINT sequence's qkv tensor is one token-axis concat of the
+            # two streams' projection outputs — no q/k/v splits at all.
+            # The fused entry gives the Pallas forward AND the O(N)
+            # logsumexp-recomputation backward (an einsum vjp would store
+            # the (B, H, N, N) joint scores — 85 MB at the serving shape —
+            # per attention when training).
+            from ..ops.flash_attention import flash_attention_qkv
 
-            out = flash_attention_packed(q, k, v, c.heads)
+            out = flash_attention_qkv(jnp.concatenate([qkv_img, qkv_txt], axis=1), c.heads)
         else:
             from ..ops.flash_attention import _packed_reference
 
+            def packed(qkv):
+                return qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :]
+
+            qi, ki, vi = packed(qkv_img)
+            qt, kt, vt = packed(qkv_txt)
+            q = jnp.concatenate([qi, qt], axis=1)
+            k = jnp.concatenate([ki, kt], axis=1)
+            v = jnp.concatenate([vi, vt], axis=1)
             out = _packed_reference(q, k, v, c.heads)
         return out[:, :N], out[:, N:]
 
