@@ -481,6 +481,69 @@ def training_section(jax, jnp, batch: int = 4, hw: int = 64, dim: int = 512, dep
     return out
 
 
+def mmdit_section(jax, jnp, batch: int = 4, hw: int = 64, steps: int = 25) -> dict:
+    """Text-conditioned serving: MMDiT (SD3/Flux-class dual-stream) with
+    classifier-free guidance, slope-timed like the training section.
+
+    This is the realistic conditioned-serving workload — 1024 image + 128
+    text joint tokens through the fused-qkv Pallas joint attention, CFG
+    running cond+uncond in one batched forward (2x the FLOPs of an uncond
+    step).  MFU denominates the *guided* FLOPs against the bf16 peak."""
+    from skrample_tpu.models import MMDiT, MMDiTConfig
+    from skrample_tpu.models.mmdit import mmdit_forward_flops
+
+    config = MMDiTConfig(dim=512, depth=8, heads=4, context_dim=512, context_tokens=128, compute_dtype=jnp.bfloat16)
+    model = MMDiT(config)
+    params = model.init(jax.random.PRNGKey(0))
+    # adaLN-zero inits at exactly zero output; perturb so nothing folds away
+    params = jax.tree.map(
+        lambda leaf: leaf + 0.02 * jax.random.normal(jax.random.PRNGKey(7), leaf.shape, leaf.dtype), params
+    )
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, config.context_dim), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, hw, hw), jnp.float32)
+    fn = model.as_sampleable(params, ctx, guidance_scale=3.0)
+    peak_bf16 = 197e12 if "v5" in str(jax.devices()[0]).lower() else None
+
+    def loop(y, n):
+        def body(carry, i):
+            t = i.astype(jnp.float32) * 40.0
+            return carry - jnp.float32(0.02) * fn(carry, t, 1.0, 0.0), None
+
+        out, _ = jax.lax.scan(body, y, jnp.arange(n))
+        return jnp.float32(out.astype(jnp.float32).sum())
+
+    lengths = (2, 10)
+    runners = {}
+    for n in lengths:
+        runners[n] = jax.jit(lambda y, n=n: loop(y, n))
+        np.asarray(runners[n](x))  # warm; forced host transfer (tunnel quirk)
+    best = {n: float("inf") for n in lengths}
+    lo, hi = lengths
+    step_s = -1.0
+    reps = 3
+    for _attempt in range(3):
+        for _ in range(reps):
+            for n in lengths:  # interleaved so tunnel drift hits both lengths
+                t0 = time.perf_counter()
+                np.asarray(runners[n](x))
+                best[n] = min(best[n], time.perf_counter() - t0)
+        step_s = (best[hi] - best[lo]) / (hi - lo)
+        if step_s > 0:
+            break
+        reps = 5
+    if not step_s > 0:
+        return {"mmdit_bench_unstable": True}
+
+    flops = 2.0 * mmdit_forward_flops(config, batch, hw, hw)  # CFG = 2x fwd
+    out = {
+        "us_per_model_step_mmdit_cfg": round(step_s * 1e6, 1),
+        "img_per_s_marginal_mmdit_cfg": round(batch / (step_s * steps), 3),
+    }
+    if peak_bf16:
+        out["mfu_model_fwd_mmdit_cfg"] = round(flops / step_s / peak_bf16, 4)
+    return out
+
+
 def sigma_guards() -> dict:
     """Bit-exactness of the schedule layer vs the reference.
 
@@ -617,6 +680,7 @@ def main() -> None:
     dispatch = dispatch_section(jax, jnp, sampler, schedule, transform, shape)
     serving = serving_section(jax, jnp)
     training = training_section(jax, jnp)
+    mmdit = mmdit_section(jax, jnp)
     guards = sigma_guards()
     latent_mse = oracle_guard(jax, jnp, sampler, schedule, transform)
 
@@ -635,6 +699,7 @@ def main() -> None:
                 **dispatch,
                 **serving,
                 **training,
+                **mmdit,
                 **guards,
                 "latent_mse_vs_f64_oracle": latent_mse,
                 "backend": jax.default_backend(),

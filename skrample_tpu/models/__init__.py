@@ -6,6 +6,7 @@ from .checkpoint import load_params, save_params
 from .dit import DiT, DiTConfig
 from .mmdit import MMDiT, MMDiTConfig
 from .unet import UNet, UNetConfig
+from .video_dit import VideoDiT, VideoDiTConfig
 
 __all__ = [
     "DiT",
@@ -14,6 +15,8 @@ __all__ = [
     "MMDiTConfig",
     "UNet",
     "UNetConfig",
+    "VideoDiT",
+    "VideoDiTConfig",
     "load_params",
     "save_params",
 ]

@@ -1,0 +1,277 @@
+"""A factorized spatio-temporal diffusion transformer for video latents.
+
+Fourth model family: the Wan/LTX-class video workload.  The reference
+library's samplers are rank-agnostic — video latents ``[1, 16, 77, 32, 32]``
+pass through its wrappers untouched (`/root/reference/tests/
+diffusers_pipes.py:221`) — but it ships no model to *drive* that shape.
+This model closes the loop: 5-D ``(B, C, F, H, W)`` latents denoised
+end-to-end through the same sampling stack as the image families.
+
+Architecture is the Latte/OpenSora-style factorization: every block runs
+**spatial attention** (tokens of one frame attend to each other; frames
+fold into the batch axis) then **temporal attention** (each spatial site
+attends across frames; sites fold into batch) then an MLP, all three as
+adaLN-zero gated residuals.  Factorized attention costs
+``O(F*N^2 + N*F^2)`` instead of the joint ``O((F*N)^2)``.
+
+TPU-native notes:
+
+* Both attentions enter through the fused-qkv Pallas flash kernel
+  (``ops/flash_attention.flash_attention_qkv``) — the fold into batch is a
+  pure reshape for spatial attention (no data movement; frame-major token
+  order) and one transpose for temporal.  Typical frame counts (8-32) are
+  below the 128-lane tile, so the temporal attention's trace-time dispatch
+  picks the einsum path automatically — its score matrix is tiny
+  ``(F, F)`` and the einsum contracts at full MXU depth over ``B*N`` rows.
+* ``sequence_parallel=True`` is DeepSpeed-Ulysses-style alternation over
+  the mesh's ``sp`` axis: the frame axis is sharded during spatial
+  attention (embarrassingly parallel over frames) and the spatial-token
+  axis during temporal attention (embarrassingly parallel over sites).
+  Both constraints are plain ``with_sharding_constraint``s — XLA inserts
+  the all-to-alls that re-bucket the tokens, which ride ICI.  Contrast
+  with ring attention (``parallel/ring_attention.py``): Ulysses moves the
+  *tokens* twice per block, ring moves *K/V* S-1 times; for factorized
+  video attention the all-to-all volume is independent of the attention
+  span, so Ulysses is the TPU-native pick here.
+* Position information is sinusoidal and factorized (frame index +
+  spatial patch index), added at token embedding time — shape-polymorphic
+  with no learned tables, so one params tree serves any F, H, W.
+* Everything else (adaLN-zero, megatron tp specs, int8 serving tree,
+  per-block remat) follows the DiT exactly; see ``models/dit.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from .dit import _adaln, _dense, _dense_init, _timestep_embedding
+
+
+@dataclass(frozen=True)
+class VideoDiTConfig:
+    patch: int = 2
+    channels: int = 16
+    "Wan/LTX-class video latents carry 16 channels."
+    dim: int = 512
+    depth: int = 8
+    heads: int = 4
+    mlp_ratio: int = 4
+    compute_dtype: Any = jnp.bfloat16
+    attention: str = "flash"
+    '``"flash"`` (fused-qkv Pallas kernel) or ``"full"`` (einsum oracle).'
+    sequence_parallel: bool = False
+    """Ulysses-style sp alternation: shard frames during spatial attention,
+    spatial sites during temporal attention (requires ``mesh``)."""
+    sp_axis: str = "sp"
+    remat: bool = False
+    "Rematerialize each block under ``jax.checkpoint`` (see DiTConfig.remat)."
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+
+class VideoDiT:
+    "Functional model: ``init`` -> params pytree, ``apply(params, x, t)``."
+
+    def __init__(self, config: VideoDiTConfig = VideoDiTConfig(), mesh: Any = None):
+        self.config = config
+        self.mesh = mesh
+        if config.attention not in ("full", "flash"):
+            raise ValueError(f"unknown attention kind {config.attention!r}")
+        if config.sequence_parallel and mesh is None:
+            raise ValueError("sequence_parallel=True needs VideoDiT(config, mesh=...) with the sp axis")
+
+    def init(self, key: jax.Array) -> dict:
+        c = self.config
+        patch_dim = c.channels * c.patch * c.patch
+        keys = iter(jax.random.split(key, 6 + 9 * c.depth))
+
+        params: dict = {
+            "patch_in": _dense_init(next(keys), patch_dim, c.dim),
+            "t_mlp1": _dense_init(next(keys), 256, c.dim),
+            "t_mlp2": _dense_init(next(keys), c.dim, c.dim),
+            "final_mod": _dense_init(next(keys), c.dim, 2 * c.dim, scale=0.0),
+            "final_out": _dense_init(next(keys), c.dim, patch_dim, scale=0.0),
+            "blocks": [],
+        }
+        for _ in range(c.depth):
+            params["blocks"].append(
+                {
+                    "qkv_s": _dense_init(next(keys), c.dim, 3 * c.dim),
+                    "proj_s": _dense_init(next(keys), c.dim, c.dim),
+                    "qkv_t": _dense_init(next(keys), c.dim, 3 * c.dim),
+                    "proj_t": _dense_init(next(keys), c.dim, c.dim),
+                    "mlp_in": _dense_init(next(keys), c.dim, c.mlp_ratio * c.dim),
+                    "mlp_out": _dense_init(next(keys), c.mlp_ratio * c.dim, c.dim),
+                    # adaLN-zero: 3 gated residual branches x (shift, gate, scale)
+                    "ada": _dense_init(next(keys), c.dim, 9 * c.dim, scale=0.0),
+                }
+            )
+        return params
+
+    def param_spec(self, quantized: bool = False) -> dict:
+        "Tensor-parallel PartitionSpecs over mesh axis 'tp' (megatron layout)."
+        col = {"w": P(None, "tp"), "b": P("tp")}
+        row = {"w": P("tp", None), "b": P()}
+        rep = {"w": P(), "b": P()}
+        if quantized:
+            col = {"w_q": {"q": P(None, "tp"), "s": P("tp")}, "b": P("tp")}
+            row = {"w_q": {"q": P("tp", None), "s": P()}, "b": P()}
+        block = {
+            "qkv_s": col,
+            "proj_s": row,
+            "qkv_t": col,
+            "proj_t": row,
+            "mlp_in": col,
+            "mlp_out": row,
+            "ada": rep,
+        }
+        return {
+            "patch_in": rep,
+            "t_mlp1": rep,
+            "t_mlp2": rep,
+            "final_mod": rep,
+            "final_out": rep,
+            "blocks": [dict(block) for _ in range(self.config.depth)],
+        }
+
+    def patchify(self, x: jax.Array) -> jax.Array:
+        "(B, C, F, H, W) -> (B, F, N, patch_dim) — frames keep their own token rows."
+        c = self.config
+        B, C, F, H, W = x.shape
+        x = x.reshape(B, C, F, H // c.patch, c.patch, W // c.patch, c.patch)
+        x = x.transpose(0, 2, 3, 5, 1, 4, 6)
+        return x.reshape(B, F, (H // c.patch) * (W // c.patch), C * c.patch * c.patch)
+
+    def unpatchify(self, x: jax.Array, F: int, H: int, W: int) -> jax.Array:
+        c = self.config
+        B = x.shape[0]
+        x = x.reshape(B, F, H // c.patch, W // c.patch, c.channels, c.patch, c.patch)
+        x = x.transpose(0, 4, 1, 2, 5, 3, 6)
+        return x.reshape(B, c.channels, F, H, W)
+
+    def _posemb(self, F: int, N: int) -> jax.Array:
+        "Factorized sinusoidal position features: frame index + patch index."
+        c = self.config
+        frame = _timestep_embedding(jnp.arange(F, dtype=jnp.float32), c.dim)  # (F, dim)
+        site = _timestep_embedding(jnp.arange(N, dtype=jnp.float32), c.dim)  # (N, dim)
+        return (frame[:, None] + site[None]) * (1 / math.sqrt(c.dim))  # (F, N, dim)
+
+    def apply(self, params: dict, x: jax.Array, t: jax.Array) -> jax.Array:
+        "(B, C, F, H, W), (B,) or scalar timestep -> prediction of the same shape."
+        c = self.config
+        dtype = c.compute_dtype
+        B, _C, F, H, W = x.shape
+        in_dtype = x.dtype
+
+        if jnp.ndim(t) == 0:
+            t = jnp.broadcast_to(t, (B,))
+
+        tokens = _dense(params["patch_in"], self.patchify(x).astype(dtype), dtype)
+        N = tokens.shape[2]
+        tokens = (tokens + self._posemb(F, N).astype(dtype)).reshape(B, F * N, c.dim)
+
+        temb = _timestep_embedding(t, 256)
+        temb = _dense(params["t_mlp2"], jax.nn.silu(_dense(params["t_mlp1"], temb.astype(dtype), dtype)), dtype)
+        temb = jax.nn.silu(temb)
+
+        block_fn = self._block
+        if c.remat:
+            block_fn = jax.checkpoint(block_fn, static_argnums=(3, 4))
+        for block in params["blocks"]:
+            tokens = block_fn(block, tokens, temb, F, N)
+
+        shift, scale = jnp.split(_dense(params["final_mod"], temb, dtype), 2, axis=-1)
+        tokens = _adaln(tokens, shift, scale)
+        out = _dense(params["final_out"], tokens, dtype)
+        return self.unpatchify(out.reshape(B, F, N, -1), F, H, W).astype(in_dtype)
+
+    def _attend(self, qkv: jax.Array) -> jax.Array:
+        "Fused-qkv attention on whatever (rows, tokens, 3*dim) view it is given."
+        from ..ops.flash_attention import _qkv_reference, flash_attention_qkv
+
+        if self.config.attention == "flash":
+            return flash_attention_qkv(qkv, self.config.heads)
+        return _qkv_reference(qkv, self.config.heads)
+
+    def _constrain(self, a: jax.Array) -> jax.Array:
+        "Shard axis 1 (the fold-into-batch axis) over sp when sequence_parallel."
+        if not self.config.sequence_parallel or self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding
+
+        spec = P(*([None, self.config.sp_axis] + [None] * (a.ndim - 2)))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(self.mesh, spec))
+
+    def _block(self, block: dict, tokens: jax.Array, temb: jax.Array, F: int, N: int) -> jax.Array:
+        "Spatial attention + temporal attention + MLP, each adaLN-zero gated."
+        c = self.config
+        dtype = c.compute_dtype
+        B = tokens.shape[0]
+        mods = _dense(block["ada"], temb, dtype)
+        (s_sp, g_sp, c_sp, s_t, g_t, c_t, s_m, g_m, c_m) = jnp.split(mods, 9, axis=-1)
+
+        # spatial: frames fold into batch — a pure reshape (frame-major order)
+        qkv = _dense(block["qkv_s"], _adaln(tokens, s_sp, c_sp), dtype)
+        qkv = self._constrain(qkv.reshape(B, F, N, 3 * c.dim))
+        out = self._attend(qkv.reshape(B * F, N, 3 * c.dim)).reshape(B, F * N, c.dim)
+        tokens = tokens + g_sp[:, None] * _dense(block["proj_s"], out, dtype)
+
+        # temporal: spatial sites fold into batch — one transpose; under sp
+        # the constraint flips the sharded axis from frames to sites, and
+        # XLA lowers the re-bucketing to an all-to-all over ICI
+        qkv = _dense(block["qkv_t"], _adaln(tokens, s_t, c_t), dtype)
+        qkv = self._constrain(qkv.reshape(B, F, N, 3 * c.dim).transpose(0, 2, 1, 3))
+        out = self._attend(qkv.reshape(B * N, F, 3 * c.dim))
+        out = out.reshape(B, N, F, c.dim).transpose(0, 2, 1, 3).reshape(B, F * N, c.dim)
+        tokens = tokens + g_t[:, None] * _dense(block["proj_t"], out, dtype)
+
+        h = _adaln(tokens, s_m, c_m)
+        h = _dense(block["mlp_out"], jax.nn.gelu(_dense(block["mlp_in"], h, dtype)), dtype)
+        return tokens + g_m[:, None] * h
+
+    def quantize_params(self, params: dict) -> dict:
+        """Int8 serving tree, same recipe as :meth:`DiT.quantize_params`.
+        The patch projections also stay f32: 16-channel video patches push
+        them over the quantizer's size floor, but they run once per forward
+        (vs depth x per block) — latency noise, and full precision at the
+        pixel boundary is free."""
+        from ..ops.quant import quantize_params
+
+        return quantize_params(
+            params, exclude=frozenset({"ada", "final_mod", "t_mlp1", "t_mlp2", "patch_in", "final_out"})
+        )
+
+    def as_sampleable(self, params: dict):
+        "Adapter to the sampling closure signature (x, t, sigma, alpha) -> pred."
+
+        def model_fn(x: jax.Array, t: jax.Array, s: jax.Array, a: jax.Array) -> jax.Array:
+            return self.apply(params, x, t)
+
+        return model_fn
+
+
+def video_dit_forward_flops(config: VideoDiTConfig, batch: int, frames: int, h: int, w: int) -> float:
+    "Analytic matmul FLOPs of one forward (factorized attention counted exactly)."
+    c = config
+    n = (h // c.patch) * (w // c.patch)
+    s = frames * n
+    d = c.dim
+    total = 0.0
+    # per block: 2 qkv (3d) + 2 proj + mlp in/out + ada head
+    total += c.depth * 2.0 * batch * s * d * d * (2 * (3 + 1) + 2 * c.mlp_ratio)
+    total += c.depth * 2.0 * batch * d * 9 * d
+    # factorized attention: scores + combine for each axis
+    total += c.depth * batch * (4.0 * frames * n * n * d + 4.0 * n * frames * frames * d)
+    patch_dim = c.channels * c.patch * c.patch
+    total += 2.0 * batch * s * patch_dim * d * 2  # patch_in + final_out
+    # conditioning pathway (per batch row): t_mlp1, t_mlp2, final_mod
+    total += 2.0 * batch * (256 * d + d * d + d * 2 * d)
+    return total
