@@ -16,13 +16,15 @@ adaLN-zero gated residuals.  Factorized attention costs
 
 TPU-native notes:
 
-* Both attentions enter through the fused-qkv Pallas flash kernel
+* Spatial attention enters through the fused-qkv Pallas flash kernel
   (``ops/flash_attention.flash_attention_qkv``) — the fold into batch is a
-  pure reshape for spatial attention (no data movement; frame-major token
-  order) and one transpose for temporal.  Typical frame counts (8-32) are
-  below the 128-lane tile, so the temporal attention's trace-time dispatch
-  picks the einsum path automatically — its score matrix is tiny
-  ``(F, F)`` and the einsum contracts at full MXU depth over ``B*N`` rows.
+  pure reshape (no data movement; frame-major token order).  Temporal
+  attention runs IN PLACE on the frame-major layout (``_temporal_attend``):
+  einsum batched over (batch, site, head) with frames as the contraction
+  pair, so the two 50 MB-per-block ``(B, F, N, *) <-> (B, N, F, *)``
+  relayout copies never exist; the ``(F, F)`` score tensors are tiny and
+  the attention math is ~0.04% of the model's FLOPs at typical frame
+  counts — the temporal branch is all about avoiding the copies.
 * ``sequence_parallel=True`` is DeepSpeed-Ulysses-style alternation over
   the mesh's ``sp`` axis: the frame axis is sharded during spatial
   attention (embarrassingly parallel over frames) and the spatial-token
@@ -201,14 +203,35 @@ class VideoDiT:
             return flash_attention_qkv(qkv, self.config.heads)
         return _qkv_reference(qkv, self.config.heads)
 
-    def _constrain(self, a: jax.Array) -> jax.Array:
-        "Shard axis 1 (the fold-into-batch axis) over sp when sequence_parallel."
+    def _temporal_attend(self, qkv: jax.Array) -> jax.Array:
+        """Frame-axis attention on the frame-major ``(B, F, N, 3*dim)`` view
+        with NO transposes: einsum batches over (batch, site, head) directly,
+        so the 50 MB-per-block physical (B, F, N, *) -> (B, N, F, *)
+        relayouts disappear and only the tiny ``(F, F)`` score tensors are
+        materialized.  The attention math itself is ~0.04% of the model's
+        FLOPs at typical frame counts — it's all about the copies."""
+        c = self.config
+        B, F, N, _ = qkv.shape
+        qkv6 = qkv.reshape(B, F, N, 3, c.heads, c.head_dim)
+        q, k, v = qkv6[:, :, :, 0], qkv6[:, :, :, 1], qkv6[:, :, :, 2]
+        s = jnp.einsum("bfnhd,bgnhd->bnhfg", q, k, preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s / math.sqrt(c.head_dim), axis=-1).astype(qkv.dtype)
+        out = jnp.einsum("bnhfg,bgnhd->bfnhd", p, v, preferred_element_type=jnp.float32)
+        return out.astype(qkv.dtype).reshape(B, F, N, c.dim)
+
+    def _constrain(self, a: jax.Array, axis: int = 1) -> jax.Array:
+        "Shard `axis` (the fold-into-batch axis) over sp when sequence_parallel."
         if not self.config.sequence_parallel or self.mesh is None:
             return a
         from jax.sharding import NamedSharding
 
-        spec = P(*([None, self.config.sp_axis] + [None] * (a.ndim - 2)))
-        return jax.lax.with_sharding_constraint(a, NamedSharding(self.mesh, spec))
+        spec = [None] * a.ndim
+        spec[axis] = self.config.sp_axis
+        return jax.lax.with_sharding_constraint(a, NamedSharding(self.mesh, P(*spec)))
+
+    def _constrain_sites(self, a: jax.Array) -> jax.Array:
+        "(B, F, N, ...) sharded over the site axis for temporal attention."
+        return self._constrain(a, axis=2)
 
     def _block(self, block: dict, tokens: jax.Array, temb: jax.Array, F: int, N: int) -> jax.Array:
         "Spatial attention + temporal attention + MLP, each adaLN-zero gated."
@@ -224,13 +247,13 @@ class VideoDiT:
         out = self._attend(qkv.reshape(B * F, N, 3 * c.dim)).reshape(B, F * N, c.dim)
         tokens = tokens + g_sp[:, None] * _dense(block["proj_s"], out, dtype)
 
-        # temporal: spatial sites fold into batch — one transpose; under sp
-        # the constraint flips the sharded axis from frames to sites, and
-        # XLA lowers the re-bucketing to an all-to-all over ICI
+        # temporal: sites batch the frame-axis attention in place (no
+        # transposes — see _temporal_attend); under sp the constraint flips
+        # the sharded axis from frames to sites, and XLA lowers the
+        # re-bucketing to an all-to-all over ICI
         qkv = _dense(block["qkv_t"], _adaln(tokens, s_t, c_t), dtype)
-        qkv = self._constrain(qkv.reshape(B, F, N, 3 * c.dim).transpose(0, 2, 1, 3))
-        out = self._attend(qkv.reshape(B * N, F, 3 * c.dim))
-        out = out.reshape(B, N, F, c.dim).transpose(0, 2, 1, 3).reshape(B, F * N, c.dim)
+        qkv = self._constrain_sites(qkv.reshape(B, F, N, 3 * c.dim))
+        out = self._temporal_attend(qkv).reshape(B, F * N, c.dim)
         tokens = tokens + g_t[:, None] * _dense(block["proj_t"], out, dtype)
 
         h = _adaln(tokens, s_m, c_m)

@@ -162,6 +162,7 @@ def test_flops_formula_matches_trace() -> None:
         return orig_dense(p, xx, dtype)
 
     orig_attend = VideoDiT._attend
+    orig_temporal = VideoDiT._temporal_attend
 
     def attend(self, qkv):
         nonlocal total
@@ -169,11 +170,17 @@ def test_flops_formula_matches_trace() -> None:
         total += 4.0 * rows * tok * tok * config.dim
         return orig_attend(self, qkv)
 
-    vd_mod._dense, VideoDiT._attend = dense, attend
+    def temporal(self, qkv):
+        nonlocal total
+        b, f, n, _ = qkv.shape
+        total += 4.0 * b * n * f * f * config.dim
+        return orig_temporal(self, qkv)
+
+    vd_mod._dense, VideoDiT._attend, VideoDiT._temporal_attend = dense, attend, temporal
     try:
         jax.eval_shape(lambda: model.apply(params, x, jnp.float32(1.0)))
     finally:
-        vd_mod._dense, VideoDiT._attend = orig_dense, orig_attend
+        vd_mod._dense, VideoDiT._attend, VideoDiT._temporal_attend = orig_dense, orig_attend, orig_temporal
 
     analytic = video_dit_forward_flops(config, 2, 4, 16, 16)
     assert abs(total - analytic) / total < 0.02, (total, analytic)
