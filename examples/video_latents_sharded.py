@@ -1,29 +1,40 @@
 #!/usr/bin/env python
-"""Video-scale latents: sp-sharded frames + Brownian SDE noise.
+"""Video generation: VideoDiT + Ulysses sequence parallelism + Brownian SDE.
 
 Rank-agnostic samplers mean a 5D video latent (B, C, F, H, W) flows through
-unchanged; the frame axis shards over 'sp' when one chip's HBM can't hold
-the whole clip, and the virtual Brownian tree keeps SDE noise a pure
-function of (seed, interval) — deterministic across step counts, restarts,
-and reshardings.
+unchanged.  The VideoDiT's ``sequence_parallel=True`` shards frames over
+'sp' during spatial attention and spatial sites during temporal attention
+(XLA inserts the all-to-alls from the alternating sharding constraints),
+and the virtual Brownian tree keeps SDE noise a pure function of
+(seed, interval) — deterministic across step counts, restarts, and
+reshardings.
 """
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from skrample_tpu import scheduling
+from skrample_tpu.models import VideoDiT, VideoDiTConfig
 from skrample_tpu.noise import Brownian, stack_noise
 from skrample_tpu.ops import CompiledDenoiser, compile_sampler
 from skrample_tpu.parallel import latent_sharding, make_mesh
 from skrample_tpu.sampling import models, structured
 
-steps = 12
+steps = 8
 mesh = make_mesh(dp=None, sp=2)
 print("mesh:", dict(mesh.shape))
 
 # (batch, channels, frames, height, width) — frames shard over sp
-shape = (mesh.shape["dp"], 8, 16, 32, 32)
+shape = (mesh.shape["dp"], 16, 8, 32, 32)
 sharding = latent_sharding(mesh, batch_axis=0, spatial_axis=2, ndim=5)
+
+model = VideoDiT(
+    VideoDiTConfig(dim=256, depth=2, heads=2, compute_dtype=jnp.float32, sequence_parallel=True),
+    mesh=mesh,
+)
+params = model.init(jax.random.PRNGKey(0))
+params = jax.device_put(params, NamedSharding(mesh, P()))  # replicated; tp also composes
 
 sampler = structured.DPM(order=2, stochasticity=1)  # SDE
 schedule = scheduling.FlowShift(scheduling.Linear())
@@ -35,14 +46,10 @@ denoiser = CompiledDenoiser.build(compiled, dtype=jnp.float32)
 tree = Brownian(shape[1:], jax.random.key(7), jnp.float32)
 noises = stack_noise(tree, steps)[:, None].repeat(shape[0], 1)  # (steps, B, ...)
 
-def model_fn(x, t, s, a):
-    # stand-in video model: temporal smoothing + decay (elementwise + conv-ish)
-    return x * 0.95 + jnp.roll(x, 1, axis=2) * 0.03
-
 
 @jax.jit
 def generate(x, noises):
-    return denoiser.run(model_fn, x, noises=noises)
+    return denoiser.run(model.as_sampleable(params), x, noises=noises)
 
 
 with mesh:
