@@ -34,11 +34,15 @@ class DiTConfig:
     attention: str = "full"
     """``"full"`` (plain einsum; the (N, N) score tensor hits HBM),
     ``"flash"`` (single-chip Pallas online-softmax kernel — scores never
-    leave VMEM; see ``ops/flash_attention.py``), or ``"ring"``
+    leave VMEM; see ``ops/flash_attention.py``), ``"ring"``
     (sequence-parallel exact attention: K/V blocks rotate over the mesh's
     ``sp_axis`` with ``ppermute`` — 1/S of the K/V and scores memory per
-    chip).  Ring requires constructing the :class:`DiT` with a mesh that has
-    the ``sp_axis``."""
+    chip), or ``"ulysses"`` (sequence-parallel via head-sharding
+    all-to-alls: each chip runs the flash kernel over the FULL sequence
+    for its H/S head shard — two all-to-alls per attention, the cheaper
+    scheme when one head's scores fit on-chip; see
+    ``parallel/ulysses.py``).  Ring and ulysses require constructing the
+    :class:`DiT` with a mesh that has the ``sp_axis``."""
     sp_axis: str = "sp"
     remat: bool = False
     """Rematerialize each transformer block under ``jax.checkpoint``: the
@@ -107,9 +111,11 @@ class DiT:
     def __init__(self, config: DiTConfig = DiTConfig(), mesh: Any = None):
         self.config = config
         self.mesh = mesh
-        if config.attention == "ring" and mesh is None:
-            raise ValueError("DiTConfig(attention='ring') needs DiT(config, mesh=...) with the sp axis")
-        if config.attention not in ("full", "flash", "ring"):
+        if config.attention in ("ring", "ulysses") and mesh is None:
+            raise ValueError(
+                f"DiTConfig(attention={config.attention!r}) needs DiT(config, mesh=...) with the sp axis"
+            )
+        if config.attention not in ("full", "flash", "ring", "ulysses"):
             raise ValueError(f"unknown attention kind {config.attention!r}")
 
     def init(self, key: jax.Array) -> dict:
@@ -194,9 +200,10 @@ class DiT:
             t = jnp.broadcast_to(t, (B,))
 
         tokens = _dense(params["patch_in"], self.patchify(x).astype(dtype), dtype)
-        if c.attention == "ring" and self.mesh is not None:
+        if c.attention in ("ring", "ulysses") and self.mesh is not None:
             # keep the whole residual stream token-sharded over sp: the dense
-            # layers are token-parallel, so only the ring hops touch ICI
+            # layers are token-parallel, so only the ring hops / all-to-alls
+            # touch ICI
             from jax.sharding import NamedSharding
 
             tokens = jax.lax.with_sharding_constraint(
@@ -247,6 +254,10 @@ class DiT:
                 from ..parallel.ring_attention import ring_attention
 
                 out = ring_attention(q, k, v, self.mesh, axis=c.sp_axis)
+            elif c.attention == "ulysses":
+                from ..parallel.ulysses import ulysses_attention
+
+                out = ulysses_attention(q, k, v, self.mesh, axis=c.sp_axis)
             elif c.attention == "flash":
                 from ..ops.flash_attention import flash_attention
 

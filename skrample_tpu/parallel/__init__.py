@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from .experts import expert_capacity, init_moe_ffn, moe_ffn, moe_ffn_capacity, moe_ffn_spec  # noqa: E402
 from .pipeline_stages import pipeline_apply  # noqa: E402
 from .ring_attention import ring_attention  # noqa: E402
+from .ulysses import ulysses_attention  # noqa: E402
 
 __all__ = [
     "batch_keys",
@@ -41,6 +42,7 @@ __all__ = [
     "replicated",
     "ring_attention",
     "shard_batch",
+    "ulysses_attention",
 ]
 
 

@@ -401,3 +401,58 @@ class TestMoECapacity:
 
         assert expert_capacity(64, 4) == 20  # ceil(1.25 * 16)
         assert expert_capacity(3, 8) == 1
+
+
+@pytest.mark.parametrize("heads_op", ["flash", "einsum"])
+@pytest.mark.parametrize("sp", [2, 4])
+def test_ulysses_attention_matches_full(sp, heads_op):
+    """Ulysses attention (head-scatter/token-gather all-to-alls around a
+    per-shard full attention) must equal full softmax attention."""
+    import math
+
+    from skrample_tpu.parallel.ulysses import ulysses_attention
+
+    mesh = Mesh(np.asarray(jax.devices()[:sp]), ("sp",))
+    B, H, N, D = 2, 4, 8 * sp, 16
+    key = jax.random.PRNGKey(sp)
+    q = jax.random.normal(key, (B, H, N, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, N, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, N, D), jnp.float32)
+
+    with mesh:
+        out = jax.jit(lambda q, k, v: ulysses_attention(q, k, v, mesh, heads_op=heads_op))(q, k, v)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(D)
+    full = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), rtol=2e-5, atol=2e-6)
+
+
+def test_ulysses_rejects_indivisible_heads():
+    from skrample_tpu.parallel.ulysses import ulysses_attention
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    q = jnp.zeros((1, 6, 32, 16), jnp.float32)  # 6 heads over sp=4
+    with pytest.raises(ValueError):
+        ulysses_attention(q, q, q, mesh)
+
+
+@pytest.mark.parametrize("sp", [2, 4])
+def test_dit_ulysses_attention_matches_full(sp):
+    """The flagship DiT with ``attention='ulysses'`` over an sp mesh must
+    equal the full-attention DiT (the all-to-all re-bucketing is exact;
+    only reduction order differs)."""
+    mesh = make_mesh(dp=1, sp=sp)
+    config = DiTConfig(dim=64, depth=2, heads=4, compute_dtype=jnp.float32)
+    full = DiT(config)
+    ulysses = DiT(
+        DiTConfig(dim=64, depth=2, heads=4, compute_dtype=jnp.float32, attention="ulysses"), mesh=mesh
+    )
+
+    params = full.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16), jnp.float32)
+    t = jnp.asarray([300.0, 700.0], jnp.float32)
+
+    base = np.asarray(jax.jit(full.apply)(params, x, t))
+    with mesh:
+        out = np.asarray(jax.jit(ulysses.apply)(params, x, t))
+    np.testing.assert_allclose(out, base, rtol=3e-5, atol=3e-6)
