@@ -58,7 +58,13 @@ class MMDiTConfig:
     "Static text-token count (multiple of 128); inputs are padded/truncated."
     compute_dtype: Any = jnp.bfloat16
     attention: str = "flash"
-    '``"flash"`` (packed Pallas joint attention) or ``"full"`` (einsum oracle).'
+    """``"flash"`` (packed Pallas joint attention), ``"full"`` (einsum
+    oracle), ``"ring"`` or ``"ulysses"`` (sequence-parallel exact joint
+    attention over the mesh's ``sp_axis`` — both streams' token axes stay
+    sp-sharded through the whole residual stream and only the attention
+    itself touches ICI; see ``parallel/joint_sp.py``).  Ring and ulysses
+    require constructing the :class:`MMDiT` with ``mesh=``."""
+    sp_axis: str = "sp"
     remat: bool = False
     "Rematerialize each block under ``jax.checkpoint`` (see DiTConfig.remat)."
 
@@ -80,10 +86,15 @@ def _stream_init(keys, dim: int, mlp_ratio: int) -> dict:
 class MMDiT:
     "Functional model: ``init`` -> params pytree, ``apply(params, x, t, context)``."
 
-    def __init__(self, config: MMDiTConfig = MMDiTConfig()):
+    def __init__(self, config: MMDiTConfig = MMDiTConfig(), mesh: Any = None):
         self.config = config
-        if config.attention not in ("full", "flash"):
+        self.mesh = mesh
+        if config.attention not in ("full", "flash", "ring", "ulysses"):
             raise ValueError(f"unknown attention kind {config.attention!r}")
+        if config.attention in ("ring", "ulysses") and mesh is None:
+            raise ValueError(
+                f"MMDiTConfig(attention={config.attention!r}) needs MMDiT(config, mesh=...) with the sp axis"
+            )
         if config.context_tokens % 128:
             raise ValueError("context_tokens must be a multiple of 128 (static TPU tiling)")
 
@@ -174,6 +185,15 @@ class MMDiT:
 
         img = _dense(params["patch_in"], self.patchify(x).astype(dtype), dtype)
         txt = _dense(params["ctx_in"], context, dtype)
+        if c.attention in ("ring", "ulysses") and self.mesh is not None:
+            # both residual streams stay token-sharded over sp end to end:
+            # every dense layer is token-parallel, so only the joint
+            # attention's ring hops / all-to-alls touch ICI
+            from jax.sharding import NamedSharding
+
+            sharding = NamedSharding(self.mesh, P(None, c.sp_axis, None))
+            img = jax.lax.with_sharding_constraint(img, sharding)
+            txt = jax.lax.with_sharding_constraint(txt, sharding)
 
         # SD3-style conditioning vector: timestep features + pooled text
         temb = _dense(params["t_mlp1"], _timestep_embedding(t, 256).astype(dtype), dtype)
@@ -196,6 +216,16 @@ class MMDiT:
         c = self.config
         N = qkv_img.shape[1]
         D = c.dim
+        if c.attention in ("ring", "ulysses"):
+            # sequence-parallel: the streams stay separately sp-sharded and
+            # the joint sequence is assembled per device inside shard_map
+            # (sharding the joint axis would put the stream boundary inside
+            # shards and force resharding around every concat/split)
+            from ..parallel.joint_sp import joint_sp_attention
+
+            return joint_sp_attention(
+                qkv_img, qkv_txt, c.heads, self.mesh, axis=c.sp_axis, scheme=c.attention
+            )
         if c.attention == "flash" and c.head_dim % 128 == 0:
             # qkv layout is per-token ([q | k | v] along features), so the
             # JOINT sequence's qkv tensor is one token-axis concat of the

@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from .experts import expert_capacity, init_moe_ffn, moe_ffn, moe_ffn_capacity, moe_ffn_spec  # noqa: E402
+from .joint_sp import joint_sp_attention  # noqa: E402
 from .pipeline_stages import pipeline_apply  # noqa: E402
 from .ring_attention import ring_attention  # noqa: E402
 from .ulysses import ulysses_attention  # noqa: E402
@@ -33,6 +34,7 @@ __all__ = [
     "batch_keys",
     "expert_capacity",
     "init_moe_ffn",
+    "joint_sp_attention",
     "latent_sharding",
     "make_mesh",
     "moe_ffn",

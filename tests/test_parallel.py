@@ -456,3 +456,96 @@ def test_dit_ulysses_attention_matches_full(sp):
     with mesh:
         out = np.asarray(jax.jit(ulysses.apply)(params, x, t))
     np.testing.assert_allclose(out, base, rtol=3e-5, atol=3e-6)
+
+
+class TestJointSP:
+    """Sequence-parallel MMDiT joint attention: both schemes must equal the
+    single-device joint softmax (kernel-level and end-to-end)."""
+
+    @staticmethod
+    def _joint_oracle(qkv_a, qkv_b, heads):
+        import math
+
+        dim = qkv_a.shape[-1] // 3
+        d = dim // heads
+
+        def split(qkv):
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def r(x):
+                B, n = x.shape[:2]
+                return x.reshape(B, n, heads, d).transpose(0, 2, 1, 3)
+
+            return r(q), r(k), r(v)
+
+        qa, ka, va = split(qkv_a)
+        qb, kb, vb = split(qkv_b)
+        q = jnp.concatenate([qa, qb], axis=2)
+        k = jnp.concatenate([ka, kb], axis=2)
+        v = jnp.concatenate([va, vb], axis=2)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d)
+        o = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+        B, H, N, _ = o.shape
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, dim)
+        na = qkv_a.shape[1]
+        return o[:, :na], o[:, na:]
+
+    @pytest.mark.parametrize("scheme", ["ulysses", "ring"])
+    @pytest.mark.parametrize("sp", [2, 4])
+    def test_matches_joint_oracle(self, sp, scheme):
+        from skrample_tpu.parallel import joint_sp_attention
+
+        mesh = Mesh(np.asarray(jax.devices()[:sp]), ("sp",))
+        B, heads, dim = 2, 4, 64
+        n_img, n_txt = 8 * sp, 4 * sp
+        key = jax.random.PRNGKey(10 + sp)
+        qkv_img = jax.random.normal(key, (B, n_img, 3 * dim), jnp.float32)
+        qkv_txt = jax.random.normal(jax.random.fold_in(key, 1), (B, n_txt, 3 * dim), jnp.float32)
+
+        with mesh:
+            oi, ot = jax.jit(
+                lambda a, b: joint_sp_attention(a, b, heads, mesh, scheme=scheme)
+            )(qkv_img, qkv_txt)
+        ri, rt = self._joint_oracle(qkv_img, qkv_txt, heads)
+        np.testing.assert_allclose(np.asarray(oi), np.asarray(ri), rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(ot), np.asarray(rt), rtol=2e-5, atol=2e-6)
+
+    def test_rejects_bad_shapes(self):
+        from skrample_tpu.parallel import joint_sp_attention
+
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+        good = jnp.zeros((1, 16, 3 * 64), jnp.float32)
+        with pytest.raises(ValueError):  # tokens not divisible by sp
+            joint_sp_attention(good, jnp.zeros((1, 6, 3 * 64)), 4, mesh)
+        with pytest.raises(ValueError):  # heads not divisible by sp (ulysses)
+            joint_sp_attention(good, good, 6, mesh, scheme="ulysses")
+        with pytest.raises(ValueError):  # unknown scheme
+            joint_sp_attention(good, good, 4, mesh, scheme="nope")
+
+    @pytest.mark.parametrize("scheme", ["ulysses", "ring"])
+    def test_mmdit_sp_matches_single(self, scheme):
+        "End-to-end: the sp-sharded MMDiT forward equals the full-attention one."
+        from skrample_tpu.models import MMDiT, MMDiTConfig
+
+        sp = 4
+        mesh = make_mesh(dp=1, sp=sp)
+        kwargs = dict(
+            dim=128, depth=2, heads=4, context_dim=96, context_tokens=128, compute_dtype=jnp.float32
+        )
+        base = MMDiT(MMDiTConfig(**kwargs, attention="full"))
+        sharded = MMDiT(MMDiTConfig(**kwargs, attention=scheme), mesh=mesh)
+
+        params = base.init(jax.random.PRNGKey(0))
+        # wake the adaLN-zero heads so conditioning reaches the output
+        for name in ("final_mod", "final_out"):
+            params[name]["w"] = (
+                jax.random.normal(jax.random.PRNGKey(5), params[name]["w"].shape, jnp.float32) * 0.02
+            )
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16), jnp.float32)
+        t = jnp.asarray([300.0, 700.0], jnp.float32)
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 77, 96), jnp.float32)
+
+        ref = np.asarray(jax.jit(base.apply)(params, x, t, ctx))
+        with mesh:
+            out = np.asarray(jax.jit(sharded.apply)(params, x, t, ctx))
+        np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-6)
