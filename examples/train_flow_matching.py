@@ -11,13 +11,18 @@ production knobs:
                  megatron col/row tensor-parallel params (DiT.param_spec);
                  XLA inserts the all-reduces from the shardings alone
   --checkpoint   save/restore the param tree (models/checkpoint.py)
+  --orbax DIR    production checkpointing instead: async orbax saves of the
+                 FULL train state (params + opt state + EMA + step) with
+                 retention and latest-step resume (models.TrainCheckpointer)
+  --ema-decay    EMA shadow tree updated inside the scanned step (what you
+                 serve from; models/ema.py, warmup-aware decay)
 
 Synthetic data (a fixed random image set) keeps the example hermetic; swap
 `make_batch` for a real loader.  Runs on CPU in seconds at the default toy
 size; scale dims up on a chip.
 
 Run: python examples/train_flow_matching.py [--steps 200] [--remat]
-     [--dp 2 --tp 2] [--checkpoint /tmp/dit.npz]
+     [--dp 2 --tp 2] [--checkpoint /tmp/dit.npz | --orbax /tmp/dit_ckpt]
 """
 
 from __future__ import annotations
@@ -34,7 +39,15 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from skrample_tpu.models import DiT, DiTConfig, load_params, save_params
+from skrample_tpu.models import (
+    DiT,
+    DiTConfig,
+    TrainCheckpointer,
+    ema_init,
+    ema_update,
+    load_params,
+    save_params,
+)
 
 
 def main() -> None:
@@ -49,6 +62,8 @@ def main() -> None:
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--tp", type=int, default=1)
     ap.add_argument("--checkpoint", type=str, default="")
+    ap.add_argument("--orbax", type=str, default="", help="orbax checkpoint dir (async, full train state)")
+    ap.add_argument("--ema-decay", type=float, default=0.9999)
     args = ap.parse_args()
 
     config = DiTConfig(
@@ -80,6 +95,15 @@ def main() -> None:
 
     opt = optax.adamw(1e-4)
     opt_state = opt.init(params)
+    ema = ema_init(params)
+    start_step = 0
+
+    ckpt = TrainCheckpointer(args.orbax) if args.orbax else None
+    if ckpt is not None and ckpt.latest_step() is not None:
+        state = ckpt.restore(like={"params": params, "opt_state": opt_state, "ema": ema, "step": 0})
+        params, opt_state, ema = state["params"], state["opt_state"], state["ema"]
+        start_step = int(state["step"])
+        print(f"resumed from {args.orbax} at step {start_step}")
 
     # hermetic "dataset": 64 fixed random images
     data = jax.random.normal(jax.random.PRNGKey(42), (64, 4, args.size, args.size), jnp.float32)
@@ -94,8 +118,9 @@ def main() -> None:
         pred = model.apply(p, xt, sigma * 1000.0)
         return jnp.mean((pred - (noise - x0)) ** 2)  # velocity target
 
-    def train_step(carry, key):
-        p, o = carry
+    def train_step(carry, inputs):
+        p, o, e = carry
+        key, n = inputs
         kb, kn, kt = jax.random.split(key, 3)
         x0 = make_batch(kb)
         if mesh is not None:
@@ -107,16 +132,21 @@ def main() -> None:
         sigma = jax.random.uniform(kt, (args.batch,), minval=1e-3, maxval=1.0)
         loss, grads = jax.value_and_grad(loss_fn)(p, x0, noise, sigma)
         updates, o = opt.update(grads, o, p)
-        return (optax.apply_updates(p, updates), o), loss
+        p = optax.apply_updates(p, updates)
+        e = ema_update(e, p, decay=args.ema_decay, step=n)
+        return (p, o, e), loss
 
     @jax.jit
-    def epoch(p, o, key):
-        return jax.lax.scan(train_step, (p, o), jax.random.split(key, args.steps))
+    def epoch(p, o, e, key, step0):
+        keys = jax.random.split(key, args.steps)
+        return jax.lax.scan(train_step, (p, o, e), (keys, step0 + jnp.arange(args.steps)))
 
     t0 = time.perf_counter()
     ctx = mesh if mesh is not None else _null()
     with ctx:
-        (params, opt_state), losses = epoch(params, opt_state, jax.random.PRNGKey(1))
+        (params, opt_state, ema), losses = epoch(
+            params, opt_state, ema, jax.random.fold_in(jax.random.PRNGKey(1), start_step), start_step
+        )
         losses = np.asarray(losses)
     dt = time.perf_counter() - t0
     print(f"{args.steps} steps in {dt:.2f}s ({dt / args.steps * 1e3:.2f} ms/step incl. compile)")
@@ -126,6 +156,11 @@ def main() -> None:
     if args.checkpoint:
         save_params(args.checkpoint, params)
         print(f"saved {args.checkpoint}")
+    if ckpt is not None:
+        end = start_step + args.steps
+        ckpt.save(end, {"params": params, "opt_state": opt_state, "ema": ema, "step": end})
+        ckpt.close()  # joins the async save
+        print(f"saved orbax step {end} -> {args.orbax} (params + opt state + EMA)")
 
 
 class _null:

@@ -2,8 +2,9 @@
 multi-chip dry runs.  The sampling framework itself is model-agnostic — any
 ``(x, t, sigma, alpha) -> prediction`` closure works."""
 
-from .checkpoint import load_params, save_params
+from .checkpoint import TrainCheckpointer, load_params, save_params
 from .dit import DiT, DiTConfig
+from .ema import ema_decay_schedule, ema_init, ema_update
 from .mmdit import MMDiT, MMDiTConfig
 from .unet import UNet, UNetConfig
 from .video_dit import VideoDiT, VideoDiTConfig
@@ -13,10 +14,14 @@ __all__ = [
     "DiTConfig",
     "MMDiT",
     "MMDiTConfig",
+    "TrainCheckpointer",
     "UNet",
     "UNetConfig",
     "VideoDiT",
     "VideoDiTConfig",
+    "ema_decay_schedule",
+    "ema_init",
+    "ema_update",
     "load_params",
     "save_params",
 ]

@@ -1,8 +1,20 @@
-"""Minimal param-tree checkpointing: nested dict/list pytrees <-> one .npz.
+"""Param-tree checkpointing.
 
-Keeps the committed surrogate checkpoint dependency-free (no orbax needed
-for a single flat file); keys encode the tree path with ``/`` separators and
-``#i`` list indices.
+Two tiers:
+
+* ``save_params``/``load_params`` — nested dict/list pytrees <-> one
+  compressed ``.npz``.  Dependency-free (keeps the committed surrogate
+  checkpoint loadable without orbax); keys encode the tree path with ``/``
+  separators and ``#i`` list indices.  Host-side, synchronous, unsharded —
+  right for small trees and fixtures.
+* :class:`TrainCheckpointer` — orbax-backed training checkpoints (params +
+  optimizer state + EMA + step in one tree): ASYNC saves (the train loop
+  keeps running while the previous state streams to disk), retention,
+  step discovery for resume, and SHARDED restore — pass a mesh + spec tree
+  and every leaf is materialized directly into its multi-chip sharding
+  (each host reads only its shards; no full-tree host copy).  This is the
+  production path the reference has no counterpart for (SURVEY.md §5
+  checkpoint/resume covers only the samplers' trajectory state).
 """
 
 from __future__ import annotations
@@ -65,3 +77,74 @@ def load_params(path: str | pathlib.Path) -> Any:
     "Inverse of :func:`save_params`."
     with np.load(path) as data:
         return _unflatten({k: data[k] for k in data.files})
+
+
+class TrainCheckpointer:
+    """Orbax-backed async training checkpoints.
+
+    ``state`` is any pytree — the conventional layout is
+    ``{"params": ..., "opt_state": ..., "ema": ..., "step": ...}`` but
+    nothing here depends on it.
+
+    * ``save(step, state)`` returns as soon as the state is snapshotted;
+      serialization streams to disk in the background (``wait()`` or
+      ``close()`` joins it — both are also invoked by orbax before the next
+      save, so overlapping saves are safe).
+    * ``restore(step=None)`` reads the given (default: latest) step.  Plain
+      restore materializes numpy-backed leaves; pass ``like=`` (a matching
+      tree of arrays or ShapeDtypeStructs, e.g. built with mesh shardings)
+      and each leaf lands as a ``jax.Array`` with that sharding — on a real
+      multi-host mesh each host reads only its own shards.
+    """
+
+    def __init__(self, directory: str | pathlib.Path, max_to_keep: int = 3, async_save: bool = True):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._manager = ocp.CheckpointManager(
+            pathlib.Path(directory).absolute(),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=async_save
+            ),
+        )
+
+    def save(self, step: int, state: Any) -> None:
+        self._manager.save(int(step), args=self._ocp.args.StandardSave(state))
+
+    def restore(self, step: int | None = None, like: Any = None) -> Any:
+        "Latest (or given) step; ``like`` supplies dtypes/shardings per leaf."
+        if step is None:
+            step = self.latest_step()
+            if step is None:
+                raise FileNotFoundError("no checkpoint steps found")
+        args = None
+        if like is not None:
+            import jax
+
+            abstract = jax.tree.map(
+                lambda leaf: jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=getattr(leaf, "sharding", None))
+                if hasattr(leaf, "shape")
+                else leaf,
+                like,
+            )
+            args = self._ocp.args.StandardRestore(abstract)
+        return self._manager.restore(int(step), args=args)
+
+    def latest_step(self) -> int | None:
+        return self._manager.latest_step()
+
+    def all_steps(self) -> list[int]:
+        return sorted(self._manager.all_steps())
+
+    def wait(self) -> None:
+        "Join any in-flight async save."
+        self._manager.wait_until_finished()
+
+    def close(self) -> None:
+        self._manager.close()
+
+    def __enter__(self) -> "TrainCheckpointer":
+        return self
+
+    def __exit__(self, *exc: object) -> None:
+        self.close()
