@@ -129,6 +129,33 @@ def test_classifier_free_guidance():
     assert abs(float(out.std()) - float((xr * 2.0).std())) < 1e-5
 
 
+def test_interval_classifier_free_guidance():
+    "CFG only inside the sigma band (arXiv:2404.07724); conditioned elsewhere."
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from skrample_tpu.utils import classifier_free, interval_classifier_free
+
+    cond = lambda x, t, s, a: x * 0.5  # noqa: E731
+    uncond = lambda x, t, s, a: x * 0.1  # noqa: E731
+    x = jnp.ones((2, 4))
+
+    g = interval_classifier_free(cond, uncond, scale=3.0, sigma_range=(0.2, 0.8))
+    inside = classifier_free(cond, uncond, 3.0)(x, 0.0, 0.5, 0.5)
+    np.testing.assert_allclose(np.asarray(g(x, 0.0, 0.5, 0.5)), np.asarray(inside), rtol=1e-6)
+    # outside the band: bare conditioned model (scale collapses to 1)
+    for s in (0.1, 0.9):
+        np.testing.assert_allclose(np.asarray(g(x, 0.0, s, 0.5)), 0.5, rtol=1e-6)
+    # band edges are inclusive
+    np.testing.assert_allclose(np.asarray(g(x, 0.0, 0.2, 0.5)), np.asarray(inside), rtol=1e-6)
+
+    # traces under jit with sigma as a traced scalar (one executable, no rebranching)
+    jitted = jax.jit(g)
+    np.testing.assert_allclose(np.asarray(jitted(x, 0.0, jnp.float32(0.5), 0.5)), np.asarray(inside), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(jitted(x, 0.0, jnp.float32(0.9), 0.5)), 0.5, rtol=1e-6)
+
+
 def test_pipeline_img2img_and_guidance():
     import jax
     import jax.numpy as jnp
