@@ -94,6 +94,7 @@ class ServingEngine:
         )
         self._denoiser = CompiledDenoiser.build(compiled, dtype=dtype)
         self._executables: dict[int, Callable] = {}
+        self._prepare_fn: Callable | None = None
         self._queue: queue.Queue = queue.Queue()
         self._closed = False
         self._worker = threading.Thread(target=self._loop, name="skrample-serving", daemon=True)
@@ -139,14 +140,34 @@ class ServingEngine:
             fn = self._executables[batch] = jax.jit(run, donate_argnums=donate)
         return fn
 
-    def _prepare(self, key: jax.Array) -> tuple[jax.Array, jax.Array | None]:
-        "Per-request seeds: initial latent + (stochastic only) its own step noises."
-        k_init, k_loop = jax.random.split(key)
-        x0 = jax.random.normal(k_init, self.item_shape, self.dtype)
-        if not self._denoiser.requires_noise:
-            return x0, None
-        noises = jax.random.normal(k_loop, (self.steps, *self.item_shape), self.dtype)
-        return x0, noises
+    def _prepare(self, keys: list[jax.Array]) -> tuple[jax.Array, jax.Array | None]:
+        """Batched per-request seeding: every request's initial latent (and,
+        stochastic only, its own step-noise buffer) comes from its own key,
+        generated in ONE vmapped dispatch per batch — vmapping
+        ``jax.random.normal`` over explicit keys is value-identical to the
+        per-request calls (counter-based PRNG), so batching stays invisible."""
+        fn = self._prepare_fn
+        if fn is None:
+            if self._denoiser.requires_noise:
+
+                def prepare(key):
+                    k_init, k_loop = jax.random.split(key)
+                    return (
+                        jax.random.normal(k_init, self.item_shape, self.dtype),
+                        jax.random.normal(k_loop, (self.steps, *self.item_shape), self.dtype),
+                    )
+
+                # noises land as (steps, B, *item) straight from out_axes=1
+                fn = jax.jit(jax.vmap(prepare, out_axes=(0, 1)))
+            else:
+
+                def prepare(key):
+                    return jax.random.normal(jax.random.split(key)[0], self.item_shape, self.dtype)
+
+                seeded = jax.jit(jax.vmap(prepare))
+                fn = lambda ks: (seeded(ks), None)  # noqa: E731
+            self._prepare_fn = fn
+        return fn(jnp.stack(keys))
 
     def _collect(self) -> list[tuple[jax.Array, Future]] | None:
         "Block for one request, then sweep up to the largest bucket within the delay."
@@ -181,14 +202,9 @@ class ServingEngine:
     def _dispatch(self, batch: list[tuple[jax.Array, Future]]) -> None:
         n = len(batch)
         bucket = next(b for b in self.buckets if b >= n) if n <= self.buckets[-1] else self.buckets[-1]
-        prepared = [self._prepare(key) for key, _ in batch]
-        while len(prepared) < bucket:  # pad with deterministic dummies
-            prepared.append(self._prepare(jax.random.PRNGKey(0)))
-
-        x0 = jnp.stack([p[0] for p in prepared])
-        noises = None
-        if self._denoiser.requires_noise:
-            noises = jnp.stack([p[1] for p in prepared], axis=1)  # (steps, B, *item)
+        keys = [key for key, _ in batch]
+        keys += [jax.random.PRNGKey(0)] * (bucket - n)  # pad with deterministic dummies
+        x0, noises = self._prepare(keys)
 
         out = self._executable(bucket)(x0, noises)
 
