@@ -86,15 +86,13 @@ class ServingEngine:
         self.max_delay_s = max_delay_ms / 1e3
         self.stats = ServingStats()
 
-        compiled = compile_sampler(
-            sampler if sampler is not None else structured.DPM(order=2),
-            schedule if schedule is not None else scheduling.FlowShift(scheduling.Linear()),
-            model_transform if model_transform is not None else models.FlowModel(),
-            steps,
-        )
-        self._denoiser = CompiledDenoiser.build(compiled, dtype=dtype)
-        self._executables: dict[int, Callable] = {}
-        self._prepare_fn: Callable | None = None
+        self._sampler = sampler if sampler is not None else structured.DPM(order=2)
+        self._schedule = schedule if schedule is not None else scheduling.FlowShift(scheduling.Linear())
+        self._transform = model_transform if model_transform is not None else models.FlowModel()
+        self._denoisers: dict[int, CompiledDenoiser] = {}
+        self._denoiser = self._denoiser_for(0)  # compile the txt2img tables eagerly
+        self._executables: dict[tuple[int, int], Callable] = {}
+        self._prepare_fns: dict[tuple[int, str], Callable] = {}
         self._queue: queue.Queue = queue.Queue()
         self._closed = False
         self._worker = threading.Thread(target=self._loop, name="skrample-serving", daemon=True)
@@ -102,18 +100,34 @@ class ServingEngine:
 
     # -- request side --------------------------------------------------
 
-    def submit(self, key: jax.Array | int) -> Future:
-        "Enqueue one request; the future resolves to its (item_shape) latent."
+    def submit(
+        self,
+        key: jax.Array | int,
+        initial: jax.Array | None = None,
+        strength: float = 1.0,
+    ) -> Future:
+        """Enqueue one request; the future resolves to its (item_shape) latent.
+
+        txt2img by default; pass ``initial`` (an item_shape latent) plus
+        ``strength`` in (0, 1] for img2img — the same entry-point recipe as
+        :meth:`GenerationPipeline.generate` (the trajectory starts at
+        ``round(steps * (1 - strength))`` with ``initial`` noised to that
+        point).  Requests are grouped by entry point, so each distinct
+        strength adds its own bucket executables — quantize strengths in
+        the API layer if callers are free-form."""
         if self._closed:
             raise RuntimeError("engine is closed")
         if isinstance(key, int):
             key = jax.random.PRNGKey(key)
+        start = 0 if initial is None else min(round(self.steps * (1 - strength)), self.steps - 1)
         fut: Future = Future()
-        self._queue.put((key, fut))
+        self._queue.put((key, initial, start, fut))
         return fut
 
-    def generate(self, key: jax.Array | int) -> jax.Array:
-        return self.submit(key).result()
+    def generate(
+        self, key: jax.Array | int, initial: jax.Array | None = None, strength: float = 1.0
+    ) -> jax.Array:
+        return self.submit(key, initial, strength).result()
 
     def close(self) -> None:
         if not self._closed:
@@ -129,45 +143,68 @@ class ServingEngine:
 
     # -- worker side -----------------------------------------------------
 
-    def _executable(self, batch: int) -> Callable:
-        fn = self._executables.get(batch)
+    def _denoiser_for(self, start: int) -> CompiledDenoiser:
+        d = self._denoisers.get(start)
+        if d is None:
+            compiled = compile_sampler(self._sampler, self._schedule, self._transform, self.steps, start=start)
+            d = self._denoisers[start] = CompiledDenoiser.build(compiled, dtype=self.dtype)
+        return d
+
+    def _executable(self, start: int, batch: int) -> Callable:
+        fn = self._executables.get((start, batch))
         if fn is None:
-            if self._denoiser.requires_noise:
-                run = lambda x0, noises: self._denoiser.run(self.model_fn, x0, noises=noises)  # noqa: E731
+            denoiser = self._denoiser_for(start)
+            if denoiser.requires_noise:
+                run = lambda x0, noises: denoiser.run(self.model_fn, x0, noises=noises, start=start)  # noqa: E731
             else:
-                run = lambda x0, noises: self._denoiser.run(self.model_fn, x0)  # noqa: E731
+                run = lambda x0, noises: denoiser.run(self.model_fn, x0, start=start)  # noqa: E731
             donate = () if jax.default_backend() == "cpu" else (0,)
-            fn = self._executables[batch] = jax.jit(run, donate_argnums=donate)
+            fn = self._executables[(start, batch)] = jax.jit(run, donate_argnums=donate)
         return fn
 
-    def _prepare(self, keys: list[jax.Array]) -> tuple[jax.Array, jax.Array | None]:
+    def _prepare(
+        self, keys: list[jax.Array], initials: jax.Array | None, start: int
+    ) -> tuple[jax.Array, jax.Array | None]:
         """Batched per-request seeding: every request's initial latent (and,
         stochastic only, its own step-noise buffer) comes from its own key,
         generated in ONE vmapped dispatch per batch — vmapping
         ``jax.random.normal`` over explicit keys is value-identical to the
-        per-request calls (counter-based PRNG), so batching stays invisible."""
-        fn = self._prepare_fn
+        per-request calls (counter-based PRNG), so batching stays invisible.
+        img2img batches (``initials`` stacked per item) noise each initial
+        to the entry point with the request's own seed, the
+        ``GenerationPipeline.generate`` recipe."""
+        mode = "txt" if initials is None else "img"
+        fn = self._prepare_fns.get((start, mode))
         if fn is None:
-            if self._denoiser.requires_noise:
+            requires_noise = self._denoiser_for(start).requires_noise
+
+            def seed_noise(k_loop):
+                return jax.random.normal(k_loop, (self.steps, *self.item_shape), self.dtype)
+
+            if mode == "txt":
 
                 def prepare(key):
                     k_init, k_loop = jax.random.split(key)
-                    return (
-                        jax.random.normal(k_init, self.item_shape, self.dtype),
-                        jax.random.normal(k_loop, (self.steps, *self.item_shape), self.dtype),
-                    )
+                    x0 = jax.random.normal(k_init, self.item_shape, self.dtype)
+                    return (x0, seed_noise(k_loop)) if requires_noise else (x0, 0.0)
 
-                # noises land as (steps, B, *item) straight from out_axes=1
-                fn = jax.jit(jax.vmap(prepare, out_axes=(0, 1)))
             else:
+                entry = self._schedule.ipoint(start / self.steps)
+                denom = self._schedule.point_1.add_noise(0.0, 1.0)
 
-                def prepare(key):
-                    return jax.random.normal(jax.random.split(key)[0], self.item_shape, self.dtype)
+                def prepare(key, initial):
+                    k_init, k_loop = jax.random.split(key)
+                    seed = jax.random.normal(k_init, self.item_shape, self.dtype)
+                    x0 = entry.add_noise(initial.astype(self.dtype), seed) / denom
+                    return (x0, seed_noise(k_loop)) if requires_noise else (x0, 0.0)
 
-                seeded = jax.jit(jax.vmap(prepare))
-                fn = lambda ks: (seeded(ks), None)  # noqa: E731
-            self._prepare_fn = fn
-        return fn(jnp.stack(keys))
+            # noises land as (steps, B, *item) straight from out_axes=1
+            out_axes = (0, 1 if requires_noise else None)
+            fn = self._prepare_fns[(start, mode)] = jax.jit(jax.vmap(prepare, out_axes=out_axes))
+
+        args = (jnp.stack(keys),) if initials is None else (jnp.stack(keys), initials)
+        x0, noises = fn(*args)
+        return x0, (noises if self._denoiser_for(start).requires_noise else None)
 
     def _collect(self) -> list[tuple[jax.Array, Future]] | None:
         "Block for one request, then sweep up to the largest bucket within the delay."
@@ -192,25 +229,37 @@ class ServingEngine:
             batch = self._collect()
             if batch is None:
                 return
-            try:
-                self._dispatch(batch)
-            except Exception as err:  # compile/shape errors: fail the batch, keep serving
-                for _, fut in batch:
-                    if not fut.done():
-                        fut.set_exception(err)
+            # group by (entry point, mode): each start index is its own set
+            # of compiled tables, and txt2img/img2img seed differently
+            groups: dict[tuple[int, bool], list] = {}
+            for item in batch:
+                key, initial, start, fut = item
+                groups.setdefault((start, initial is None), []).append(item)
+            for (start, _), group in groups.items():
+                try:
+                    self._dispatch(group, start)
+                except Exception as err:  # compile/shape errors: fail the group, keep serving
+                    for *_, fut in group:
+                        if not fut.done():
+                            fut.set_exception(err)
 
-    def _dispatch(self, batch: list[tuple[jax.Array, Future]]) -> None:
+    def _dispatch(self, batch: list, start: int) -> None:
         n = len(batch)
         bucket = next(b for b in self.buckets if b >= n) if n <= self.buckets[-1] else self.buckets[-1]
-        keys = [key for key, _ in batch]
+        keys = [key for key, *_ in batch]
         keys += [jax.random.PRNGKey(0)] * (bucket - n)  # pad with deterministic dummies
-        x0, noises = self._prepare(keys)
+        initials = None
+        if batch[0][1] is not None:
+            stack = [initial for _, initial, *_ in batch]
+            stack += [stack[0]] * (bucket - n)
+            initials = jnp.stack(stack)
+        x0, noises = self._prepare(keys, initials, start)
 
-        out = self._executable(bucket)(x0, noises)
+        out = self._executable(start, bucket)(x0, noises)
 
         # jax arrays are async: handing each caller its slice keeps this
         # worker dispatching the next batch while the device runs this one
-        for i, (_, fut) in enumerate(batch):
+        for i, (*_, fut) in enumerate(batch):
             fut.set_result(out[i])
 
         self.stats.requests += n

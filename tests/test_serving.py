@@ -91,7 +91,74 @@ class TestMechanics:
                 futs = [engine.submit(10 * wave + i) for i in range(wave + 1)]
                 for f in futs:
                     f.result()
-            assert set(engine._executables) <= {1, 4}
+            assert {b for _, b in engine._executables} <= {1, 4}
+            assert {s for s, _ in engine._executables} == {0}
+
+    def test_img2img_matches_pipeline_recipe(self):
+        "Engine img2img == GenerationPipeline.generate with the same key/initial."
+        from skrample_tpu import scheduling
+        from skrample_tpu.pipeline import GenerationPipeline
+        from skrample_tpu.sampling import models, structured
+
+        initial = jax.random.normal(jax.random.PRNGKey(50), (4, 8, 8), jnp.float32)
+        key = jax.random.PRNGKey(51)
+        with make_engine(buckets=(1,)) as engine:
+            got = np.asarray(engine.generate(key, initial=initial, strength=0.6))
+            got_txt = np.asarray(engine.generate(key))
+
+        # an UNBATCHED pipeline (latent_shape == item_shape) draws the same
+        # key-split/normal sequence as the engine's per-item seeding, and the
+        # toy model is pointwise, so the latents must agree exactly
+        pipe = GenerationPipeline(
+            model_fn=toy_model,
+            sampler=structured.DPM(order=2),
+            schedule=scheduling.FlowShift(scheduling.Linear()),
+            model_transform=models.FlowModel(),
+            steps=6,
+            latent_shape=(4, 8, 8),
+            donate=False,
+        )
+        # (tight tolerance, not bit-equal: the engine seeds inside one jitted
+        # vmap while the pipeline noises the entry latent eagerly — the same
+        # math fuses/rounds differently)
+        ref = np.asarray(pipe.generate(key, initial=initial, strength=0.6))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-7)
+        np.testing.assert_allclose(got_txt, np.asarray(pipe.generate(key)), rtol=2e-5, atol=2e-7)
+
+    def test_img2img_packing_invariance_and_strength(self):
+        initials = jax.random.normal(jax.random.PRNGKey(60), (4, 4, 8, 8), jnp.float32)
+        with make_engine(buckets=(1,)) as engine:
+            solo = [
+                np.asarray(engine.generate(100 + i, initial=initials[i], strength=0.5))
+                for i in range(4)
+            ]
+        with make_engine(buckets=(4,), max_delay_ms=50.0) as engine:
+            futs = [engine.submit(100 + i, initial=initials[i], strength=0.5) for i in range(4)]
+            packed = [np.asarray(f.result()) for f in futs]
+        for a, b in zip(solo, packed):
+            np.testing.assert_array_equal(a, b)
+
+        # lower strength -> output stays closer to the initial
+        with make_engine(buckets=(1,)) as engine:
+            near = np.asarray(engine.generate(7, initial=initials[0], strength=0.2))
+            far = np.asarray(engine.generate(7, initial=initials[0], strength=0.95))
+        x = np.asarray(initials[0])
+        rel = lambda y: np.linalg.norm(y - x) / np.linalg.norm(x)  # noqa: E731
+        assert rel(near) < rel(far)
+
+    def test_mixed_txt2img_and_img2img_batch(self):
+        "One sweep with both modes: groups dispatch separately, results match solo."
+        initial = jax.random.normal(jax.random.PRNGKey(70), (4, 8, 8), jnp.float32)
+        with make_engine(buckets=(1,)) as engine:
+            solo_txt = np.asarray(engine.generate(5))
+            solo_img = np.asarray(engine.generate(6, initial=initial, strength=0.5))
+        with make_engine(buckets=(1, 2, 4), max_delay_ms=50.0) as engine:
+            f_txt = engine.submit(5)
+            f_img = engine.submit(6, initial=initial, strength=0.5)
+            got_txt, got_img = np.asarray(f_txt.result()), np.asarray(f_img.result())
+            assert engine.stats.batches == 2  # split by (start, mode)
+        np.testing.assert_array_equal(solo_txt, got_txt)
+        np.testing.assert_array_equal(solo_img, got_img)
 
     def test_submit_after_close_raises(self):
         engine = make_engine()
