@@ -59,6 +59,11 @@ with ServingEngine(
     # across bucket sizes: identical up to matmul reduction order
     np.testing.assert_allclose(latents[3], alone, rtol=2e-5, atol=2e-6)
 
+    # img2img rides the same queue: grouped by entry point, per-request seeds
+    edit = engine.generate(7, initial=latents[5], strength=0.4)
+    rel = float(np.linalg.norm(np.asarray(edit) - latents[5]) / np.linalg.norm(latents[5]))
+    print(f"img2img (strength 0.4) relative change vs its initial: {rel:.3f}")
+
     s = engine.stats
     print(f"17 requests in {dt:.2f}s across {s.batches} batches (buckets {s.bucket_counts})")
     print(f"padding waste {s.padding_fraction:.1%}; all latents finite: {all(np.isfinite(x).all() for x in latents)}")
