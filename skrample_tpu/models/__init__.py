@@ -7,6 +7,7 @@ from .dit import DiT, DiTConfig
 from .ema import ema_decay_schedule, ema_init, ema_update
 from .mmdit import MMDiT, MMDiTConfig
 from .unet import UNet, UNetConfig
+from .vae import VAE, VAEConfig
 from .video_dit import VideoDiT, VideoDiTConfig
 
 __all__ = [
@@ -17,6 +18,8 @@ __all__ = [
     "TrainCheckpointer",
     "UNet",
     "UNetConfig",
+    "VAE",
+    "VAEConfig",
     "VideoDiT",
     "VideoDiTConfig",
     "ema_decay_schedule",

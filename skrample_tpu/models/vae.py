@@ -1,0 +1,242 @@
+"""SD-class convolutional VAE (AutoencoderKL) in pure JAX — the pixel
+bridge for the latent-diffusion stack.
+
+The reference is a sampling library: it operates on latents and leaves the
+pixel <-> latent transcoding to the surrounding diffusers pipeline
+(`/root/reference/examples/diffusers/wrapper.py` hands latents to the
+pipeline's own VAE).  A standalone TPU framework has to ship that bridge
+itself, so this is the fifth model family: an SD-style KL autoencoder
+(conv resnet stacks + one mid attention, 2x downsample per level) whose
+encoder produces a diagonal-Gaussian posterior over a ``latent_channels``
+latent at ``1/2**(levels-1)`` resolution and whose decoder maps latents
+back to pixels.
+
+TPU design notes (same playbook as :mod:`skrample_tpu.models.unet`):
+
+* interface is NCHW (diffusers convention); the interior runs channels-last
+  (NHWC) by default so the channel axis sits on the 128-wide lane dimension
+  and XLA's implicit-GEMM conv needs no relayout copies.  Weights stay OIHW
+  in the params tree — checkpoints are layout-portable.
+* GroupNorm(+SiLU) routes through the fused Pallas kernel
+  (``ops/groupnorm.py``) in channels-last mode: pixel-space activations
+  make eager GroupNorm's extra HBM round-trips far more expensive than in
+  latent space.
+* compute in bfloat16 with float32 accumulation; statistics in float32.
+* the posterior sample is a pure function of ``(params, x, key)`` —
+  counter-based RNG, so batching/sharding never changes a request's draw.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .unet import _conv, _conv_init, _dense, _dense_init, _groupnorm
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    channels: int = 3
+    "Pixel-space channels."
+    latent_channels: int = 4
+    base: int = 128
+    "Channel width at full resolution; doubles per down level (capped at 4x)."
+    levels: int = 3
+    "Resolutions; spatial downsample factor is ``2**(levels-1)``."
+    blocks_per_level: int = 2
+    groups: int = 32
+    scaling_factor: float = 0.18215
+    """Latent normalization: ``encode`` multiplies posterior draws by this
+    and ``decode`` divides before the decoder — the SD convention that puts
+    diffusion-model latents at roughly unit variance."""
+    compute_dtype: Any = jnp.bfloat16
+    layout: str = "auto"
+    """Interior activation layout, as in :class:`UNetConfig`: ``"auto"``
+    picks NHWC when ``base`` fills the 128-wide lane dimension."""
+
+    @property
+    def resolved_layout(self) -> str:
+        if self.layout != "auto":
+            return self.layout
+        return "nhwc" if self.base >= 128 else "nchw"
+
+    @property
+    def downsample_factor(self) -> int:
+        return 2 ** (self.levels - 1)
+
+    def widths(self) -> list[int]:
+        return [self.base * min(2**level, 4) for level in range(self.levels)]
+
+
+class VAE:
+    """Functional KL autoencoder: ``init`` -> params pytree, then
+    ``encode(params, x, key)`` -> scaled latent, ``decode(params, z)`` ->
+    pixels.  ``posterior`` exposes the raw (mean, logvar)."""
+
+    def __init__(self, config: VAEConfig = VAEConfig()):
+        self.config = config
+
+    # -- init -------------------------------------------------------------
+
+    def _resblock_init(self, keys, c_in: int, c_out: int) -> dict:
+        return {
+            "conv1": _conv_init(next(keys), 3, c_in, c_out),
+            "conv2": _conv_init(next(keys), 3, c_out, c_out, scale=0.0),
+            "skip": _conv_init(next(keys), 1, c_in, c_out) if c_in != c_out else None,
+        }
+
+    def _attn_init(self, keys, width: int) -> dict:
+        return {
+            "qkv": _dense_init(next(keys), width, 3 * width),
+            "proj": _dense_init(next(keys), width, width, scale=0.0),
+        }
+
+    def init(self, key: jax.Array) -> dict:
+        c = self.config
+        widths = c.widths()
+        keys = iter(jax.random.split(key, 4096))
+        mid = widths[-1]
+
+        enc: dict = {"in_conv": _conv_init(next(keys), 3, c.channels, widths[0]), "down": []}
+        for level, width in enumerate(widths):
+            prev = widths[max(level - 1, 0)]
+            blocks = [
+                self._resblock_init(keys, prev if b == 0 else width, width)
+                for b in range(c.blocks_per_level)
+            ]
+            down = _conv_init(next(keys), 3, width, width) if level < c.levels - 1 else None
+            enc["down"].append({"blocks": blocks, "downsample": down})
+        enc["mid1"] = self._resblock_init(keys, mid, mid)
+        enc["mid_attn"] = self._attn_init(keys, mid)
+        enc["mid2"] = self._resblock_init(keys, mid, mid)
+        # 2x latent channels: mean and logvar of the diagonal posterior
+        enc["out_conv"] = _conv_init(next(keys), 3, mid, 2 * c.latent_channels)
+
+        dec: dict = {"in_conv": _conv_init(next(keys), 3, c.latent_channels, mid)}
+        dec["mid1"] = self._resblock_init(keys, mid, mid)
+        dec["mid_attn"] = self._attn_init(keys, mid)
+        dec["mid2"] = self._resblock_init(keys, mid, mid)
+        dec["up"] = []
+        for level in reversed(range(c.levels)):
+            width = widths[level]
+            above = widths[min(level + 1, c.levels - 1)]
+            blocks = [
+                self._resblock_init(keys, above if b == 0 else width, width)
+                for b in range(c.blocks_per_level + 1)  # SD decoders run one extra block
+            ]
+            up = _conv_init(next(keys), 3, width, width) if level > 0 else None
+            dec["up"].append({"blocks": blocks, "upsample": up})
+        dec["out_conv"] = _conv_init(next(keys), 3, widths[0], c.channels, scale=0.0)
+
+        return {"encoder": enc, "decoder": dec}
+
+    # -- building blocks ----------------------------------------------------
+
+    def _resblock(self, p: dict, x: jax.Array, dtype: Any, cl: bool) -> jax.Array:
+        c = self.config
+        h = _conv(p["conv1"], _groupnorm(x, c.groups, cl, silu=True), dtype, cl=cl)
+        h = _conv(p["conv2"], _groupnorm(h, c.groups, cl, silu=True), dtype, cl=cl)
+        skip = _conv(p["skip"], x, dtype, cl=cl) if p["skip"] is not None else x
+        return skip + h
+
+    def _attention(self, p: dict, x: jax.Array, dtype: Any, cl: bool) -> jax.Array:
+        "Single-head full attention over the (coarsest) spatial grid."
+        c = self.config
+        if cl:
+            B, H, W, C = x.shape
+            tokens = _groupnorm(x, c.groups, cl).reshape(B, H * W, C)
+        else:
+            B, C, H, W = x.shape
+            tokens = _groupnorm(x, c.groups).reshape(B, C, H * W).transpose(0, 2, 1)
+        qkv = _dense(p["qkv"], tokens.astype(dtype), dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        attn = jax.nn.softmax(
+            jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32) / math.sqrt(C),
+            axis=-1,
+        ).astype(dtype)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v, preferred_element_type=jnp.float32).astype(dtype)
+        out = _dense(p["proj"], out, dtype)
+        return x + (out.reshape(B, H, W, C) if cl else out.transpose(0, 2, 1).reshape(B, C, H, W))
+
+    # -- encoder / decoder ----------------------------------------------------
+
+    def posterior(self, params: dict, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        "(B, C, H, W) pixels -> (mean, logvar), each (B, latent, H/f, W/f), f32."
+        c = self.config
+        dtype = c.compute_dtype
+        cl = c.resolved_layout == "nhwc"
+        enc = params["encoder"]
+
+        h = x.astype(dtype).transpose(0, 2, 3, 1) if cl else x.astype(dtype)
+        h = _conv(enc["in_conv"], h, dtype, cl=cl)
+        for level in enc["down"]:
+            for block in level["blocks"]:
+                h = self._resblock(block, h, dtype, cl)
+            if level["downsample"] is not None:
+                h = _conv(level["downsample"], h, dtype, stride=2, cl=cl)
+        h = self._resblock(enc["mid1"], h, dtype, cl)
+        h = self._attention(enc["mid_attn"], h, dtype, cl)
+        h = self._resblock(enc["mid2"], h, dtype, cl)
+        h = _groupnorm(h, c.groups, cl, silu=True)
+        h = _conv(enc["out_conv"], h, dtype, cl=cl)
+        if cl:
+            h = h.transpose(0, 3, 1, 2)
+        mean, logvar = jnp.split(h.astype(jnp.float32), 2, axis=1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def encode(self, params: dict, x: jax.Array, key: jax.Array | None = None) -> jax.Array:
+        """Pixels -> scaled latent.  With ``key`` draws from the posterior
+        (counter-based: the draw depends only on the key, never on batch
+        packing); without, returns the posterior mode (mean)."""
+        mean, logvar = self.posterior(params, x)
+        z = mean
+        if key is not None:
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape, jnp.float32)
+        return (z * self.config.scaling_factor).astype(x.dtype)
+
+    def decode(self, params: dict, z: jax.Array) -> jax.Array:
+        "Scaled latent (B, latent, h, w) -> pixels (B, C, h*f, w*f)."
+        c = self.config
+        dtype = c.compute_dtype
+        in_dtype = z.dtype
+        cl = c.resolved_layout == "nhwc"
+        dec = params["decoder"]
+
+        z = (z.astype(jnp.float32) / c.scaling_factor).astype(dtype)
+        h = z.transpose(0, 2, 3, 1) if cl else z
+        h = _conv(dec["in_conv"], h, dtype, cl=cl)
+        h = self._resblock(dec["mid1"], h, dtype, cl)
+        h = self._attention(dec["mid_attn"], h, dtype, cl)
+        h = self._resblock(dec["mid2"], h, dtype, cl)
+        for level in dec["up"]:
+            for block in level["blocks"]:
+                h = self._resblock(block, h, dtype, cl)
+            if level["upsample"] is not None:
+                if cl:
+                    B, H, W, C = h.shape
+                    h = jax.image.resize(h, (B, 2 * H, 2 * W, C), method="nearest")
+                else:
+                    B, C, H, W = h.shape
+                    h = jax.image.resize(h, (B, C, 2 * H, 2 * W), method="nearest")
+                h = _conv(level["upsample"], h, dtype, cl=cl)
+        h = _groupnorm(h, c.groups, cl, silu=True)
+        h = _conv(dec["out_conv"], h, dtype, cl=cl)
+        return (h.transpose(0, 3, 1, 2) if cl else h).astype(in_dtype)
+
+    # -- training ----------------------------------------------------------
+
+    def loss(
+        self, params: dict, x: jax.Array, key: jax.Array, kl_weight: float = 1e-6
+    ) -> tuple[jax.Array, dict]:
+        """Reconstruction (MSE) + KL-to-standard-normal training objective.
+        Returns ``(scalar_loss, {"recon": ..., "kl": ...})``."""
+        mean, logvar = self.posterior(params, x)
+        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape, jnp.float32)
+        recon = self.decode(params, (z * self.config.scaling_factor).astype(x.dtype))
+        recon_loss = jnp.mean((recon.astype(jnp.float32) - x.astype(jnp.float32)) ** 2)
+        kl = 0.5 * jnp.mean(jnp.sum(mean**2 + jnp.exp(logvar) - 1.0 - logvar, axis=1))
+        return recon_loss + kl_weight * kl, {"recon": recon_loss, "kl": kl}

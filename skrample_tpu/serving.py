@@ -77,7 +77,14 @@ class ServingEngine:
         dtype: Any = jnp.float32,
         buckets: tuple[int, ...] = (1, 2, 4, 8),
         max_delay_ms: float = 2.0,
+        postprocess: Callable | None = None,
     ):
+        """``postprocess`` (optional): a jittable batch -> batch function
+        applied to every denoised batch before request slices are handed
+        out — e.g. ``lambda z: vae.decode(vae_params, z)`` to serve pixels
+        instead of latents.  It runs on device inside the same async
+        dispatch chain (the worker still never blocks), and it is traced
+        once per bucket shape like the denoise executable itself."""
         self.model_fn = model_fn
         self.item_shape = tuple(item_shape)
         self.steps = steps
@@ -86,6 +93,7 @@ class ServingEngine:
         self.max_delay_s = max_delay_ms / 1e3
         self.stats = ServingStats()
 
+        self._postprocess = jax.jit(postprocess) if postprocess is not None else None
         self._sampler = sampler if sampler is not None else structured.DPM(order=2)
         self._schedule = schedule if schedule is not None else scheduling.FlowShift(scheduling.Linear())
         self._transform = model_transform if model_transform is not None else models.FlowModel()
@@ -256,6 +264,8 @@ class ServingEngine:
         x0, noises = self._prepare(keys, initials, start)
 
         out = self._executable(start, bucket)(x0, noises)
+        if self._postprocess is not None:
+            out = self._postprocess(out)
 
         # jax arrays are async: handing each caller its slice keeps this
         # worker dispatching the next batch while the device runs this one

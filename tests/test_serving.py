@@ -171,3 +171,23 @@ class TestMechanics:
             a = np.asarray(engine.generate(42))
             b = np.asarray(engine.generate(jax.random.PRNGKey(42)))
         np.testing.assert_array_equal(a, b)
+
+
+class TestPostprocess:
+    def test_postprocess_applied_to_each_request(self):
+        "Pixel-space serving: the hook output equals decode(latent) exactly."
+        keys = [1, 2, 3]
+        latents = singles(keys)
+        post = lambda z: jnp.tanh(z) * 2.0  # stand-in for a VAE decode
+        with make_engine(buckets=(4,), max_delay_ms=50.0, postprocess=post) as engine:
+            futs = [engine.submit(k) for k in keys]
+            got = [np.asarray(f.result()) for f in futs]
+        for lat, g in zip(latents, got):
+            np.testing.assert_array_equal(np.asarray(jnp.tanh(lat) * 2.0), g)
+
+    def test_postprocess_may_change_shape(self):
+        "e.g. a VAE decode upsamples: request futures carry the new item shape."
+        post = lambda z: jnp.repeat(jnp.repeat(z, 2, axis=-2), 2, axis=-1)
+        with make_engine(postprocess=post) as engine:
+            out = engine.generate(0)
+        assert out.shape == (4, 16, 16)
