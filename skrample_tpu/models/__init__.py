@@ -6,15 +6,19 @@ from .checkpoint import TrainCheckpointer, load_params, save_params
 from .dit import DiT, DiTConfig
 from .ema import ema_decay_schedule, ema_init, ema_update
 from .mmdit import MMDiT, MMDiTConfig
+from .text_encoder import ByteTokenizer, TextEncoder, TextEncoderConfig
 from .unet import UNet, UNetConfig
 from .vae import VAE, VAEConfig
 from .video_dit import VideoDiT, VideoDiTConfig
 
 __all__ = [
+    "ByteTokenizer",
     "DiT",
     "DiTConfig",
     "MMDiT",
     "MMDiTConfig",
+    "TextEncoder",
+    "TextEncoderConfig",
     "TrainCheckpointer",
     "UNet",
     "UNetConfig",
