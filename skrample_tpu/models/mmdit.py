@@ -312,6 +312,35 @@ class MMDiT:
 
         return guided_fn
 
+    def as_served(self, params: dict, guidance_scale: float = 1.0):
+        """Conditioned-serving closure: ``(x, t, sigma, alpha, context)``.
+
+        Unlike :meth:`as_sampleable` (context bound at closure time, one
+        executable per prompt), the context here is a TRACED argument —
+        ``ServingEngine(conditioned=True)`` passes each batch's stacked
+        per-request contexts through it, so one executable serves every
+        prompt.  ``context=None`` (baked, not traced) is the unconditional
+        branch; with ``guidance_scale != 1`` conditioned batches run
+        classifier-free guidance against the learned null context, both
+        branches in one doubled-batch forward."""
+
+        def model_fn(x, t, sigma, alpha, context=None):
+            B = x.shape[0]
+            if context is None or guidance_scale == 1.0:
+                return self.apply(params, x, t, context)
+            both = self.apply(
+                params,
+                jnp.concatenate([x, x]),
+                jnp.broadcast_to(t, (2 * B,)) if jnp.ndim(t) == 0 else jnp.concatenate([t, t]),
+                jnp.concatenate(
+                    [self.embed_context(params, context, B), self.embed_context(params, None, B)]
+                ),
+            )
+            c_out, u_out = both[:B], both[B:]
+            return u_out + guidance_scale * (c_out - u_out)
+
+        return model_fn
+
 
 def mmdit_forward_flops(config: MMDiTConfig, batch: int, h: int, w: int) -> float:
     "Analytic matmul FLOPs of one forward (joint attention counted exactly)."

@@ -78,19 +78,30 @@ class ServingEngine:
         buckets: tuple[int, ...] = (1, 2, 4, 8),
         max_delay_ms: float = 2.0,
         postprocess: Callable | None = None,
+        conditioned: bool = False,
     ):
         """``postprocess`` (optional): a jittable batch -> batch function
         applied to every denoised batch before request slices are handed
         out — e.g. ``lambda z: vae.decode(vae_params, z)`` to serve pixels
         instead of latents.  It runs on device inside the same async
         dispatch chain (the worker still never blocks), and it is traced
-        once per bucket shape like the denoise executable itself."""
+        once per bucket shape like the denoise executable itself.
+
+        ``conditioned=True`` declares a 5-argument ``model_fn``
+        ``(x, t, sigma, alpha, context)`` (e.g. :meth:`MMDiT.as_served`)
+        and unlocks per-request ``submit(..., context=...)``: the batch's
+        stacked contexts become a traced executable argument, so ONE
+        executable per bucket serves every prompt — prompts never cause
+        recompiles (provided the encoder emits a fixed token count).
+        Requests without a context run the unconditional branch
+        (``context=None`` baked) and group separately."""
         self.model_fn = model_fn
         self.item_shape = tuple(item_shape)
         self.steps = steps
         self.dtype = dtype
         self.buckets = tuple(sorted(buckets))
         self.max_delay_s = max_delay_ms / 1e3
+        self.conditioned = conditioned
         self.stats = ServingStats()
 
         self._postprocess = jax.jit(postprocess) if postprocess is not None else None
@@ -113,6 +124,7 @@ class ServingEngine:
         key: jax.Array | int,
         initial: jax.Array | None = None,
         strength: float = 1.0,
+        context: jax.Array | None = None,
     ) -> Future:
         """Enqueue one request; the future resolves to its (item_shape) latent.
 
@@ -122,20 +134,31 @@ class ServingEngine:
         ``round(steps * (1 - strength))`` with ``initial`` noised to that
         point).  Requests are grouped by entry point, so each distinct
         strength adds its own bucket executables — quantize strengths in
-        the API layer if callers are free-form."""
+        the API layer if callers are free-form.
+
+        ``context`` (conditioned engines only): this request's conditioning
+        features, shaped ``(tokens, width)`` without the batch axis — e.g.
+        one row of :meth:`TextEncoder.apply`.  All requests must share one
+        context shape to share executables."""
         if self._closed:
             raise RuntimeError("engine is closed")
+        if context is not None and not self.conditioned:
+            raise ValueError("context= needs ServingEngine(conditioned=True) and a 5-arg model_fn")
         if isinstance(key, int):
             key = jax.random.PRNGKey(key)
         start = 0 if initial is None else min(round(self.steps * (1 - strength)), self.steps - 1)
         fut: Future = Future()
-        self._queue.put((key, initial, start, fut))
+        self._queue.put((key, initial, start, context, fut))
         return fut
 
     def generate(
-        self, key: jax.Array | int, initial: jax.Array | None = None, strength: float = 1.0
+        self,
+        key: jax.Array | int,
+        initial: jax.Array | None = None,
+        strength: float = 1.0,
+        context: jax.Array | None = None,
     ) -> jax.Array:
-        return self.submit(key, initial, strength).result()
+        return self.submit(key, initial, strength, context).result()
 
     def close(self) -> None:
         if not self._closed:
@@ -158,16 +181,24 @@ class ServingEngine:
             d = self._denoisers[start] = CompiledDenoiser.build(compiled, dtype=self.dtype)
         return d
 
-    def _executable(self, start: int, batch: int) -> Callable:
-        fn = self._executables.get((start, batch))
+    def _executable(self, start: int, batch: int, has_ctx: bool = False) -> Callable:
+        fn = self._executables.get((start, batch, has_ctx))
         if fn is None:
             denoiser = self._denoiser_for(start)
+
+            def model_for(ctx):
+                # conditioned engines take a 5-arg model_fn; ctx is a traced
+                # batch argument when present, a baked None when not
+                if self.conditioned:
+                    return lambda x, t, s, a: self.model_fn(x, t, s, a, ctx)
+                return self.model_fn
+
             if denoiser.requires_noise:
-                run = lambda x0, noises: denoiser.run(self.model_fn, x0, noises=noises, start=start)  # noqa: E731
+                run = lambda x0, noises, ctx=None: denoiser.run(model_for(ctx), x0, noises=noises, start=start)  # noqa: E731
             else:
-                run = lambda x0, noises: denoiser.run(self.model_fn, x0, start=start)  # noqa: E731
+                run = lambda x0, noises, ctx=None: denoiser.run(model_for(ctx), x0, start=start)  # noqa: E731
             donate = () if jax.default_backend() == "cpu" else (0,)
-            fn = self._executables[(start, batch)] = jax.jit(run, donate_argnums=donate)
+            fn = self._executables[(start, batch, has_ctx)] = jax.jit(run, donate_argnums=donate)
         return fn
 
     def _prepare(
@@ -237,13 +268,14 @@ class ServingEngine:
             batch = self._collect()
             if batch is None:
                 return
-            # group by (entry point, mode): each start index is its own set
-            # of compiled tables, and txt2img/img2img seed differently
-            groups: dict[tuple[int, bool], list] = {}
+            # group by (entry point, mode, conditioned): each start index is
+            # its own set of compiled tables, txt2img/img2img seed
+            # differently, and context presence changes the executable
+            groups: dict[tuple[int, bool, bool], list] = {}
             for item in batch:
-                key, initial, start, fut = item
-                groups.setdefault((start, initial is None), []).append(item)
-            for (start, _), group in groups.items():
+                key, initial, start, context, fut = item
+                groups.setdefault((start, initial is None, context is None), []).append(item)
+            for (start, *_), group in groups.items():
                 try:
                     self._dispatch(group, start)
                 except Exception as err:  # compile/shape errors: fail the group, keep serving
@@ -261,9 +293,17 @@ class ServingEngine:
             stack = [initial for _, initial, *_ in batch]
             stack += [stack[0]] * (bucket - n)
             initials = jnp.stack(stack)
+        ctx = None
+        if batch[0][3] is not None:
+            stack = [context for *_, context, _ in batch]
+            stack += [stack[0]] * (bucket - n)
+            ctx = jnp.stack(stack)
         x0, noises = self._prepare(keys, initials, start)
 
-        out = self._executable(start, bucket)(x0, noises)
+        if ctx is None:
+            out = self._executable(start, bucket)(x0, noises)
+        else:
+            out = self._executable(start, bucket, has_ctx=True)(x0, noises, ctx)
         if self._postprocess is not None:
             out = self._postprocess(out)
 

@@ -91,8 +91,8 @@ class TestMechanics:
                 futs = [engine.submit(10 * wave + i) for i in range(wave + 1)]
                 for f in futs:
                     f.result()
-            assert {b for _, b in engine._executables} <= {1, 4}
-            assert {s for s, _ in engine._executables} == {0}
+            assert {b for _, b, _ in engine._executables} <= {1, 4}
+            assert {s for s, _, _ in engine._executables} == {0}
 
     def test_img2img_matches_pipeline_recipe(self):
         "Engine img2img == GenerationPipeline.generate with the same key/initial."
@@ -191,3 +191,76 @@ class TestPostprocess:
         with make_engine(postprocess=post) as engine:
             out = engine.generate(0)
         assert out.shape == (4, 16, 16)
+
+
+def conditioned_model(x, t, sigma, alpha, context=None):
+    "5-arg stand-in: per-request context shifts the prediction."
+    bias = 0.0 if context is None else context.mean(axis=(1, 2))[:, None, None, None]
+    return x * 0.9 - jnp.tanh(x) * sigma + bias
+
+
+class TestConditioned:
+    def test_per_request_context_equals_solo(self):
+        "Prompts batched together == each prompt served alone (bit-exact)."
+        contexts = [jnp.full((16, 8), float(i)) for i in (1, 2, 3)]
+        with ServingEngine(
+            conditioned_model, item_shape=(4, 8, 8), steps=6, buckets=(1,), conditioned=True
+        ) as engine:
+            ref = [np.asarray(engine.generate(k, context=c)) for k, c in enumerate(contexts)]
+        with ServingEngine(
+            conditioned_model,
+            item_shape=(4, 8, 8),
+            steps=6,
+            buckets=(4,),
+            max_delay_ms=50.0,
+            conditioned=True,
+        ) as engine:
+            futs = [engine.submit(k, context=c) for k, c in enumerate(contexts)]
+            got = [np.asarray(f.result()) for f in futs]
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(r, g)
+
+    def test_contexts_change_outputs(self):
+        with ServingEngine(
+            conditioned_model, item_shape=(4, 8, 8), steps=6, buckets=(2,), conditioned=True
+        ) as engine:
+            a = np.asarray(engine.generate(0, context=jnp.zeros((16, 8))))
+            b = np.asarray(engine.generate(0, context=jnp.ones((16, 8))))
+        assert not np.array_equal(a, b)
+
+    def test_mixed_conditioned_and_unconditional(self):
+        "context=None requests run the unconditional branch, grouped apart."
+        ctx = jnp.full((16, 8), 2.0)
+        with ServingEngine(
+            conditioned_model, item_shape=(4, 8, 8), steps=6, buckets=(1,), conditioned=True
+        ) as engine:
+            ref_c = np.asarray(engine.generate(5, context=ctx))
+            ref_u = np.asarray(engine.generate(5))
+        with ServingEngine(
+            conditioned_model,
+            item_shape=(4, 8, 8),
+            steps=6,
+            buckets=(1, 2),
+            max_delay_ms=50.0,
+            conditioned=True,
+        ) as engine:
+            f1 = engine.submit(5, context=ctx)
+            f2 = engine.submit(5)
+            got_c, got_u = np.asarray(f1.result()), np.asarray(f2.result())
+        np.testing.assert_array_equal(ref_c, got_c)
+        np.testing.assert_array_equal(ref_u, got_u)
+        assert not np.array_equal(got_c, got_u)
+
+    def test_one_executable_serves_all_prompts(self):
+        "Different context VALUES share the executable (no recompiles)."
+        with ServingEngine(
+            conditioned_model, item_shape=(4, 8, 8), steps=6, buckets=(1,), conditioned=True
+        ) as engine:
+            for i in range(4):
+                engine.generate(i, context=jnp.full((16, 8), float(i)))
+            assert len(engine._executables) == 1
+
+    def test_context_requires_conditioned_engine(self):
+        with make_engine() as engine:
+            with pytest.raises(ValueError, match="conditioned=True"):
+                engine.submit(0, context=jnp.zeros((16, 8)))
