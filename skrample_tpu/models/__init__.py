@@ -5,6 +5,7 @@ multi-chip dry runs.  The sampling framework itself is model-agnostic — any
 from .checkpoint import TrainCheckpointer, load_params, save_params
 from .dit import DiT, DiTConfig
 from .ema import ema_decay_schedule, ema_init, ema_update
+from .import_weights import clip_text_config, clip_text_encoder
 from .mmdit import MMDiT, MMDiTConfig
 from .text_encoder import ByteTokenizer, TextEncoder, TextEncoderConfig
 from .unet import UNet, UNetConfig
@@ -26,6 +27,8 @@ __all__ = [
     "VAEConfig",
     "VideoDiT",
     "VideoDiTConfig",
+    "clip_text_config",
+    "clip_text_encoder",
     "ema_decay_schedule",
     "ema_init",
     "ema_update",

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from .dit import _dense, _dense_init, _layernorm
+from .dit import _dense, _dense_init
 
 
 class ByteTokenizer:
@@ -84,10 +84,29 @@ class TextEncoderConfig:
     "Static sequence length; pair it with ``MMDiTConfig.context_tokens``."
     causal: bool = True
     compute_dtype: Any = jnp.bfloat16
+    ln_affine: bool = False
+    """Learnable LayerNorm scale/bias.  Off by default (adaLN-style plain
+    norms); CLIP-family checkpoints need it on (``import_weights``)."""
+    ln_eps: float = 1e-6
+    act: str = "gelu_tanh"
+    '``"gelu_tanh"`` (default), ``"gelu"`` (exact erf), or ``"quick_gelu"``.'
+    eos_id: int | None = None
+    "EOS token id for pooling; ``None`` uses :attr:`ByteTokenizer.EOS`."
 
     @property
     def head_dim(self) -> int:
         return self.dim // self.heads
+
+    @property
+    def resolved_eos_id(self) -> int:
+        return ByteTokenizer.EOS if self.eos_id is None else self.eos_id
+
+
+_ACTIVATIONS = {
+    "gelu_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
+}
 
 
 class TextEncoder:
@@ -100,6 +119,12 @@ class TextEncoder:
         self.config = config
         if config.dim % config.heads:
             raise ValueError("dim must divide by heads")
+        if config.act not in _ACTIVATIONS:
+            raise ValueError(f"unknown act {config.act!r}")
+
+    def _ln_init(self) -> dict:
+        c = self.config
+        return {"g": jnp.ones((c.dim,), jnp.float32), "b": jnp.zeros((c.dim,), jnp.float32)}
 
     def init(self, key: jax.Array) -> dict:
         c = self.config
@@ -115,12 +140,24 @@ class TextEncoder:
                     "mlp_out": _dense_init(
                         next(keys), c.mlp_ratio * c.dim, c.dim, scale=0.02 / math.sqrt(2 * c.depth)
                     ),
+                    **({"ln1": self._ln_init(), "ln2": self._ln_init()} if c.ln_affine else {}),
                 }
                 for _ in range(c.depth)
             ],
             "text_proj": _dense_init(next(keys), c.dim, c.dim),
         }
+        if c.ln_affine:
+            params["final_ln"] = self._ln_init()
         return params
+
+    def _ln(self, x: jax.Array, p: dict | None) -> jax.Array:
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(-1, keepdims=True)
+        var = x32.var(-1, keepdims=True)
+        out = (x32 - mean) * jax.lax.rsqrt(var + self.config.ln_eps)
+        if p is not None:
+            out = out * p["g"] + p["b"]
+        return out.astype(x.dtype)
 
     def param_spec(self, quantized: bool = False) -> dict:
         "Tensor-parallel PartitionSpecs over mesh axis 'tp'."
@@ -130,15 +167,26 @@ class TextEncoder:
         if quantized:
             col = {"w_q": {"q": P(None, "tp"), "s": P("tp")}, "b": P("tp")}
             row = {"w_q": {"q": P("tp", None), "s": P()}, "b": P()}
-        return {
+        ln = {"g": P(), "b": P()}
+        affine = self.config.ln_affine
+        spec: dict = {
             "tok_embed": P(),
             "pos_embed": P(),
             "blocks": [
-                {"qkv": dict(col), "proj": dict(row), "mlp_in": dict(col), "mlp_out": dict(row)}
+                {
+                    "qkv": dict(col),
+                    "proj": dict(row),
+                    "mlp_in": dict(col),
+                    "mlp_out": dict(row),
+                    **({"ln1": dict(ln), "ln2": dict(ln)} if affine else {}),
+                }
                 for _ in range(self.config.depth)
             ],
             "text_proj": rep,
         }
+        if affine:
+            spec["final_ln"] = dict(ln)
+        return spec
 
     def _attention(self, qkv: jax.Array) -> jax.Array:
         c = self.config
@@ -163,19 +211,21 @@ class TextEncoder:
         if L > c.max_tokens:
             raise ValueError(f"sequence length {L} > max_tokens {c.max_tokens}")
 
+        act = _ACTIVATIONS[c.act]
         h = (params["tok_embed"][ids] + params["pos_embed"][:L]).astype(dtype)
         for block in params["blocks"]:
-            h = h + _dense(block["proj"], self._attention(_dense(block["qkv"], _layernorm(h), dtype)), dtype)
-            m = _dense(block["mlp_out"], jax.nn.gelu(_dense(block["mlp_in"], _layernorm(h), dtype)), dtype)
-            h = h + m
-        return _layernorm(h).astype(jnp.float32)
+            norm = self._ln(h, block.get("ln1"))
+            h = h + _dense(block["proj"], self._attention(_dense(block["qkv"], norm, dtype)), dtype)
+            norm = self._ln(h, block.get("ln2"))
+            h = h + _dense(block["mlp_out"], act(_dense(block["mlp_in"], norm, dtype)), dtype)
+        return self._ln(h, params.get("final_ln")).astype(jnp.float32)
 
     def encode(self, params: dict, ids: jax.Array) -> tuple[jax.Array, jax.Array]:
         """ids -> ``(features, pooled)``: the (B, L, dim) sequence features
         plus the (B, dim) text-projected feature at each row's EOS position
         (first occurrence; the CLIP pooling convention)."""
         features = self.apply(params, ids)
-        eos_idx = jnp.argmax(ids == ByteTokenizer.EOS, axis=-1)
+        eos_idx = jnp.argmax(ids == self.config.resolved_eos_id, axis=-1)
         at_eos = jnp.take_along_axis(features, eos_idx[:, None, None], axis=1)[:, 0]
         pooled = _dense(params["text_proj"], at_eos.astype(self.config.compute_dtype), self.config.compute_dtype)
         return features, pooled.astype(jnp.float32)
