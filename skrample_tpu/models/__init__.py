@@ -5,8 +5,11 @@ multi-chip dry runs.  The sampling framework itself is model-agnostic — any
 from .checkpoint import TrainCheckpointer, load_params, save_params
 from .dit import DiT, DiTConfig
 from .ema import ema_decay_schedule, ema_init, ema_update
+# NOTE: the t5 loaders stay at models.import_weights.{t5_config,t5_encoder} —
+# re-exporting the function here would shadow the .t5_encoder submodule name
 from .import_weights import clip_text_config, clip_text_encoder
 from .mmdit import MMDiT, MMDiTConfig
+from .t5_encoder import T5Encoder, T5EncoderConfig
 from .text_encoder import ByteTokenizer, TextEncoder, TextEncoderConfig
 from .unet import UNet, UNetConfig
 from .vae import VAE, VAEConfig
@@ -18,6 +21,8 @@ __all__ = [
     "DiTConfig",
     "MMDiT",
     "MMDiTConfig",
+    "T5Encoder",
+    "T5EncoderConfig",
     "TextEncoder",
     "TextEncoderConfig",
     "TrainCheckpointer",

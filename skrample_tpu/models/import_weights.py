@@ -28,6 +28,7 @@ from typing import Any, Mapping
 import jax.numpy as jnp
 import numpy as np
 
+from .t5_encoder import T5Encoder, T5EncoderConfig
 from .text_encoder import TextEncoder, TextEncoderConfig
 
 
@@ -122,3 +123,69 @@ def clip_text_encoder(source: Any) -> tuple[TextEncoder, dict]:
             "b": jnp.zeros((config.dim,), jnp.float32),
         }
     return enc, params
+
+
+def t5_config(hf_config: Any) -> T5EncoderConfig:
+    "``transformers.T5Config`` -> :class:`T5EncoderConfig`."
+    proj = hf_config.feed_forward_proj
+    if proj not in ("relu", "gated-gelu"):
+        raise ValueError(f"unsupported feed_forward_proj {proj!r}")
+    return T5EncoderConfig(
+        vocab_size=hf_config.vocab_size,
+        dim=hf_config.d_model,
+        head_dim=hf_config.d_kv,
+        heads=hf_config.num_heads,
+        ff_dim=hf_config.d_ff,
+        depth=hf_config.num_layers,
+        gated=proj == "gated-gelu",
+        rel_buckets=hf_config.relative_attention_num_buckets,
+        rel_max_distance=getattr(hf_config, "relative_attention_max_distance", 128),
+        ln_eps=float(hf_config.layer_norm_epsilon),
+        compute_dtype=jnp.float32,
+    )
+
+
+def t5_encoder(source: Any) -> tuple[T5Encoder, dict]:
+    """Import a T5 encoder tower: ``transformers.T5EncoderModel`` (or any
+    object with ``.config``/``.state_dict()``), or a ``(state_dict,
+    hf_config)`` pair.  Returns ``(T5Encoder, params)`` such that
+    ``apply(params, ids)`` equals the HF model's ``last_hidden_state``."""
+    if isinstance(source, tuple):
+        sd, hf_config = source
+    else:
+        sd, hf_config = source.state_dict(), source.config
+    config = t5_config(hf_config)
+
+    def w(key: str) -> jnp.ndarray:  # torch Linear (out, in) -> ours (in, out)
+        return jnp.asarray(_np(sd[key]).T)
+
+    blocks = []
+    for i in range(config.depth):
+        attn = f"encoder.block.{i}.layer.0"
+        ff = f"encoder.block.{i}.layer.1"
+        mlp_key = "DenseReluDense"
+        gates = (
+            {"wi_0": w(f"{ff}.{mlp_key}.wi_0.weight"), "wi_1": w(f"{ff}.{mlp_key}.wi_1.weight")}
+            if config.gated
+            else {"wi": w(f"{ff}.{mlp_key}.wi.weight")}
+        )
+        blocks.append(
+            {
+                "q": w(f"{attn}.SelfAttention.q.weight"),
+                "k": w(f"{attn}.SelfAttention.k.weight"),
+                "v": w(f"{attn}.SelfAttention.v.weight"),
+                "o": w(f"{attn}.SelfAttention.o.weight"),
+                "ln_attn": jnp.asarray(_np(sd[f"{attn}.layer_norm.weight"])),
+                "ln_ff": jnp.asarray(_np(sd[f"{ff}.layer_norm.weight"])),
+                **gates,
+                "wo": w(f"{ff}.{mlp_key}.wo.weight"),
+            }
+        )
+    params = {
+        "tok_embed": jnp.asarray(_np(sd["shared.weight"])),
+        # (buckets, heads): HF stores an nn.Embedding the same way
+        "rel_bias": jnp.asarray(_np(sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"])),
+        "blocks": blocks,
+        "final_ln": jnp.asarray(_np(sd["encoder.final_layer_norm.weight"])),
+    }
+    return T5Encoder(config), params

@@ -96,3 +96,64 @@ def test_imported_tree_matches_param_spec() -> None:
     hf = CLIPTextModel(CLIPTextConfig(**HF_CFG, hidden_act="gelu")).eval()
     enc, params = clip_text_encoder(hf)
     jax.tree.map(lambda w, s: None, params, enc.param_spec())  # same structure or raises
+
+
+class TestT5:
+    T5_CFG = dict(
+        vocab_size=120,
+        d_model=64,
+        d_kv=16,
+        num_heads=4,
+        d_ff=128,
+        num_layers=3,
+        relative_attention_num_buckets=8,
+        relative_attention_max_distance=32,
+    )
+
+    def _parity(self, proj: str) -> None:
+        from transformers import T5Config, T5EncoderModel
+
+        from skrample_tpu.models.import_weights import t5_encoder
+
+        torch.manual_seed(4)
+        hf = T5EncoderModel(T5Config(**self.T5_CFG, feed_forward_proj=proj)).eval()
+        enc, params = t5_encoder(hf)
+
+        ids = np.asarray([[3, 14, 15, 92, 6, 53, 1, 0], [27, 18, 28, 1, 0, 0, 0, 0]], np.int64)
+        with torch.no_grad():
+            ref = hf(input_ids=torch.as_tensor(ids)).last_hidden_state.numpy()
+        ours = np.asarray(enc.apply(params, jnp.asarray(ids, jnp.int32)))
+        # NOTE: no attention_mask on either side — full bidirectional attention
+        np.testing.assert_allclose(ours, ref, atol=3e-5)
+
+    def test_gated_gelu_parity(self) -> None:
+        "T5 v1.1 (the SD3/Flux tower family): gated-gelu FF."
+        self._parity("gated-gelu")
+
+    def test_relu_parity(self) -> None:
+        "Original T5: relu FF."
+        self._parity("relu")
+
+    def test_spec_tree_matches(self) -> None:
+        from transformers import T5Config, T5EncoderModel
+
+        from skrample_tpu.models.import_weights import t5_encoder
+
+        hf = T5EncoderModel(T5Config(**self.T5_CFG, feed_forward_proj="gated-gelu")).eval()
+        enc, params = t5_encoder(hf)
+        jax.tree.map(lambda w, s: None, params, enc.param_spec())
+
+    def test_random_init_runs_and_feeds_mmdit(self) -> None:
+        "Framework-native use without a checkpoint: init + MMDiT context."
+        from skrample_tpu.models import MMDiT, MMDiTConfig, T5Encoder, T5EncoderConfig
+
+        enc = T5Encoder(T5EncoderConfig(dim=64, head_dim=16, heads=4, ff_dim=128, depth=2, compute_dtype=jnp.float32))
+        params = enc.init(jax.random.PRNGKey(0))
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, 100, (2, 16)), jnp.int32)
+        feats = enc.apply(params, ids)
+        assert feats.shape == (2, 16, 64) and bool(jnp.isfinite(feats).all())
+
+        mmdit = MMDiT(MMDiTConfig(dim=64, depth=1, heads=2, context_dim=64, compute_dtype=jnp.float32, attention="full"))
+        mp = mmdit.init(jax.random.PRNGKey(1))
+        out = mmdit.apply(mp, jnp.ones((2, 4, 8, 8)), jnp.asarray([0.5, 0.5]), feats)
+        assert out.shape == (2, 4, 8, 8)
