@@ -160,10 +160,37 @@ def bench_text_encoder(batch: int) -> None:
     report("  forward (prompt batch -> context features)", sec, flops)
 
 
+def bench_t5(batch: int) -> None:
+    "T5-base-ish encoder: d_model 768, 12 layers, 128 tokens."
+    from skrample_tpu.models import T5Encoder, T5EncoderConfig
+    from skrample_tpu.models.t5_encoder import t5_encoder_forward_flops
+
+    config = T5EncoderConfig(dim=768, head_dim=64, heads=12, ff_dim=2048, depth=12)
+    model = T5Encoder(config)
+    params = model.init(jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 32000, (batch, 128)), jnp.int32)
+    flops = t5_encoder_forward_flops(config, batch, 128)
+    print(
+        f"T5Encoder dim=768 depth=12 gated ({n_params / 1e6:.1f}M params, batch {batch}, 128 tokens, "
+        f"{flops / 1e9:.1f} GFLOP/fwd)",
+        flush=True,
+    )
+
+    def step(c, _):
+        feats = model.apply(params, c)
+        bump = (feats.mean() * 1e-30).astype(jnp.int32)
+        return jnp.clip(c + bump, 0, config.vocab_size - 1), None
+
+    sec = slope(step, ids)
+    report("  forward (bidirectional context features)", sec, flops)
+
+
 def main() -> None:
     print(f"devices: {jax.devices()}", flush=True)
     bench_vae(batch=1, hw=512)
     bench_text_encoder(batch=32)
+    bench_t5(batch=32)
 
 
 if __name__ == "__main__":
