@@ -30,6 +30,7 @@ import numpy as np
 
 from .t5_encoder import T5Encoder, T5EncoderConfig
 from .text_encoder import TextEncoder, TextEncoderConfig
+from .vae import VAE, VAEConfig
 
 
 def _np(t: Any) -> np.ndarray:
@@ -123,6 +124,157 @@ def clip_text_encoder(source: Any) -> tuple[TextEncoder, dict]:
             "b": jnp.zeros((config.dim,), jnp.float32),
         }
     return enc, params
+
+
+def vae_config(hf_config: Any) -> VAEConfig:
+    """``diffusers.AutoencoderKL`` config -> :class:`VAEConfig`.
+
+    Our width ladder is ``base * min(2**level, 4)`` (the SD family's
+    (128, 256, 512, 512) shape); arbitrary ``block_out_channels`` that
+    don't fit it are rejected rather than silently mis-mapped."""
+    if isinstance(hf_config, Mapping):
+        get = lambda k, d=None: hf_config.get(k, d)  # noqa: E731
+    else:
+        get = lambda k, d=None: getattr(hf_config, k, d)  # noqa: E731
+
+    widths = tuple(get("block_out_channels"))
+    base, levels = widths[0], len(widths)
+    expected = tuple(base * min(2**level, 4) for level in range(levels))
+    if widths != expected:
+        raise ValueError(f"block_out_channels {widths} doesn't fit the base*min(2^l,4) ladder {expected}")
+    if get("act_fn", "silu") != "silu":
+        raise ValueError(f"unsupported act_fn {get('act_fn')!r}")
+    if get("in_channels", 3) != get("out_channels", 3):
+        raise ValueError("in_channels != out_channels")
+    for bt, want in (("down_block_types", "DownEncoderBlock2D"), ("up_block_types", "UpDecoderBlock2D")):
+        types = get(bt)
+        if types is not None and any(t != want for t in types):
+            raise ValueError(f"unsupported {bt} {tuple(types)}")
+    return VAEConfig(
+        channels=get("in_channels", 3),
+        latent_channels=get("latent_channels", 4),
+        base=base,
+        levels=levels,
+        blocks_per_level=get("layers_per_block", 2),
+        groups=get("norm_num_groups", 32),
+        scaling_factor=float(get("scaling_factor", 0.18215)),
+        compute_dtype=jnp.float32,
+        norm_affine=True,
+        quant_convs=bool(get("use_quant_conv", True)),
+    )
+
+
+class _TrackedSD:
+    "State-dict view that records consumed keys so leftovers surface as errors."
+
+    def __init__(self, sd: Mapping[str, Any]):
+        self.sd = dict(sd)
+        self.used: set[str] = set()
+
+    def __getitem__(self, key: str) -> Any:
+        self.used.add(key)
+        return self.sd[key]
+
+    def __contains__(self, key: str) -> bool:
+        return key in self.sd
+
+    def leftovers(self) -> list[str]:
+        return sorted(set(self.sd) - self.used)
+
+
+def diffusers_vae(source: Any) -> tuple[VAE, dict]:
+    """Import a ``diffusers.AutoencoderKL`` (or any object with ``.config``
+    and ``.state_dict()``, or a ``(state_dict, config)`` pair) into
+    ``(VAE, params)``.
+
+    Verified against an independently written torch mirror of the published
+    AutoencoderKL architecture in ``tests/test_import_weights.py`` (diffusers
+    itself is not installable in-sandbox): posterior moments and decode match
+    in float32.  Every state-dict tensor must be consumed — unmapped keys
+    raise, so renamed/reshaped checkpoints fail loudly instead of silently
+    dropping weights.  Supports both the modern attention naming
+    (``to_q``/``to_out.0``) and the legacy one (``query``/``proj_attn``,
+    possibly stored as 1x1 convs)."""
+    if isinstance(source, tuple):
+        raw_sd, hf_config = source
+    else:
+        raw_sd, hf_config = source.state_dict(), source.config
+    config = vae_config(hf_config)
+    sd = _TrackedSD(raw_sd)
+
+    def conv(prefix: str) -> dict:  # torch Conv2d is OIHW, same as ours
+        return {"w": jnp.asarray(_np(sd[f"{prefix}.weight"])), "b": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+
+    def mat(key: str) -> np.ndarray:  # Linear (out, in) or legacy 1x1 conv (out, in, 1, 1)
+        w = _np(sd[key])
+        return w.reshape(w.shape[0], w.shape[1]) if w.ndim == 4 else w
+
+    def resblock(prefix: str) -> dict:
+        return {
+            "conv1": conv(f"{prefix}.conv1"),
+            "conv2": conv(f"{prefix}.conv2"),
+            "skip": conv(f"{prefix}.conv_shortcut") if f"{prefix}.conv_shortcut.weight" in sd else None,
+            "norm1": _ln(sd, f"{prefix}.norm1"),
+            "norm2": _ln(sd, f"{prefix}.norm2"),
+        }
+
+    def attention(prefix: str) -> dict:
+        modern = f"{prefix}.to_q.weight" in sd
+        q, k, v = (
+            (f"{prefix}.to_q", f"{prefix}.to_k", f"{prefix}.to_v")
+            if modern
+            else (f"{prefix}.query", f"{prefix}.key", f"{prefix}.value")
+        )
+        out = f"{prefix}.to_out.0" if modern else f"{prefix}.proj_attn"
+        return {
+            "qkv": {
+                "w": jnp.asarray(np.concatenate([mat(f"{n}.weight").T for n in (q, k, v)], axis=1)),
+                "b": jnp.concatenate([jnp.asarray(_np(sd[f"{n}.bias"])) for n in (q, k, v)]),
+            },
+            "proj": {"w": jnp.asarray(mat(f"{out}.weight").T), "b": jnp.asarray(_np(sd[f"{out}.bias"]))},
+            "norm": _ln(sd, f"{prefix}.group_norm"),
+        }
+
+    def mid(prefix: str) -> dict:
+        return {
+            "mid1": resblock(f"{prefix}.resnets.0"),
+            "mid_attn": attention(f"{prefix}.attentions.0"),
+            "mid2": resblock(f"{prefix}.resnets.1"),
+        }
+
+    enc: dict = {"in_conv": conv("encoder.conv_in"), "down": [], **mid("encoder.mid_block")}
+    for i in range(config.levels):
+        block = f"encoder.down_blocks.{i}"
+        down = f"{block}.downsamplers.0.conv"
+        enc["down"].append(
+            {
+                "blocks": [resblock(f"{block}.resnets.{j}") for j in range(config.blocks_per_level)],
+                "downsample": conv(down) if f"{down}.weight" in sd else None,
+            }
+        )
+    enc["norm_out"] = _ln(sd, "encoder.conv_norm_out")
+    enc["out_conv"] = conv("encoder.conv_out")
+
+    dec: dict = {"in_conv": conv("decoder.conv_in"), "up": [], **mid("decoder.mid_block")}
+    for i in range(config.levels):  # up_blocks[0] is the coarsest level, like our dec["up"][0]
+        block = f"decoder.up_blocks.{i}"
+        up = f"{block}.upsamplers.0.conv"
+        dec["up"].append(
+            {
+                "blocks": [resblock(f"{block}.resnets.{j}") for j in range(config.blocks_per_level + 1)],
+                "upsample": conv(up) if f"{up}.weight" in sd else None,
+            }
+        )
+    dec["norm_out"] = _ln(sd, "decoder.conv_norm_out")
+    dec["out_conv"] = conv("decoder.conv_out")
+
+    if config.quant_convs:
+        enc["quant_conv"] = conv("quant_conv")
+        dec["post_quant_conv"] = conv("post_quant_conv")
+
+    if leftover := sd.leftovers():
+        raise ValueError(f"unmapped state-dict keys (first 10): {leftover[:10]}")
+    return VAE(config), {"encoder": enc, "decoder": dec}
 
 
 def t5_config(hf_config: Any) -> T5EncoderConfig:

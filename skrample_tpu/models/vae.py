@@ -57,6 +57,13 @@ class VAEConfig:
     layout: str = "auto"
     """Interior activation layout, as in :class:`UNetConfig`: ``"auto"``
     picks NHWC when ``base`` fills the 128-wide lane dimension."""
+    norm_affine: bool = False
+    """Learnable GroupNorm scale/bias.  Off by default (the convs carry the
+    affine role); AutoencoderKL checkpoints need it on (``import_weights
+    .diffusers_vae``)."""
+    quant_convs: bool = False
+    """AutoencoderKL's 1x1 ``quant_conv``/``post_quant_conv`` around the
+    latent.  Off by default; on for imported diffusers checkpoints."""
 
     @property
     def resolved_layout(self) -> str:
@@ -82,17 +89,29 @@ class VAE:
 
     # -- init -------------------------------------------------------------
 
+    @staticmethod
+    def _affine_init(width: int) -> dict:
+        return {"g": jnp.ones((width,), jnp.float32), "b": jnp.zeros((width,), jnp.float32)}
+
     def _resblock_init(self, keys, c_in: int, c_out: int) -> dict:
+        affine = (
+            {"norm1": self._affine_init(c_in), "norm2": self._affine_init(c_out)}
+            if self.config.norm_affine
+            else {}
+        )
         return {
             "conv1": _conv_init(next(keys), 3, c_in, c_out),
             "conv2": _conv_init(next(keys), 3, c_out, c_out, scale=0.0),
             "skip": _conv_init(next(keys), 1, c_in, c_out) if c_in != c_out else None,
+            **affine,
         }
 
     def _attn_init(self, keys, width: int) -> dict:
+        affine = {"norm": self._affine_init(width)} if self.config.norm_affine else {}
         return {
             "qkv": _dense_init(next(keys), width, 3 * width),
             "proj": _dense_init(next(keys), width, width, scale=0.0),
+            **affine,
         }
 
     def init(self, key: jax.Array) -> dict:
@@ -115,8 +134,14 @@ class VAE:
         enc["mid2"] = self._resblock_init(keys, mid, mid)
         # 2x latent channels: mean and logvar of the diagonal posterior
         enc["out_conv"] = _conv_init(next(keys), 3, mid, 2 * c.latent_channels)
+        if c.norm_affine:
+            enc["norm_out"] = self._affine_init(mid)
+        if c.quant_convs:
+            enc["quant_conv"] = _conv_init(next(keys), 1, 2 * c.latent_channels, 2 * c.latent_channels)
 
         dec: dict = {"in_conv": _conv_init(next(keys), 3, c.latent_channels, mid)}
+        if c.quant_convs:
+            dec["post_quant_conv"] = _conv_init(next(keys), 1, c.latent_channels, c.latent_channels)
         dec["mid1"] = self._resblock_init(keys, mid, mid)
         dec["mid_attn"] = self._attn_init(keys, mid)
         dec["mid2"] = self._resblock_init(keys, mid, mid)
@@ -131,15 +156,27 @@ class VAE:
             up = _conv_init(next(keys), 3, width, width) if level > 0 else None
             dec["up"].append({"blocks": blocks, "upsample": up})
         dec["out_conv"] = _conv_init(next(keys), 3, widths[0], c.channels, scale=0.0)
+        if c.norm_affine:
+            dec["norm_out"] = self._affine_init(widths[0])
 
         return {"encoder": enc, "decoder": dec}
 
     # -- building blocks ----------------------------------------------------
 
-    def _resblock(self, p: dict, x: jax.Array, dtype: Any, cl: bool) -> jax.Array:
+    def _gn(self, x: jax.Array, cl: bool, p: dict | None = None, silu: bool = False) -> jax.Array:
+        "GroupNorm, optionally with imported affine params (AutoencoderKL)."
         c = self.config
-        h = _conv(p["conv1"], _groupnorm(x, c.groups, cl, silu=True), dtype, cl=cl)
-        h = _conv(p["conv2"], _groupnorm(h, c.groups, cl, silu=True), dtype, cl=cl)
+        if p is None:
+            return _groupnorm(x, c.groups, cl, silu=silu)
+        y = _groupnorm(x, c.groups, cl)
+        y = y * (p["g"] if cl else p["g"][None, :, None, None]) + (
+            p["b"] if cl else p["b"][None, :, None, None]
+        )
+        return jax.nn.silu(y) if silu else y
+
+    def _resblock(self, p: dict, x: jax.Array, dtype: Any, cl: bool) -> jax.Array:
+        h = _conv(p["conv1"], self._gn(x, cl, p.get("norm1"), silu=True), dtype, cl=cl)
+        h = _conv(p["conv2"], self._gn(h, cl, p.get("norm2"), silu=True), dtype, cl=cl)
         skip = _conv(p["skip"], x, dtype, cl=cl) if p["skip"] is not None else x
         return skip + h
 
@@ -148,10 +185,10 @@ class VAE:
         c = self.config
         if cl:
             B, H, W, C = x.shape
-            tokens = _groupnorm(x, c.groups, cl).reshape(B, H * W, C)
+            tokens = self._gn(x, cl, p.get("norm")).reshape(B, H * W, C)
         else:
             B, C, H, W = x.shape
-            tokens = _groupnorm(x, c.groups).reshape(B, C, H * W).transpose(0, 2, 1)
+            tokens = self._gn(x, cl, p.get("norm")).reshape(B, C, H * W).transpose(0, 2, 1)
         qkv = _dense(p["qkv"], tokens.astype(dtype), dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         attn = jax.nn.softmax(
@@ -181,8 +218,10 @@ class VAE:
         h = self._resblock(enc["mid1"], h, dtype, cl)
         h = self._attention(enc["mid_attn"], h, dtype, cl)
         h = self._resblock(enc["mid2"], h, dtype, cl)
-        h = _groupnorm(h, c.groups, cl, silu=True)
+        h = self._gn(h, cl, enc.get("norm_out"), silu=True)
         h = _conv(enc["out_conv"], h, dtype, cl=cl)
+        if "quant_conv" in enc:
+            h = _conv(enc["quant_conv"], h, dtype, cl=cl)
         if cl:
             h = h.transpose(0, 3, 1, 2)
         mean, logvar = jnp.split(h.astype(jnp.float32), 2, axis=1)
@@ -208,6 +247,8 @@ class VAE:
 
         z = (z.astype(jnp.float32) / c.scaling_factor).astype(dtype)
         h = z.transpose(0, 2, 3, 1) if cl else z
+        if "post_quant_conv" in dec:
+            h = _conv(dec["post_quant_conv"], h, dtype, cl=cl)
         h = _conv(dec["in_conv"], h, dtype, cl=cl)
         h = self._resblock(dec["mid1"], h, dtype, cl)
         h = self._attention(dec["mid_attn"], h, dtype, cl)
@@ -223,7 +264,7 @@ class VAE:
                     B, C, H, W = h.shape
                     h = jax.image.resize(h, (B, C, 2 * H, 2 * W), method="nearest")
                 h = _conv(level["upsample"], h, dtype, cl=cl)
-        h = _groupnorm(h, c.groups, cl, silu=True)
+        h = self._gn(h, cl, dec.get("norm_out"), silu=True)
         h = _conv(dec["out_conv"], h, dtype, cl=cl)
         return (h.transpose(0, 3, 1, 2) if cl else h).astype(in_dtype)
 

@@ -98,6 +98,251 @@ def test_imported_tree_matches_param_spec() -> None:
     jax.tree.map(lambda w, s: None, params, enc.param_spec())  # same structure or raises
 
 
+class TestVAE:
+    """AutoencoderKL import oracle.
+
+    diffusers is not installable in-sandbox, so the oracle is an
+    independently written torch mirror of the *published* AutoencoderKL
+    architecture (arch per the SD release: GroupNorm(eps 1e-6)+SiLU resnet
+    pairs, one single-head mid attention, asymmetric-(0,1) stride-2
+    downsample, nearest-2x upsample, quant/post_quant 1x1 convs) with
+    module names chosen to produce diffusers' exact state-dict keys."""
+
+    CFG = dict(
+        in_channels=3,
+        out_channels=3,
+        latent_channels=4,
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        norm_num_groups=8,
+        scaling_factor=0.18215,
+        use_quant_conv=True,
+        down_block_types=("DownEncoderBlock2D",) * 2,
+        up_block_types=("UpDecoderBlock2D",) * 2,
+        act_fn="silu",
+    )
+
+    @classmethod
+    def _torch_vae(cls):
+        import math as _math
+
+        import torch.nn as nn
+        import torch.nn.functional as F
+
+        groups = cls.CFG["norm_num_groups"]
+        widths = cls.CFG["block_out_channels"]
+        layers = cls.CFG["layers_per_block"]
+        latent = cls.CFG["latent_channels"]
+
+        class Resnet(nn.Module):
+            def __init__(self, c_in, c_out):
+                super().__init__()
+                self.norm1 = nn.GroupNorm(groups, c_in, eps=1e-6)
+                self.conv1 = nn.Conv2d(c_in, c_out, 3, padding=1)
+                self.norm2 = nn.GroupNorm(groups, c_out, eps=1e-6)
+                self.conv2 = nn.Conv2d(c_out, c_out, 3, padding=1)
+                if c_in != c_out:
+                    self.conv_shortcut = nn.Conv2d(c_in, c_out, 1)
+
+            def forward(self, x):
+                h = self.conv1(F.silu(self.norm1(x)))
+                h = self.conv2(F.silu(self.norm2(h)))
+                return (self.conv_shortcut(x) if hasattr(self, "conv_shortcut") else x) + h
+
+        class Attn(nn.Module):
+            def __init__(self, width):
+                super().__init__()
+                self.group_norm = nn.GroupNorm(groups, width, eps=1e-6)
+                self.to_q = nn.Linear(width, width)
+                self.to_k = nn.Linear(width, width)
+                self.to_v = nn.Linear(width, width)
+                self.to_out = nn.ModuleList([nn.Linear(width, width)])
+
+            def forward(self, x):
+                B, C, H, W = x.shape
+                t = self.group_norm(x).reshape(B, C, H * W).transpose(1, 2)
+                q, k, v = self.to_q(t), self.to_k(t), self.to_v(t)
+                a = torch.softmax(q @ k.transpose(1, 2) / _math.sqrt(C), dim=-1)
+                o = self.to_out[0](a @ v)
+                return x + o.transpose(1, 2).reshape(B, C, H, W)
+
+        class Mid(nn.Module):
+            def __init__(self, width):
+                super().__init__()
+                self.resnets = nn.ModuleList([Resnet(width, width), Resnet(width, width)])
+                self.attentions = nn.ModuleList([Attn(width)])
+
+            def forward(self, x):
+                return self.resnets[1](self.attentions[0](self.resnets[0](x)))
+
+        class Downsampler(nn.Module):
+            def __init__(self, width):
+                super().__init__()
+                self.conv = nn.Conv2d(width, width, 3, stride=2, padding=0)
+
+            def forward(self, x):
+                return self.conv(F.pad(x, (0, 1, 0, 1)))
+
+        class DownBlock(nn.Module):
+            def __init__(self, c_in, c_out, last):
+                super().__init__()
+                self.resnets = nn.ModuleList(
+                    [Resnet(c_in if j == 0 else c_out, c_out) for j in range(layers)]
+                )
+                if not last:
+                    self.downsamplers = nn.ModuleList([Downsampler(c_out)])
+
+            def forward(self, x):
+                for r in self.resnets:
+                    x = r(x)
+                return self.downsamplers[0](x) if hasattr(self, "downsamplers") else x
+
+        class Upsampler(nn.Module):
+            def __init__(self, width):
+                super().__init__()
+                self.conv = nn.Conv2d(width, width, 3, padding=1)
+
+            def forward(self, x):
+                return self.conv(F.interpolate(x, scale_factor=2.0, mode="nearest"))
+
+        class UpBlock(nn.Module):
+            def __init__(self, c_in, c_out, last):
+                super().__init__()
+                self.resnets = nn.ModuleList(
+                    [Resnet(c_in if j == 0 else c_out, c_out) for j in range(layers + 1)]
+                )
+                if not last:
+                    self.upsamplers = nn.ModuleList([Upsampler(c_out)])
+
+            def forward(self, x):
+                for r in self.resnets:
+                    x = r(x)
+                return self.upsamplers[0](x) if hasattr(self, "upsamplers") else x
+
+        class Encoder(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_in = nn.Conv2d(3, widths[0], 3, padding=1)
+                self.down_blocks = nn.ModuleList(
+                    [
+                        DownBlock(widths[max(i - 1, 0)], w, i == len(widths) - 1)
+                        for i, w in enumerate(widths)
+                    ]
+                )
+                self.mid_block = Mid(widths[-1])
+                self.conv_norm_out = nn.GroupNorm(groups, widths[-1], eps=1e-6)
+                self.conv_out = nn.Conv2d(widths[-1], 2 * latent, 3, padding=1)
+
+            def forward(self, x):
+                h = self.conv_in(x)
+                for b in self.down_blocks:
+                    h = b(h)
+                return self.conv_out(F.silu(self.conv_norm_out(self.mid_block(h))))
+
+        class Decoder(nn.Module):
+            def __init__(self):
+                super().__init__()
+                rev = list(reversed(widths))
+                self.conv_in = nn.Conv2d(latent, rev[0], 3, padding=1)
+                self.mid_block = Mid(rev[0])
+                self.up_blocks = nn.ModuleList(
+                    [
+                        UpBlock(rev[max(i - 1, 0)], w, i == len(rev) - 1)
+                        for i, w in enumerate(rev)
+                    ]
+                )
+                self.conv_norm_out = nn.GroupNorm(groups, rev[-1], eps=1e-6)
+                self.conv_out = nn.Conv2d(rev[-1], 3, 3, padding=1)
+
+            def forward(self, z):
+                h = self.mid_block(self.conv_in(z))
+                for b in self.up_blocks:
+                    h = b(h)
+                return self.conv_out(F.silu(self.conv_norm_out(h)))
+
+        class AutoKL(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.encoder = Encoder()
+                self.decoder = Decoder()
+                self.quant_conv = nn.Conv2d(2 * latent, 2 * latent, 1)
+                self.post_quant_conv = nn.Conv2d(latent, latent, 1)
+
+            def moments(self, x):
+                mean, logvar = self.quant_conv(self.encoder(x)).chunk(2, dim=1)
+                return mean, logvar.clamp(-30.0, 20.0)
+
+            def decode(self, z):
+                return self.decoder(self.post_quant_conv(z))
+
+        return AutoKL()
+
+    def test_parity(self) -> None:
+        from skrample_tpu.models.import_weights import diffusers_vae
+
+        torch.manual_seed(5)
+        ref = self._torch_vae().eval()
+        vae, params = diffusers_vae((ref.state_dict(), self.CFG))
+        assert vae.config.norm_affine and vae.config.quant_convs
+        assert vae.config.widths() == [32, 64] and vae.config.groups == 8
+
+        x = torch.randn(2, 3, 16, 16, generator=torch.Generator().manual_seed(6))
+        with torch.no_grad():
+            mean_t, logvar_t = ref.moments(x)
+        mean_j, logvar_j = vae.posterior(params, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(logvar_j), logvar_t.numpy(), atol=5e-5)
+
+        # encode(key=None) is the scaled posterior mode
+        np.testing.assert_allclose(
+            np.asarray(vae.encode(params, jnp.asarray(x.numpy()))),
+            mean_t.numpy() * vae.config.scaling_factor,
+            atol=5e-5,
+        )
+
+        z = torch.randn(2, 4, 8, 8, generator=torch.Generator().manual_seed(7))
+        with torch.no_grad():
+            pix_t = ref.decode(z)
+        # our decode takes the SCALED latent (divides by scaling_factor first)
+        pix_j = vae.decode(params, jnp.asarray(z.numpy()) * vae.config.scaling_factor)
+        np.testing.assert_allclose(np.asarray(pix_j), pix_t.numpy(), atol=5e-5)
+
+    def test_rejects_unmapped_keys(self) -> None:
+        from skrample_tpu.models.import_weights import diffusers_vae
+
+        torch.manual_seed(8)
+        ref = self._torch_vae()
+        sd = dict(ref.state_dict())
+        sd["encoder.mystery.weight"] = torch.zeros(1)
+        with pytest.raises(ValueError, match="unmapped"):
+            diffusers_vae((sd, self.CFG))
+
+    def test_rejects_foreign_width_ladder(self) -> None:
+        from skrample_tpu.models.import_weights import vae_config
+
+        with pytest.raises(ValueError, match="ladder"):
+            vae_config({**self.CFG, "block_out_channels": (32, 48)})
+
+    def test_legacy_attention_naming(self) -> None:
+        "Pre-0.15 checkpoints: query/key/value/proj_attn stored as 1x1 convs."
+        from skrample_tpu.models.import_weights import diffusers_vae
+
+        torch.manual_seed(9)
+        ref = self._torch_vae().eval()
+        sd = dict(ref.state_dict())
+        for blk in ("encoder.mid_block.attentions.0", "decoder.mid_block.attentions.0"):
+            for new, old in (("to_q", "query"), ("to_k", "key"), ("to_v", "value"), ("to_out.0", "proj_attn")):
+                w = sd.pop(f"{blk}.{new}.weight")
+                sd[f"{blk}.{old}.weight"] = w[:, :, None, None]  # as 1x1 conv
+                sd[f"{blk}.{old}.bias"] = sd.pop(f"{blk}.{new}.bias")
+        vae, params = diffusers_vae((sd, self.CFG))
+        x = torch.randn(1, 3, 16, 16, generator=torch.Generator().manual_seed(10))
+        with torch.no_grad():
+            mean_t, _ = ref.moments(x)
+        mean_j, _ = vae.posterior(params, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(), atol=5e-5)
+
+
 class TestT5:
     T5_CFG = dict(
         vocab_size=120,
