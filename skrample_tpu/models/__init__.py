@@ -7,7 +7,7 @@ from .dit import DiT, DiTConfig
 from .ema import ema_decay_schedule, ema_init, ema_update
 # NOTE: the t5 loaders stay at models.import_weights.{t5_config,t5_encoder} —
 # re-exporting the function here would shadow the .t5_encoder submodule name
-from .import_weights import clip_text_config, clip_text_encoder
+from .import_weights import clip_text_config, clip_text_encoder, diffusers_vae, sd3_mmdit
 from .mmdit import MMDiT, MMDiTConfig
 from .t5_encoder import T5Encoder, T5EncoderConfig
 from .text_encoder import ByteTokenizer, TextEncoder, TextEncoderConfig
@@ -34,6 +34,8 @@ __all__ = [
     "VideoDiTConfig",
     "clip_text_config",
     "clip_text_encoder",
+    "diffusers_vae",
+    "sd3_mmdit",
     "ema_decay_schedule",
     "ema_init",
     "ema_update",

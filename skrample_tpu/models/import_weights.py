@@ -28,6 +28,7 @@ from typing import Any, Mapping
 import jax.numpy as jnp
 import numpy as np
 
+from .mmdit import MMDiT, MMDiTConfig
 from .t5_encoder import T5Encoder, T5EncoderConfig
 from .text_encoder import TextEncoder, TextEncoderConfig
 from .vae import VAE, VAEConfig
@@ -275,6 +276,135 @@ def diffusers_vae(source: Any) -> tuple[VAE, dict]:
     if leftover := sd.leftovers():
         raise ValueError(f"unmapped state-dict keys (first 10): {leftover[:10]}")
     return VAE(config), {"encoder": enc, "decoder": dec}
+
+
+def mmdit_config(hf_config: Any) -> MMDiTConfig:
+    """``diffusers.SD3Transformer2DModel`` config -> :class:`MMDiTConfig`
+    (the SD3 wiring: dedicated pooled input, cropped pos-embed table,
+    pre-only final text stream).  SD3.5-only features (qk RMS-norm, dual
+    attention) are rejected — silently dropping them would corrupt the
+    forward."""
+    if isinstance(hf_config, Mapping):
+        get = lambda k, d=None: hf_config.get(k, d)  # noqa: E731
+    else:
+        get = lambda k, d=None: getattr(hf_config, k, d)  # noqa: E731
+
+    heads = get("num_attention_heads")
+    dim = heads * get("attention_head_dim")
+    if get("caption_projection_dim", dim) != dim:
+        raise ValueError("caption_projection_dim != heads * attention_head_dim")
+    if get("out_channels", get("in_channels")) != get("in_channels"):
+        raise ValueError("in_channels != out_channels")
+    if get("qk_norm") is not None:
+        raise ValueError("qk_norm (SD3.5) is not supported")
+    if get("dual_attention_layers") or ():
+        raise ValueError("dual_attention_layers (SD3.5-medium) are not supported")
+    return MMDiTConfig(
+        patch=get("patch_size", 2),
+        channels=get("in_channels", 16),
+        dim=dim,
+        depth=get("num_layers"),
+        heads=heads,
+        context_dim=get("joint_attention_dim", 4096),
+        pooled_dim=get("pooled_projection_dim", 2048),
+        pos_embed_max=get("pos_embed_max_size", 192),
+        final_txt_pre_only=True,
+        compute_dtype=jnp.float32,
+    )
+
+
+def sd3_mmdit(source: Any) -> tuple[MMDiT, dict]:
+    """Import a ``diffusers.SD3Transformer2DModel`` (or a ``(state_dict,
+    config)`` pair) into ``(MMDiT, params)``.
+
+    Verified against an independently written torch mirror of the published
+    MMDiT architecture (arXiv 2403.03206 / the SD3 release) in
+    ``tests/test_import_weights.py``.  Layout translations beyond the usual
+    linear transpose:
+
+    * q/k/v (and add_*_proj) fuse into our single qkv matmul,
+    * adaLN-zero rows reorder from [shift, scale, gate] x (attn, mlp) to
+      our [shift, gate, scale] grouping; the 2-parameter heads
+      (``norm1_context`` of the final block, ``norm_out``) swap
+      [scale, shift] -> [shift, scale],
+    * ``pos_embed.proj`` (a patch-stride conv) flattens to our patchify
+      dense; ``proj_out`` permutes its per-patch feature order from
+      (p, q, C) to our (C, p, q).
+
+    Every state-dict tensor must be consumed — unmapped keys raise."""
+    if isinstance(source, tuple):
+        raw_sd, hf_config = source
+    else:
+        raw_sd, hf_config = source.state_dict(), source.config
+    config = mmdit_config(hf_config)
+    sd = _TrackedSD(raw_sd)
+    d, p, C = config.dim, config.patch, config.channels
+
+    def ada6(key: str) -> dict:
+        w, b = _np(sd[f"{key}.weight"]), _np(sd[f"{key}.bias"])
+        perm = [0, 2, 1, 3, 5, 4]  # [shift, scale, gate]x2 -> [shift, gate, scale]x2
+        w = np.concatenate([w[g * d : (g + 1) * d] for g in perm], axis=0)
+        b = np.concatenate([b[g * d : (g + 1) * d] for g in perm], axis=0)
+        return {"w": jnp.asarray(w.T), "b": jnp.asarray(b)}
+
+    def ada2(key: str) -> dict:
+        w, b = _np(sd[f"{key}.weight"]), _np(sd[f"{key}.bias"])
+        return {  # [scale, shift] -> [shift, scale]
+            "w": jnp.asarray(np.concatenate([w[d:], w[:d]], axis=0).T),
+            "b": jnp.asarray(np.concatenate([b[d:], b[:d]], axis=0)),
+        }
+
+    def qkv(q: str, k: str, v: str) -> dict:
+        return {
+            "w": jnp.asarray(np.concatenate([_np(sd[f"{n}.weight"]).T for n in (q, k, v)], axis=1)),
+            "b": jnp.concatenate([jnp.asarray(_np(sd[f"{n}.bias"])) for n in (q, k, v)]),
+        }
+
+    blocks = []
+    for i in range(config.depth):
+        blk = f"transformer_blocks.{i}"
+        attn = f"{blk}.attn"
+        img = {
+            "ada": ada6(f"{blk}.norm1.linear"),
+            "qkv": qkv(f"{attn}.to_q", f"{attn}.to_k", f"{attn}.to_v"),
+            "proj": _linear(sd, f"{attn}.to_out.0"),
+            "mlp_in": _linear(sd, f"{blk}.ff.net.0.proj"),
+            "mlp_out": _linear(sd, f"{blk}.ff.net.2"),
+        }
+        txt_qkv = qkv(f"{attn}.add_q_proj", f"{attn}.add_k_proj", f"{attn}.add_v_proj")
+        if i == config.depth - 1:  # context_pre_only
+            txt = {"ada": ada2(f"{blk}.norm1_context.linear"), "qkv": txt_qkv}
+        else:
+            txt = {
+                "ada": ada6(f"{blk}.norm1_context.linear"),
+                "qkv": txt_qkv,
+                "proj": _linear(sd, f"{attn}.to_add_out"),
+                "mlp_in": _linear(sd, f"{blk}.ff_context.net.0.proj"),
+                "mlp_out": _linear(sd, f"{blk}.ff_context.net.2"),
+            }
+        blocks.append({"img": img, "txt": txt})
+
+    # patch conv (dim, C, p, p) contracts the same (C, ph, pw) feature order
+    # our patchify emits, so it flattens straight into the dense weight
+    patch_w = _np(sd["pos_embed.proj.weight"]).reshape(d, C * p * p)
+    # proj_out (p*p*C, dim) is laid out (ph, pw, C); ours is (C, ph, pw)
+    out_w = _np(sd["proj_out.weight"]).reshape(p, p, C, d).transpose(2, 0, 1, 3).reshape(C * p * p, d)
+    out_b = _np(sd["proj_out.bias"]).reshape(p, p, C).transpose(2, 0, 1).reshape(C * p * p)
+    params = {
+        "patch_in": {"w": jnp.asarray(patch_w.T), "b": jnp.asarray(_np(sd["pos_embed.proj.bias"]))},
+        "pos_embed": jnp.asarray(_np(sd["pos_embed.pos_embed"])[0]),
+        "ctx_in": _linear(sd, "context_embedder"),
+        "t_mlp1": _linear(sd, "time_text_embed.timestep_embedder.linear_1"),
+        "t_mlp2": _linear(sd, "time_text_embed.timestep_embedder.linear_2"),
+        "pool_mlp1": _linear(sd, "time_text_embed.text_embedder.linear_1"),
+        "pool_mlp2": _linear(sd, "time_text_embed.text_embedder.linear_2"),
+        "final_mod": ada2("norm_out.linear"),
+        "final_out": {"w": jnp.asarray(out_w.T), "b": jnp.asarray(out_b)},
+        "blocks": blocks,
+    }
+    if leftover := sd.leftovers():
+        raise ValueError(f"unmapped state-dict keys (first 10): {leftover[:10]}")
+    return MMDiT(config), params
 
 
 def t5_config(hf_config: Any) -> T5EncoderConfig:

@@ -67,10 +67,50 @@ class MMDiTConfig:
     sp_axis: str = "sp"
     remat: bool = False
     "Rematerialize each block under ``jax.checkpoint`` (see DiTConfig.remat)."
+    pooled_dim: int = 0
+    """> 0 switches to the published SD3 conditioning wiring for imported
+    checkpoints (``import_weights.sd3_mmdit``): a dedicated pooled-text
+    vector input with its own two-layer MLP, a two-layer timestep MLP, and
+    per-block modulation reading ``silu(t_emb + pooled_emb)``.  The context
+    then passes through verbatim (no learned-null padding; arbitrary static
+    token count), so ``context`` AND ``pooled`` become required inputs.
+    0 (default) keeps the native wiring: pooled text = mean of the context
+    sequence, shared second MLP, learned null context."""
+    pos_embed_max: int = 0
+    """> 0 adds a position-embedding table over a ``(max, max)`` patch grid,
+    center-cropped to the latent's grid at apply time (the SD3 cropped
+    positional embedding — one table serves every resolution up to max).
+    Initialized to factorized 2-D sinusoids; checkpoint imports overwrite
+    it.  0 (default): no positional embedding (the native MMDiT relies on
+    the conv-free patch order only)."""
+    final_txt_pre_only: bool = False
+    """SD3's ``context_pre_only``: the LAST block's text stream contributes
+    q/k/v to the joint attention (under a 2-parameter modulation) but is
+    never updated — no out-projection, MLP, or gates, since its output is
+    discarded after the final block."""
 
     @property
     def head_dim(self) -> int:
         return self.dim // self.heads
+
+    @property
+    def sd3_wiring(self) -> bool:
+        return self.pooled_dim > 0
+
+
+def _sincos_2d(side: int, dim: int) -> jax.Array:
+    """Factorized 2-D sinusoidal position table, ``(side * side, dim)``:
+    half the features encode the row index, half the column (the standard
+    ViT/DiT grid embedding).  Import paths overwrite this with the
+    checkpoint's own table."""
+    half = dim // 2
+    pos = jnp.arange(side, dtype=jnp.float32)
+    freqs = jnp.exp(-jnp.log(10000.0) * jnp.arange(half // 2, dtype=jnp.float32) / (half // 2))
+    args = pos[:, None] * freqs[None]
+    axis = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)  # (side, half)
+    rows = jnp.broadcast_to(axis[:, None, :], (side, side, half))
+    cols = jnp.broadcast_to(axis[None, :, :], (side, side, half))
+    return jnp.concatenate([rows, cols], axis=-1).reshape(side * side, dim)
 
 
 def _stream_init(keys, dim: int, mlp_ratio: int) -> dict:
@@ -95,30 +135,44 @@ class MMDiT:
             raise ValueError(
                 f"MMDiTConfig(attention={config.attention!r}) needs MMDiT(config, mesh=...) with the sp axis"
             )
-        if config.context_tokens % 128:
+        if not config.sd3_wiring and config.context_tokens % 128:
             raise ValueError("context_tokens must be a multiple of 128 (static TPU tiling)")
 
     def init(self, key: jax.Array) -> dict:
         c = self.config
         patch_dim = c.channels * c.patch * c.patch
-        keys = iter(jax.random.split(key, 8 + 10 * c.depth))
+        keys = iter(jax.random.split(key, 12 + 10 * c.depth))
 
         params: dict = {
             "patch_in": _dense_init(next(keys), patch_dim, c.dim),
             "ctx_in": _dense_init(next(keys), c.context_dim, c.dim),
-            "ctx_null": jax.random.normal(next(keys), (c.context_tokens, c.context_dim), jnp.float32) * 0.02,
-            "pool_mlp": _dense_init(next(keys), c.context_dim, c.dim),
             "t_mlp1": _dense_init(next(keys), 256, c.dim),
             "t_mlp2": _dense_init(next(keys), c.dim, c.dim),
             "final_mod": _dense_init(next(keys), c.dim, 2 * c.dim, scale=0.0),
             "final_out": _dense_init(next(keys), c.dim, patch_dim, scale=0.0),
             "blocks": [],
         }
-        for _ in range(c.depth):
+        if c.sd3_wiring:
+            params["pool_mlp1"] = _dense_init(next(keys), c.pooled_dim, c.dim)
+            params["pool_mlp2"] = _dense_init(next(keys), c.dim, c.dim)
+        else:
+            params["ctx_null"] = (
+                jax.random.normal(next(keys), (c.context_tokens, c.context_dim), jnp.float32) * 0.02
+            )
+            params["pool_mlp"] = _dense_init(next(keys), c.context_dim, c.dim)
+        if c.pos_embed_max:
+            params["pos_embed"] = _sincos_2d(c.pos_embed_max, c.dim)
+        for i in range(c.depth):
+            pre_only = c.final_txt_pre_only and i == c.depth - 1
             params["blocks"].append(
                 {
                     "img": _stream_init(keys, c.dim, c.mlp_ratio),
-                    "txt": _stream_init(keys, c.dim, c.mlp_ratio),
+                    "txt": {
+                        "qkv": _dense_init(next(keys), c.dim, 3 * c.dim),
+                        "ada": _dense_init(next(keys), c.dim, 2 * c.dim, scale=0.0),
+                    }
+                    if pre_only
+                    else _stream_init(keys, c.dim, c.mlp_ratio),
                 }
             )
         return params
@@ -131,18 +185,34 @@ class MMDiT:
         if quantized:
             col = {"w_q": {"q": P(None, "tp"), "s": P("tp")}, "b": P("tp")}
             row = {"w_q": {"q": P("tp", None), "s": P()}, "b": P()}
+        c = self.config
         stream = {"qkv": col, "proj": row, "mlp_in": col, "mlp_out": row, "ada": rep}
-        return {
+        spec: dict = {
             "patch_in": rep,
             "ctx_in": rep,
-            "ctx_null": P(),
-            "pool_mlp": rep,
             "t_mlp1": rep,
             "t_mlp2": rep,
             "final_mod": rep,
             "final_out": rep,
-            "blocks": [{"img": dict(stream), "txt": dict(stream)} for _ in range(self.config.depth)],
+            "blocks": [
+                {
+                    "img": dict(stream),
+                    "txt": {"qkv": dict(col), "ada": dict(rep)}
+                    if c.final_txt_pre_only and i == c.depth - 1
+                    else dict(stream),
+                }
+                for i in range(c.depth)
+            ],
         }
+        if c.sd3_wiring:
+            spec["pool_mlp1"] = rep
+            spec["pool_mlp2"] = rep
+        else:
+            spec["ctx_null"] = P()
+            spec["pool_mlp"] = rep
+        if c.pos_embed_max:
+            spec["pos_embed"] = P()
+        return spec
 
     # patchify/unpatchify shared with the DiT layout
     def patchify(self, x: jax.Array) -> jax.Array:
@@ -164,6 +234,13 @@ class MMDiT:
         context_dim): truncate or pad with the learned null embedding.
         ``context=None`` is the unconditional branch (all-null)."""
         c = self.config
+        if c.sd3_wiring:
+            if context is None:
+                raise ValueError(
+                    "SD3-wired MMDiT has no learned null context: pass the encoded "
+                    "empty prompt as the unconditional context"
+                )
+            return context
         null = jnp.broadcast_to(params["ctx_null"], (batch, c.context_tokens, c.context_dim))
         if context is None:
             return null
@@ -172,18 +249,36 @@ class MMDiT:
             return context[:, : c.context_tokens]
         return jnp.concatenate([context, null[:, M:]], axis=1)
 
-    def apply(self, params: dict, x: jax.Array, t: jax.Array, context: jax.Array | None = None) -> jax.Array:
-        "(B, C, H, W), (B,) timestep, (B, M, context_dim) -> same-shape prediction."
+    def apply(
+        self,
+        params: dict,
+        x: jax.Array,
+        t: jax.Array,
+        context: jax.Array | None = None,
+        pooled: jax.Array | None = None,
+    ) -> jax.Array:
+        """(B, C, H, W), (B,) timestep, (B, M, context_dim) -> same-shape
+        prediction.  ``pooled`` (B, pooled_dim) is required with the SD3
+        wiring (``pooled_dim > 0``) and rejected otherwise."""
         c = self.config
         dtype = c.compute_dtype
         B, _C, H, W = x.shape
         in_dtype = x.dtype
 
+        if (pooled is not None) != c.sd3_wiring:
+            raise ValueError("pooled= goes with MMDiTConfig(pooled_dim > 0), and is required there")
         if jnp.ndim(t) == 0:
             t = jnp.broadcast_to(t, (B,))
         context = self.embed_context(params, context, B).astype(dtype)
 
         img = _dense(params["patch_in"], self.patchify(x).astype(dtype), dtype)
+        if c.pos_embed_max:
+            grid_h, grid_w = H // c.patch, W // c.patch
+            table = params["pos_embed"].reshape(c.pos_embed_max, c.pos_embed_max, c.dim)
+            top = (c.pos_embed_max - grid_h) // 2
+            left = (c.pos_embed_max - grid_w) // 2
+            crop = table[top : top + grid_h, left : left + grid_w].reshape(grid_h * grid_w, c.dim)
+            img = img + crop.astype(dtype)
         txt = _dense(params["ctx_in"], context, dtype)
         if c.attention in ("ring", "ulysses") and self.mesh is not None:
             # both residual streams stay token-sharded over sp end to end:
@@ -195,10 +290,23 @@ class MMDiT:
             img = jax.lax.with_sharding_constraint(img, sharding)
             txt = jax.lax.with_sharding_constraint(txt, sharding)
 
-        # SD3-style conditioning vector: timestep features + pooled text
-        temb = _dense(params["t_mlp1"], _timestep_embedding(t, 256).astype(dtype), dtype)
-        pooled = _dense(params["pool_mlp"], context.mean(axis=1), dtype)
-        cond = jax.nn.silu(_dense(params["t_mlp2"], jax.nn.silu(temb + pooled), dtype))
+        # conditioning vector: timestep features + pooled text
+        tfeat = _timestep_embedding(t, 256).astype(dtype)
+        if c.sd3_wiring:
+            # published SD3 wiring: two separate linear-silu-linear MLPs
+            # summed; every consumer applies silu(t_emb + pooled_emb), so
+            # the silu is taken once here
+            temb = _dense(params["t_mlp2"], jax.nn.silu(_dense(params["t_mlp1"], tfeat, dtype)), dtype)
+            pemb = _dense(
+                params["pool_mlp2"],
+                jax.nn.silu(_dense(params["pool_mlp1"], pooled.astype(dtype), dtype)),
+                dtype,
+            )
+            cond = jax.nn.silu(temb + pemb)
+        else:
+            temb = _dense(params["t_mlp1"], tfeat, dtype)
+            pool = _dense(params["pool_mlp"], context.mean(axis=1), dtype)
+            cond = jax.nn.silu(_dense(params["t_mlp2"], jax.nn.silu(temb + pool), dtype))
 
         block_fn = self._block
         if c.remat:
@@ -255,22 +363,31 @@ class MMDiT:
         "One dual-stream block: per-stream adaLN-zero, one joint attention."
         c = self.config
         dtype = c.compute_dtype
+        txt_pre_only = "proj" not in block["txt"]
 
         mods_i = jnp.split(_dense(block["img"]["ada"], cond, dtype), 6, axis=-1)
-        mods_t = jnp.split(_dense(block["txt"]["ada"], cond, dtype), 6, axis=-1)
         (si_a, gi_a, ci_a, si_m, gi_m, ci_m) = mods_i
-        (st_a, gt_a, ct_a, st_m, gt_m, ct_m) = mods_t
+        if txt_pre_only:
+            # SD3 context_pre_only: the text stream only FEEDS this block's
+            # joint attention (2-param modulation, no gates) — its output
+            # is discarded, so there is no out-projection or MLP to run
+            st_a, ct_a = jnp.split(_dense(block["txt"]["ada"], cond, dtype), 2, axis=-1)
+        else:
+            mods_t = jnp.split(_dense(block["txt"]["ada"], cond, dtype), 6, axis=-1)
+            (st_a, gt_a, ct_a, st_m, gt_m, ct_m) = mods_t
 
         qkv_img = _dense(block["img"]["qkv"], _adaln(img, si_a, ci_a), dtype)
         qkv_txt = _dense(block["txt"]["qkv"], _adaln(txt, st_a, ct_a), dtype)
         attn_img, attn_txt = self._joint_attention(qkv_img, qkv_txt)
         img = img + gi_a[:, None] * _dense(block["img"]["proj"], attn_img, dtype)
-        txt = txt + gt_a[:, None] * _dense(block["txt"]["proj"], attn_txt, dtype)
 
         h = _adaln(img, si_m, ci_m)
         h = _dense(block["img"]["mlp_out"], jax.nn.gelu(_dense(block["img"]["mlp_in"], h, dtype)), dtype)
         img = img + gi_m[:, None] * h
+        if txt_pre_only:
+            return img, txt
 
+        txt = txt + gt_a[:, None] * _dense(block["txt"]["proj"], attn_txt, dtype)
         h = _adaln(txt, st_m, ct_m)
         h = _dense(block["txt"]["mlp_out"], jax.nn.gelu(_dense(block["txt"]["mlp_in"], h, dtype)), dtype)
         txt = txt + gt_m[:, None] * h
@@ -281,31 +398,61 @@ class MMDiT:
         from ..ops.quant import quantize_params
 
         return quantize_params(
-            params, exclude=frozenset({"ada", "final_mod", "t_mlp1", "t_mlp2", "pool_mlp", "ctx_in"})
+            params,
+            exclude=frozenset(
+                {"ada", "final_mod", "t_mlp1", "t_mlp2", "pool_mlp", "pool_mlp1", "pool_mlp2", "ctx_in"}
+            ),
         )
 
-    def as_sampleable(self, params: dict, context: jax.Array | None = None, guidance_scale: float = 1.0):
+    def as_sampleable(
+        self,
+        params: dict,
+        context: jax.Array | None = None,
+        guidance_scale: float = 1.0,
+        pooled: jax.Array | None = None,
+        uncond_context: jax.Array | None = None,
+        uncond_pooled: jax.Array | None = None,
+    ):
         """Sampling closure with conditioning bound.
 
-        ``guidance_scale != 1`` runs classifier-free guidance against the
-        learned null context (both branches in one batched forward)."""
+        ``guidance_scale != 1`` runs classifier-free guidance, both branches
+        in one batched forward.  The unconditional branch is the learned
+        null context natively; with the SD3 wiring there is no learned null,
+        so guided sampling requires ``uncond_context``/``uncond_pooled``
+        (the encoded empty prompt, the SD3 pipelines' convention)."""
+        sd3 = self.config.sd3_wiring
 
         if context is None or guidance_scale == 1.0:
 
             def model_fn(x, t, s, a):
-                return self.apply(params, x, t, context)
+                return self.apply(params, x, t, context, pooled=pooled)
 
             return model_fn
 
+        if sd3 and (uncond_context is None or uncond_pooled is None):
+            raise ValueError("SD3-wired guidance needs uncond_context= and uncond_pooled=")
+
         def guided_fn(x, t, s, a):
             B = x.shape[0]
-            ctx_c = self.embed_context(params, context, B)
-            ctx_u = self.embed_context(params, None, B)
+            if sd3:
+                ctx_c = jnp.broadcast_to(context, (B, *context.shape[-2:]))
+                ctx_u = jnp.broadcast_to(uncond_context, (B, *uncond_context.shape[-2:]))
+                pool = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(pooled, (B, pooled.shape[-1])),
+                        jnp.broadcast_to(uncond_pooled, (B, uncond_pooled.shape[-1])),
+                    ]
+                )
+            else:
+                ctx_c = self.embed_context(params, context, B)
+                ctx_u = self.embed_context(params, None, B)
+                pool = None
             both = self.apply(
                 params,
                 jnp.concatenate([x, x]),
                 jnp.broadcast_to(t, (2 * B,)) if jnp.ndim(t) == 0 else jnp.concatenate([t, t]),
                 jnp.concatenate([ctx_c, ctx_u]),
+                pooled=pool,
             )
             c_out, u_out = both[:B], both[B:]
             return u_out + guidance_scale * (c_out - u_out)

@@ -343,6 +343,264 @@ class TestVAE:
         np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(), atol=5e-5)
 
 
+class TestSD3:
+    """SD3 transformer (MMDiT) import oracle.
+
+    As with the VAE, the oracle is an independently written torch mirror of
+    the *published* MMDiT architecture (arXiv 2403.03206 / the SD3 release:
+    dual-stream blocks with adaLN-zero modulation meeting in one joint
+    attention, pre-only final text stream, cropped positional embedding,
+    timestep + pooled-text conditioning MLPs) with module names chosen to
+    produce diffusers' exact SD3Transformer2DModel state-dict keys."""
+
+    CFG = dict(
+        num_attention_heads=4,
+        attention_head_dim=16,
+        num_layers=2,
+        patch_size=2,
+        in_channels=4,
+        out_channels=4,
+        joint_attention_dim=32,
+        pooled_projection_dim=40,
+        caption_projection_dim=64,
+        pos_embed_max_size=8,
+        qk_norm=None,
+    )
+
+    @classmethod
+    def _torch_sd3(cls):
+        import math as _math
+
+        import torch.nn as nn
+        import torch.nn.functional as F
+
+        heads = cls.CFG["num_attention_heads"]
+        hd = cls.CFG["attention_head_dim"]
+        d = heads * hd
+        depth = cls.CFG["num_layers"]
+        patch = cls.CFG["patch_size"]
+        chans = cls.CFG["in_channels"]
+        ctx_d = cls.CFG["joint_attention_dim"]
+        pool_d = cls.CFG["pooled_projection_dim"]
+        pmax = cls.CFG["pos_embed_max_size"]
+
+        def ln(x):
+            return F.layer_norm(x, (d,), eps=1e-6)
+
+        class GELUProj(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = nn.Linear(d, 4 * d)
+
+            def forward(self, x):
+                return F.gelu(self.proj(x), approximate="tanh")
+
+        class FF(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.net = nn.ModuleList([GELUProj(), nn.Identity(), nn.Linear(4 * d, d)])
+
+            def forward(self, x):
+                return self.net[2](self.net[0](x))
+
+        class Attn(nn.Module):
+            def __init__(self, pre_only):
+                super().__init__()
+                self.to_q = nn.Linear(d, d)
+                self.to_k = nn.Linear(d, d)
+                self.to_v = nn.Linear(d, d)
+                self.add_q_proj = nn.Linear(d, d)
+                self.add_k_proj = nn.Linear(d, d)
+                self.add_v_proj = nn.Linear(d, d)
+                self.to_out = nn.ModuleList([nn.Linear(d, d)])
+                if not pre_only:
+                    self.to_add_out = nn.Linear(d, d)
+
+            def forward(self, img_mod, txt_mod):
+                B, N = img_mod.shape[:2]
+                q = torch.cat([self.to_q(img_mod), self.add_q_proj(txt_mod)], dim=1)
+                k = torch.cat([self.to_k(img_mod), self.add_k_proj(txt_mod)], dim=1)
+                v = torch.cat([self.to_v(img_mod), self.add_v_proj(txt_mod)], dim=1)
+
+                def split(x):
+                    return x.reshape(B, -1, heads, hd).transpose(1, 2)
+
+                a = torch.softmax(split(q) @ split(k).transpose(2, 3) / _math.sqrt(hd), dim=-1)
+                o = (a @ split(v)).transpose(1, 2).reshape(B, -1, d)
+                return o[:, :N], o[:, N:]
+
+        class AdaLinear(nn.Module):
+            def __init__(self, n):
+                super().__init__()
+                self.linear = nn.Linear(d, n * d)
+
+        class Block(nn.Module):
+            def __init__(self, pre_only):
+                super().__init__()
+                self.pre_only = pre_only
+                self.norm1 = AdaLinear(6)
+                self.norm1_context = AdaLinear(2 if pre_only else 6)
+                self.attn = Attn(pre_only)
+                self.ff = FF()
+                if not pre_only:
+                    self.ff_context = FF()
+
+            def forward(self, img, txt, temb):
+                sh_a, sc_a, g_a, sh_m, sc_m, g_m = self.norm1.linear(F.silu(temb)).chunk(6, dim=1)
+                img_mod = ln(img) * (1 + sc_a[:, None]) + sh_a[:, None]
+                if self.pre_only:
+                    sc, sh = self.norm1_context.linear(F.silu(temb)).chunk(2, dim=1)
+                    txt_mod = ln(txt) * (1 + sc[:, None]) + sh[:, None]
+                else:
+                    tsh_a, tsc_a, tg_a, tsh_m, tsc_m, tg_m = self.norm1_context.linear(
+                        F.silu(temb)
+                    ).chunk(6, dim=1)
+                    txt_mod = ln(txt) * (1 + tsc_a[:, None]) + tsh_a[:, None]
+                img_attn, txt_attn = self.attn(img_mod, txt_mod)
+                img = img + g_a[:, None] * self.attn.to_out[0](img_attn)
+                img = img + g_m[:, None] * self.ff(ln(img) * (1 + sc_m[:, None]) + sh_m[:, None])
+                if self.pre_only:
+                    return img, txt
+                txt = txt + tg_a[:, None] * self.attn.to_add_out(txt_attn)
+                txt = txt + tg_m[:, None] * self.ff_context(
+                    ln(txt) * (1 + tsc_m[:, None]) + tsh_m[:, None]
+                )
+                return img, txt
+
+        class PatchEmbed(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = nn.Conv2d(chans, d, patch, stride=patch)
+                self.register_buffer("pos_embed", torch.randn(1, pmax * pmax, d) * 0.02)
+
+            def forward(self, x):
+                h = self.proj(x).flatten(2).transpose(1, 2)
+                gh, gw = x.shape[2] // patch, x.shape[3] // patch
+                top, left = (pmax - gh) // 2, (pmax - gw) // 2
+                table = self.pos_embed.reshape(1, pmax, pmax, d)
+                crop = table[:, top : top + gh, left : left + gw].reshape(1, gh * gw, d)
+                return h + crop
+
+        class TwoLayer(nn.Module):
+            def __init__(self, d_in):
+                super().__init__()
+                self.linear_1 = nn.Linear(d_in, d)
+                self.linear_2 = nn.Linear(d, d)
+
+            def forward(self, x):
+                return self.linear_2(F.silu(self.linear_1(x)))
+
+        class TimeText(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.timestep_embedder = TwoLayer(256)
+                self.text_embedder = TwoLayer(pool_d)
+
+        class SD3Mini(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.pos_embed = PatchEmbed()
+                self.time_text_embed = TimeText()
+                self.context_embedder = nn.Linear(ctx_d, d)
+                self.transformer_blocks = nn.ModuleList(
+                    [Block(pre_only=(i == depth - 1)) for i in range(depth)]
+                )
+                self.norm_out = AdaLinear(2)
+                self.proj_out = nn.Linear(d, patch * patch * chans)
+
+            def forward(self, x, t, context, pooled):
+                B, _, H, W = x.shape
+                img = self.pos_embed(x)
+                txt = self.context_embedder(context)
+                freqs = torch.exp(
+                    -_math.log(10000.0) * torch.arange(128, dtype=torch.float32) / 128.0
+                )
+                args = t.float()[:, None] * freqs[None]
+                sin_emb = torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+                temb = self.time_text_embed.timestep_embedder(sin_emb) + self.time_text_embed.text_embedder(pooled)
+                for blk in self.transformer_blocks:
+                    img, txt = blk(img, txt, temb)
+                sc, sh = self.norm_out.linear(F.silu(temb)).chunk(2, dim=1)
+                img = ln(img) * (1 + sc[:, None]) + sh[:, None]
+                out = self.proj_out(img)
+                gh, gw = H // patch, W // patch
+                out = out.reshape(B, gh, gw, patch, patch, chans)
+                return out.permute(0, 5, 1, 3, 2, 4).reshape(B, chans, H, W)
+
+        return SD3Mini()
+
+    def _parity_at(self, ref, H: int, W: int, batch: int, seed: int) -> None:
+        from skrample_tpu.models.import_weights import sd3_mmdit
+
+        mmdit, params = sd3_mmdit((ref.state_dict(), self.CFG))
+        assert mmdit.config.sd3_wiring and mmdit.config.final_txt_pre_only
+
+        gen = torch.Generator().manual_seed(seed)
+        x = torch.randn(batch, 4, H, W, generator=gen)
+        t = torch.rand(batch, generator=gen) * 1000.0
+        ctx = torch.randn(batch, 24, 32, generator=gen)
+        pooled = torch.randn(batch, 40, generator=gen)
+        with torch.no_grad():
+            want = ref(x, t, ctx, pooled).numpy()
+        got = mmdit.apply(
+            params,
+            jnp.asarray(x.numpy()),
+            jnp.asarray(t.numpy()),
+            jnp.asarray(ctx.numpy()),
+            pooled=jnp.asarray(pooled.numpy()),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+    def test_parity(self) -> None:
+        torch.manual_seed(11)
+        ref = self._torch_sd3().eval()
+        self._parity_at(ref, H=8, W=8, batch=2, seed=12)
+
+    def test_parity_cropped_pos_embed(self) -> None:
+        "A larger latent exercises the off-center pos-embed crop."
+        torch.manual_seed(13)
+        ref = self._torch_sd3().eval()
+        self._parity_at(ref, H=12, W=12, batch=1, seed=14)
+
+    def test_rejects_sd35_features(self) -> None:
+        from skrample_tpu.models.import_weights import mmdit_config
+
+        with pytest.raises(ValueError, match="qk_norm"):
+            mmdit_config({**self.CFG, "qk_norm": "rms_norm"})
+        with pytest.raises(ValueError, match="dual_attention"):
+            mmdit_config({**self.CFG, "dual_attention_layers": (0, 1)})
+
+    def test_rejects_unmapped_keys(self) -> None:
+        from skrample_tpu.models.import_weights import sd3_mmdit
+
+        torch.manual_seed(15)
+        sd = dict(self._torch_sd3().state_dict())
+        sd["transformer_blocks.0.attn.mystery.weight"] = torch.zeros(1)
+        with pytest.raises(ValueError, match="unmapped"):
+            sd3_mmdit((sd, self.CFG))
+
+    def test_guided_closure(self) -> None:
+        "CFG through the imported tree: explicit uncond context, SD3-style."
+        from skrample_tpu.models.import_weights import sd3_mmdit
+
+        torch.manual_seed(16)
+        mmdit, params = sd3_mmdit((self._torch_sd3().state_dict(), self.CFG))
+        gen = torch.Generator().manual_seed(17)
+        ctx = jnp.asarray(torch.randn(1, 24, 32, generator=gen).numpy())
+        pooled = jnp.asarray(torch.randn(1, 40, generator=gen).numpy())
+        fn = mmdit.as_sampleable(
+            params,
+            ctx,
+            guidance_scale=4.0,
+            pooled=pooled,
+            uncond_context=jnp.zeros_like(ctx),
+            uncond_pooled=jnp.zeros_like(pooled),
+        )
+        x = jnp.asarray(torch.randn(1, 4, 8, 8, generator=gen).numpy())
+        out = fn(x, 500.0, None, None)
+        assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+
+
 class TestT5:
     T5_CFG = dict(
         vocab_size=120,
