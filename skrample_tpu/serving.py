@@ -297,7 +297,10 @@ class ServingEngine:
         if batch[0][3] is not None:
             stack = [context for *_, context, _ in batch]
             stack += [stack[0]] * (bucket - n)
-            ctx = jnp.stack(stack)
+            # pin the engine dtype: an off-dtype context (f64 literals under
+            # x64, bf16 encoder output) would otherwise promote the denoise
+            # scan carry (a TypeError) or split the bucket executable
+            ctx = jnp.stack(stack).astype(self.dtype)
         x0, noises = self._prepare(keys, initials, start)
 
         if ctx is None:

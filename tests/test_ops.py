@@ -11,7 +11,17 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_enable_x64", True)
+@pytest.fixture(autouse=True, scope="module")
+def _x64():
+    """This module's oracles compare against the float64 polymorphic spec,
+    so x64 is on for its tests — and RESTORED after, since a leaked global
+    x64 silently changes every later module's dtypes (weak-type f64
+    literals promoted scan carries in test_serving when this was a
+    module-level ``jax.config.update``)."""
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", old)
 
 from fixture_common import MODEL_TYPES
 from skrample_tpu import ops, scheduling
