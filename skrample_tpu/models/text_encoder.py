@@ -203,8 +203,13 @@ class TextEncoder:
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v.reshape(shape), preferred_element_type=jnp.float32)
         return out.reshape(B, L, c.dim).astype(qkv.dtype)
 
-    def apply(self, params: dict, ids: jax.Array) -> jax.Array:
-        "(B, L) int32 ids -> (B, L, dim) sequence features (final-LN'd, f32)."
+    def apply(self, params: dict, ids: jax.Array, layer_skip: int = 0) -> jax.Array:
+        """(B, L) int32 ids -> (B, L, dim) sequence features (final-LN'd, f32).
+
+        ``layer_skip=k`` stops k blocks early and returns the RAW hidden
+        state (no final LN) — transformers' ``hidden_states[-(k+1)]``.  SD3
+        conditions on the penultimate CLIP states (``layer_skip=1``, the
+        "clip skip" convention) while pooling from the full tower."""
         c = self.config
         dtype = c.compute_dtype
         L = ids.shape[-1]
@@ -212,12 +217,15 @@ class TextEncoder:
             raise ValueError(f"sequence length {L} > max_tokens {c.max_tokens}")
 
         act = _ACTIVATIONS[c.act]
+        blocks = params["blocks"][: len(params["blocks"]) - layer_skip] if layer_skip else params["blocks"]
         h = (params["tok_embed"][ids] + params["pos_embed"][:L]).astype(dtype)
-        for block in params["blocks"]:
+        for block in blocks:
             norm = self._ln(h, block.get("ln1"))
             h = h + _dense(block["proj"], self._attention(_dense(block["qkv"], norm, dtype)), dtype)
             norm = self._ln(h, block.get("ln2"))
             h = h + _dense(block["mlp_out"], act(_dense(block["mlp_in"], norm, dtype)), dtype)
+        if layer_skip:
+            return h.astype(jnp.float32)
         return self._ln(h, params.get("final_ln")).astype(jnp.float32)
 
     def encode(self, params: dict, ids: jax.Array) -> tuple[jax.Array, jax.Array]:
