@@ -281,9 +281,9 @@ def diffusers_vae(source: Any) -> tuple[VAE, dict]:
 def mmdit_config(hf_config: Any) -> MMDiTConfig:
     """``diffusers.SD3Transformer2DModel`` config -> :class:`MMDiTConfig`
     (the SD3 wiring: dedicated pooled input, cropped pos-embed table,
-    pre-only final text stream).  SD3.5-only features (qk RMS-norm, dual
-    attention) are rejected — silently dropping them would corrupt the
-    forward."""
+    pre-only final text stream; SD3.5-large's qk RMS-norm supported).
+    SD3.5-medium's dual attention is rejected — silently dropping it would
+    corrupt the forward."""
     if isinstance(hf_config, Mapping):
         get = lambda k, d=None: hf_config.get(k, d)  # noqa: E731
     else:
@@ -295,8 +295,8 @@ def mmdit_config(hf_config: Any) -> MMDiTConfig:
         raise ValueError("caption_projection_dim != heads * attention_head_dim")
     if get("out_channels", get("in_channels")) != get("in_channels"):
         raise ValueError("in_channels != out_channels")
-    if get("qk_norm") is not None:
-        raise ValueError("qk_norm (SD3.5) is not supported")
+    if get("qk_norm") not in (None, "rms_norm"):
+        raise ValueError(f"unsupported qk_norm {get('qk_norm')!r}")
     if get("dual_attention_layers") or ():
         raise ValueError("dual_attention_layers (SD3.5-medium) are not supported")
     return MMDiTConfig(
@@ -309,6 +309,7 @@ def mmdit_config(hf_config: Any) -> MMDiTConfig:
         pooled_dim=get("pooled_projection_dim", 2048),
         pos_embed_max=get("pos_embed_max_size", 192),
         final_txt_pre_only=True,
+        qk_norm=get("qk_norm") == "rms_norm",
         compute_dtype=jnp.float32,
     )
 
@@ -382,6 +383,11 @@ def sd3_mmdit(source: Any) -> tuple[MMDiT, dict]:
                 "mlp_in": _linear(sd, f"{blk}.ff_context.net.0.proj"),
                 "mlp_out": _linear(sd, f"{blk}.ff_context.net.2"),
             }
+        if config.qk_norm:
+            img["q_norm"] = jnp.asarray(_np(sd[f"{attn}.norm_q.weight"]))
+            img["k_norm"] = jnp.asarray(_np(sd[f"{attn}.norm_k.weight"]))
+            txt["q_norm"] = jnp.asarray(_np(sd[f"{attn}.norm_added_q.weight"]))
+            txt["k_norm"] = jnp.asarray(_np(sd[f"{attn}.norm_added_k.weight"]))
         blocks.append({"img": img, "txt": txt})
 
     # patch conv (dim, C, p, p) contracts the same (C, ph, pw) feature order

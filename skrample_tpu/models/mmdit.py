@@ -88,6 +88,11 @@ class MMDiTConfig:
     q/k/v to the joint attention (under a 2-parameter modulation) but is
     never updated — no out-projection, MLP, or gates, since its output is
     discarded after the final block."""
+    qk_norm: bool = False
+    """SD3.5's per-head RMS normalization of q and k after projection
+    (learned (head_dim,) scales, eps 1e-6), applied in place on the fused
+    qkv tensor so every attention scheme (flash/full/ring/ulysses) sees
+    normalized heads."""
 
     @property
     def head_dim(self) -> int:
@@ -164,17 +169,20 @@ class MMDiT:
             params["pos_embed"] = _sincos_2d(c.pos_embed_max, c.dim)
         for i in range(c.depth):
             pre_only = c.final_txt_pre_only and i == c.depth - 1
-            params["blocks"].append(
-                {
-                    "img": _stream_init(keys, c.dim, c.mlp_ratio),
-                    "txt": {
-                        "qkv": _dense_init(next(keys), c.dim, 3 * c.dim),
-                        "ada": _dense_init(next(keys), c.dim, 2 * c.dim, scale=0.0),
-                    }
-                    if pre_only
-                    else _stream_init(keys, c.dim, c.mlp_ratio),
+            block = {
+                "img": _stream_init(keys, c.dim, c.mlp_ratio),
+                "txt": {
+                    "qkv": _dense_init(next(keys), c.dim, 3 * c.dim),
+                    "ada": _dense_init(next(keys), c.dim, 2 * c.dim, scale=0.0),
                 }
-            )
+                if pre_only
+                else _stream_init(keys, c.dim, c.mlp_ratio),
+            }
+            if c.qk_norm:
+                for stream in block.values():
+                    stream["q_norm"] = jnp.ones((c.head_dim,), jnp.float32)
+                    stream["k_norm"] = jnp.ones((c.head_dim,), jnp.float32)
+            params["blocks"].append(block)
         return params
 
     def param_spec(self, quantized: bool = False) -> dict:
@@ -187,6 +195,10 @@ class MMDiT:
             row = {"w_q": {"q": P("tp", None), "s": P()}, "b": P()}
         c = self.config
         stream = {"qkv": col, "proj": row, "mlp_in": col, "mlp_out": row, "ada": rep}
+        pre_stream: dict = {"qkv": dict(col), "ada": dict(rep)}
+        if c.qk_norm:
+            stream = {**stream, "q_norm": P(), "k_norm": P()}
+            pre_stream = {**pre_stream, "q_norm": P(), "k_norm": P()}
         spec: dict = {
             "patch_in": rep,
             "ctx_in": rep,
@@ -197,7 +209,7 @@ class MMDiT:
             "blocks": [
                 {
                     "img": dict(stream),
-                    "txt": {"qkv": dict(col), "ada": dict(rep)}
+                    "txt": dict(pre_stream)
                     if c.final_txt_pre_only and i == c.depth - 1
                     else dict(stream),
                 }
@@ -359,6 +371,20 @@ class MMDiT:
             out = _packed_reference(q, k, v, c.heads)
         return out[:, :N], out[:, N:]
 
+    def _qk_norm(self, qkv: jax.Array, q_scale: jax.Array, k_scale: jax.Array) -> jax.Array:
+        "Per-head RMS-normalize the q and k thirds of a fused qkv tensor."
+        c = self.config
+        B, N, _ = qkv.shape
+        h = qkv.reshape(B, N, 3, c.heads, c.head_dim)
+
+        def rms(x, g):
+            x32 = x.astype(jnp.float32)
+            y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + 1e-6)
+            return (y * g).astype(x.dtype)
+
+        h = jnp.stack([rms(h[:, :, 0], q_scale), rms(h[:, :, 1], k_scale), h[:, :, 2]], axis=2)
+        return h.reshape(B, N, 3 * c.dim)
+
     def _block(self, block: dict, img: jax.Array, txt: jax.Array, cond: jax.Array) -> tuple[jax.Array, jax.Array]:
         "One dual-stream block: per-stream adaLN-zero, one joint attention."
         c = self.config
@@ -378,6 +404,9 @@ class MMDiT:
 
         qkv_img = _dense(block["img"]["qkv"], _adaln(img, si_a, ci_a), dtype)
         qkv_txt = _dense(block["txt"]["qkv"], _adaln(txt, st_a, ct_a), dtype)
+        if c.qk_norm:
+            qkv_img = self._qk_norm(qkv_img, block["img"]["q_norm"], block["img"]["k_norm"])
+            qkv_txt = self._qk_norm(qkv_txt, block["txt"]["q_norm"], block["txt"]["k_norm"])
         attn_img, attn_txt = self._joint_attention(qkv_img, qkv_txt)
         img = img + gi_a[:, None] * _dense(block["img"]["proj"], attn_img, dtype)
 

@@ -368,7 +368,7 @@ class TestSD3:
     )
 
     @classmethod
-    def _torch_sd3(cls):
+    def _torch_sd3(cls, qk_norm: bool = False):
         import math as _math
 
         import torch.nn as nn
@@ -403,6 +403,14 @@ class TestSD3:
             def forward(self, x):
                 return self.net[2](self.net[0](x))
 
+        class RMSNorm(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.weight = nn.Parameter(torch.rand(hd) + 0.5)
+
+            def forward(self, x):  # per-head, over the last (head_dim) axis
+                return x * torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + 1e-6) * self.weight
+
         class Attn(nn.Module):
             def __init__(self, pre_only):
                 super().__init__()
@@ -415,18 +423,28 @@ class TestSD3:
                 self.to_out = nn.ModuleList([nn.Linear(d, d)])
                 if not pre_only:
                     self.to_add_out = nn.Linear(d, d)
+                if qk_norm:
+                    self.norm_q = RMSNorm()
+                    self.norm_k = RMSNorm()
+                    self.norm_added_q = RMSNorm()
+                    self.norm_added_k = RMSNorm()
 
             def forward(self, img_mod, txt_mod):
                 B, N = img_mod.shape[:2]
-                q = torch.cat([self.to_q(img_mod), self.add_q_proj(txt_mod)], dim=1)
-                k = torch.cat([self.to_k(img_mod), self.add_k_proj(txt_mod)], dim=1)
-                v = torch.cat([self.to_v(img_mod), self.add_v_proj(txt_mod)], dim=1)
 
                 def split(x):
                     return x.reshape(B, -1, heads, hd).transpose(1, 2)
 
-                a = torch.softmax(split(q) @ split(k).transpose(2, 3) / _math.sqrt(hd), dim=-1)
-                o = (a @ split(v)).transpose(1, 2).reshape(B, -1, d)
+                q_i, k_i = split(self.to_q(img_mod)), split(self.to_k(img_mod))
+                q_t, k_t = split(self.add_q_proj(txt_mod)), split(self.add_k_proj(txt_mod))
+                if qk_norm:
+                    q_i, k_i = self.norm_q(q_i), self.norm_k(k_i)
+                    q_t, k_t = self.norm_added_q(q_t), self.norm_added_k(k_t)
+                q = torch.cat([q_i, q_t], dim=2)
+                k = torch.cat([k_i, k_t], dim=2)
+                v = torch.cat([split(self.to_v(img_mod)), split(self.add_v_proj(txt_mod))], dim=2)
+                a = torch.softmax(q @ k.transpose(2, 3) / _math.sqrt(hd), dim=-1)
+                o = (a @ v).transpose(1, 2).reshape(B, -1, d)
                 return o[:, :N], o[:, N:]
 
         class AdaLinear(nn.Module):
@@ -529,10 +547,10 @@ class TestSD3:
 
         return SD3Mini()
 
-    def _parity_at(self, ref, H: int, W: int, batch: int, seed: int) -> None:
+    def _parity_at(self, ref, H: int, W: int, batch: int, seed: int, cfg: dict | None = None) -> None:
         from skrample_tpu.models.import_weights import sd3_mmdit
 
-        mmdit, params = sd3_mmdit((ref.state_dict(), self.CFG))
+        mmdit, params = sd3_mmdit((ref.state_dict(), cfg or self.CFG))
         assert mmdit.config.sd3_wiring and mmdit.config.final_txt_pre_only
 
         gen = torch.Generator().manual_seed(seed)
@@ -562,11 +580,18 @@ class TestSD3:
         ref = self._torch_sd3().eval()
         self._parity_at(ref, H=12, W=12, batch=1, seed=14)
 
-    def test_rejects_sd35_features(self) -> None:
+    def test_parity_sd35_qk_norm(self) -> None:
+        "SD3.5-large's per-head RMS qk-norm, with random (non-unit) scales."
+        torch.manual_seed(18)
+        ref = self._torch_sd3(qk_norm=True).eval()
+        cfg = {**self.CFG, "qk_norm": "rms_norm"}
+        self._parity_at(ref, H=8, W=8, batch=2, seed=19, cfg=cfg)
+
+    def test_rejects_unsupported_features(self) -> None:
         from skrample_tpu.models.import_weights import mmdit_config
 
         with pytest.raises(ValueError, match="qk_norm"):
-            mmdit_config({**self.CFG, "qk_norm": "rms_norm"})
+            mmdit_config({**self.CFG, "qk_norm": "layer_norm"})
         with pytest.raises(ValueError, match="dual_attention"):
             mmdit_config({**self.CFG, "dual_attention_layers": (0, 1)})
 
