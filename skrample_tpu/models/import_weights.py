@@ -281,9 +281,8 @@ def diffusers_vae(source: Any) -> tuple[VAE, dict]:
 def mmdit_config(hf_config: Any) -> MMDiTConfig:
     """``diffusers.SD3Transformer2DModel`` config -> :class:`MMDiTConfig`
     (the SD3 wiring: dedicated pooled input, cropped pos-embed table,
-    pre-only final text stream; SD3.5-large's qk RMS-norm supported).
-    SD3.5-medium's dual attention is rejected — silently dropping it would
-    corrupt the forward."""
+    pre-only final text stream).  The whole family maps: SD3-medium (2B),
+    SD3.5-large (qk RMS-norm), and SD3.5-medium (dual attention layers)."""
     if isinstance(hf_config, Mapping):
         get = lambda k, d=None: hf_config.get(k, d)  # noqa: E731
     else:
@@ -297,8 +296,6 @@ def mmdit_config(hf_config: Any) -> MMDiTConfig:
         raise ValueError("in_channels != out_channels")
     if get("qk_norm") not in (None, "rms_norm"):
         raise ValueError(f"unsupported qk_norm {get('qk_norm')!r}")
-    if get("dual_attention_layers") or ():
-        raise ValueError("dual_attention_layers (SD3.5-medium) are not supported")
     return MMDiTConfig(
         patch=get("patch_size", 2),
         channels=get("in_channels", 16),
@@ -310,6 +307,7 @@ def mmdit_config(hf_config: Any) -> MMDiTConfig:
         pos_embed_max=get("pos_embed_max_size", 192),
         final_txt_pre_only=True,
         qk_norm=get("qk_norm") == "rms_norm",
+        dual_attention_layers=tuple(get("dual_attention_layers") or ()),
         compute_dtype=jnp.float32,
     )
 
@@ -341,9 +339,10 @@ def sd3_mmdit(source: Any) -> tuple[MMDiT, dict]:
     sd = _TrackedSD(raw_sd)
     d, p, C = config.dim, config.patch, config.channels
 
-    def ada6(key: str) -> dict:
+    def ada6(key: str, groups: int = 6) -> dict:
         w, b = _np(sd[f"{key}.weight"]), _np(sd[f"{key}.bias"])
-        perm = [0, 2, 1, 3, 5, 4]  # [shift, scale, gate]x2 -> [shift, gate, scale]x2
+        # [shift, scale, gate] x (attn, mlp[, attn2]) -> our [shift, gate, scale]
+        perm = [0, 2, 1, 3, 5, 4, 6, 8, 7][:groups]
         w = np.concatenate([w[g * d : (g + 1) * d] for g in perm], axis=0)
         b = np.concatenate([b[g * d : (g + 1) * d] for g in perm], axis=0)
         return {"w": jnp.asarray(w.T), "b": jnp.asarray(b)}
@@ -365,13 +364,21 @@ def sd3_mmdit(source: Any) -> tuple[MMDiT, dict]:
     for i in range(config.depth):
         blk = f"transformer_blocks.{i}"
         attn = f"{blk}.attn"
+        dual = i in config.dual_attention_layers
         img = {
-            "ada": ada6(f"{blk}.norm1.linear"),
+            "ada": ada6(f"{blk}.norm1.linear", groups=9 if dual else 6),
             "qkv": qkv(f"{attn}.to_q", f"{attn}.to_k", f"{attn}.to_v"),
             "proj": _linear(sd, f"{attn}.to_out.0"),
             "mlp_in": _linear(sd, f"{blk}.ff.net.0.proj"),
             "mlp_out": _linear(sd, f"{blk}.ff.net.2"),
         }
+        if dual:
+            attn2 = f"{blk}.attn2"
+            img["qkv2"] = qkv(f"{attn2}.to_q", f"{attn2}.to_k", f"{attn2}.to_v")
+            img["proj2"] = _linear(sd, f"{attn2}.to_out.0")
+            if config.qk_norm:
+                img["q_norm2"] = jnp.asarray(_np(sd[f"{attn2}.norm_q.weight"]))
+                img["k_norm2"] = jnp.asarray(_np(sd[f"{attn2}.norm_k.weight"]))
         txt_qkv = qkv(f"{attn}.add_q_proj", f"{attn}.add_k_proj", f"{attn}.add_v_proj")
         if i == config.depth - 1:  # context_pre_only
             txt = {"ada": ada2(f"{blk}.norm1_context.linear"), "qkv": txt_qkv}

@@ -93,6 +93,11 @@ class MMDiTConfig:
     (learned (head_dim,) scales, eps 1e-6), applied in place on the fused
     qkv tensor so every attention scheme (flash/full/ring/ulysses) sees
     normalized heads."""
+    dual_attention_layers: tuple[int, ...] = ()
+    """SD3.5-medium: these block indices run a SECOND self-attention on the
+    image stream, fed by its own 3-parameter modulation of the block INPUT
+    (one 9-group adaLN head) and added after the joint attention's
+    residual."""
 
     @property
     def head_dim(self) -> int:
@@ -178,10 +183,18 @@ class MMDiT:
                 if pre_only
                 else _stream_init(keys, c.dim, c.mlp_ratio),
             }
+            if i in c.dual_attention_layers:
+                img = block["img"]
+                img["ada"] = _dense_init(next(keys), c.dim, 9 * c.dim, scale=0.0)
+                img["qkv2"] = _dense_init(next(keys), c.dim, 3 * c.dim)
+                img["proj2"] = _dense_init(next(keys), c.dim, c.dim)
             if c.qk_norm:
                 for stream in block.values():
                     stream["q_norm"] = jnp.ones((c.head_dim,), jnp.float32)
                     stream["k_norm"] = jnp.ones((c.head_dim,), jnp.float32)
+                if "qkv2" in block["img"]:
+                    block["img"]["q_norm2"] = jnp.ones((c.head_dim,), jnp.float32)
+                    block["img"]["k_norm2"] = jnp.ones((c.head_dim,), jnp.float32)
             params["blocks"].append(block)
         return params
 
@@ -208,7 +221,13 @@ class MMDiT:
             "final_out": rep,
             "blocks": [
                 {
-                    "img": dict(stream),
+                    "img": dict(stream)
+                    | (
+                        {"qkv2": dict(col), "proj2": dict(row)}
+                        | ({"q_norm2": P(), "k_norm2": P()} if c.qk_norm else {})
+                        if i in c.dual_attention_layers
+                        else {}
+                    ),
                     "txt": dict(pre_stream)
                     if c.final_txt_pre_only and i == c.depth - 1
                     else dict(stream),
@@ -385,14 +404,26 @@ class MMDiT:
         h = jnp.stack([rms(h[:, :, 0], q_scale), rms(h[:, :, 1], k_scale), h[:, :, 2]], axis=2)
         return h.reshape(B, N, 3 * c.dim)
 
+    def _self_attention(self, qkv: jax.Array) -> jax.Array:
+        "Single-stream attention on a fused qkv tensor (SD3.5 dual attn)."
+        c = self.config
+        if c.attention == "flash" and c.head_dim % 128 == 0:
+            from ..ops.flash_attention import flash_attention_qkv
+
+            return flash_attention_qkv(qkv, c.heads)
+        from ..ops.flash_attention import _qkv_reference
+
+        return _qkv_reference(qkv, c.heads)
+
     def _block(self, block: dict, img: jax.Array, txt: jax.Array, cond: jax.Array) -> tuple[jax.Array, jax.Array]:
         "One dual-stream block: per-stream adaLN-zero, one joint attention."
         c = self.config
         dtype = c.compute_dtype
         txt_pre_only = "proj" not in block["txt"]
+        dual = "qkv2" in block["img"]
 
-        mods_i = jnp.split(_dense(block["img"]["ada"], cond, dtype), 6, axis=-1)
-        (si_a, gi_a, ci_a, si_m, gi_m, ci_m) = mods_i
+        mods_i = jnp.split(_dense(block["img"]["ada"], cond, dtype), 9 if dual else 6, axis=-1)
+        (si_a, gi_a, ci_a, si_m, gi_m, ci_m) = mods_i[:6]
         if txt_pre_only:
             # SD3 context_pre_only: the text stream only FEEDS this block's
             # joint attention (2-param modulation, no gates) — its output
@@ -407,8 +438,17 @@ class MMDiT:
         if c.qk_norm:
             qkv_img = self._qk_norm(qkv_img, block["img"]["q_norm"], block["img"]["k_norm"])
             qkv_txt = self._qk_norm(qkv_txt, block["txt"]["q_norm"], block["txt"]["k_norm"])
+        if dual:
+            # the second self-attention modulates the block INPUT (not the
+            # post-attention residual), so build its qkv before updating img
+            si_a2, gi_a2, ci_a2 = mods_i[6:]
+            qkv2 = _dense(block["img"]["qkv2"], _adaln(img, si_a2, ci_a2), dtype)
+            if c.qk_norm:
+                qkv2 = self._qk_norm(qkv2, block["img"]["q_norm2"], block["img"]["k_norm2"])
         attn_img, attn_txt = self._joint_attention(qkv_img, qkv_txt)
         img = img + gi_a[:, None] * _dense(block["img"]["proj"], attn_img, dtype)
+        if dual:
+            img = img + gi_a2[:, None] * _dense(block["img"]["proj2"], self._self_attention(qkv2), dtype)
 
         h = _adaln(img, si_m, ci_m)
         h = _dense(block["img"]["mlp_out"], jax.nn.gelu(_dense(block["img"]["mlp_in"], h, dtype)), dtype)

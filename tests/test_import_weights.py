@@ -368,7 +368,7 @@ class TestSD3:
     )
 
     @classmethod
-    def _torch_sd3(cls, qk_norm: bool = False):
+    def _torch_sd3(cls, qk_norm: bool = False, dual_layers: tuple = ()):
         import math as _math
 
         import torch.nn as nn
@@ -447,25 +447,55 @@ class TestSD3:
                 o = (a @ v).transpose(1, 2).reshape(B, -1, d)
                 return o[:, :N], o[:, N:]
 
+        class SelfAttn(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.to_q = nn.Linear(d, d)
+                self.to_k = nn.Linear(d, d)
+                self.to_v = nn.Linear(d, d)
+                self.to_out = nn.ModuleList([nn.Linear(d, d)])
+                if qk_norm:
+                    self.norm_q = RMSNorm()
+                    self.norm_k = RMSNorm()
+
+            def forward(self, x):
+                B, N = x.shape[:2]
+
+                def split(t):
+                    return t.reshape(B, N, heads, hd).transpose(1, 2)
+
+                q, k, v = split(self.to_q(x)), split(self.to_k(x)), split(self.to_v(x))
+                if qk_norm:
+                    q, k = self.norm_q(q), self.norm_k(k)
+                a = torch.softmax(q @ k.transpose(2, 3) / _math.sqrt(hd), dim=-1)
+                return self.to_out[0]((a @ v).transpose(1, 2).reshape(B, N, d))
+
         class AdaLinear(nn.Module):
             def __init__(self, n):
                 super().__init__()
                 self.linear = nn.Linear(d, n * d)
 
         class Block(nn.Module):
-            def __init__(self, pre_only):
+            def __init__(self, pre_only, dual):
                 super().__init__()
                 self.pre_only = pre_only
-                self.norm1 = AdaLinear(6)
+                self.dual = dual
+                self.norm1 = AdaLinear(9 if dual else 6)
                 self.norm1_context = AdaLinear(2 if pre_only else 6)
                 self.attn = Attn(pre_only)
                 self.ff = FF()
                 if not pre_only:
                     self.ff_context = FF()
+                if dual:
+                    self.attn2 = SelfAttn()
 
             def forward(self, img, txt, temb):
-                sh_a, sc_a, g_a, sh_m, sc_m, g_m = self.norm1.linear(F.silu(temb)).chunk(6, dim=1)
+                mods = self.norm1.linear(F.silu(temb)).chunk(9 if self.dual else 6, dim=1)
+                sh_a, sc_a, g_a, sh_m, sc_m, g_m = mods[:6]
                 img_mod = ln(img) * (1 + sc_a[:, None]) + sh_a[:, None]
+                if self.dual:
+                    sh_a2, sc_a2, g_a2 = mods[6:]
+                    img_mod2 = ln(img) * (1 + sc_a2[:, None]) + sh_a2[:, None]
                 if self.pre_only:
                     sc, sh = self.norm1_context.linear(F.silu(temb)).chunk(2, dim=1)
                     txt_mod = ln(txt) * (1 + sc[:, None]) + sh[:, None]
@@ -476,6 +506,8 @@ class TestSD3:
                     txt_mod = ln(txt) * (1 + tsc_a[:, None]) + tsh_a[:, None]
                 img_attn, txt_attn = self.attn(img_mod, txt_mod)
                 img = img + g_a[:, None] * self.attn.to_out[0](img_attn)
+                if self.dual:
+                    img = img + g_a2[:, None] * self.attn2(img_mod2)
                 img = img + g_m[:, None] * self.ff(ln(img) * (1 + sc_m[:, None]) + sh_m[:, None])
                 if self.pre_only:
                     return img, txt
@@ -521,7 +553,7 @@ class TestSD3:
                 self.time_text_embed = TimeText()
                 self.context_embedder = nn.Linear(ctx_d, d)
                 self.transformer_blocks = nn.ModuleList(
-                    [Block(pre_only=(i == depth - 1)) for i in range(depth)]
+                    [Block(pre_only=(i == depth - 1), dual=(i in dual_layers)) for i in range(depth)]
                 )
                 self.norm_out = AdaLinear(2)
                 self.proj_out = nn.Linear(d, patch * patch * chans)
@@ -587,13 +619,18 @@ class TestSD3:
         cfg = {**self.CFG, "qk_norm": "rms_norm"}
         self._parity_at(ref, H=8, W=8, batch=2, seed=19, cfg=cfg)
 
+    def test_parity_sd35_medium_dual_attention(self) -> None:
+        "SD3.5-medium: qk-norm + a second image-stream self-attention in block 0."
+        torch.manual_seed(21)
+        ref = self._torch_sd3(qk_norm=True, dual_layers=(0,)).eval()
+        cfg = {**self.CFG, "qk_norm": "rms_norm", "dual_attention_layers": (0,)}
+        self._parity_at(ref, H=8, W=8, batch=2, seed=22, cfg=cfg)
+
     def test_rejects_unsupported_features(self) -> None:
         from skrample_tpu.models.import_weights import mmdit_config
 
         with pytest.raises(ValueError, match="qk_norm"):
             mmdit_config({**self.CFG, "qk_norm": "layer_norm"})
-        with pytest.raises(ValueError, match="dual_attention"):
-            mmdit_config({**self.CFG, "dual_attention_layers": (0, 1)})
 
     def test_rejects_unmapped_keys(self) -> None:
         from skrample_tpu.models.import_weights import sd3_mmdit
