@@ -5,9 +5,16 @@ multi-chip dry runs.  The sampling framework itself is model-agnostic — any
 from .checkpoint import TrainCheckpointer, load_params, save_params
 from .dit import DiT, DiTConfig
 from .ema import ema_decay_schedule, ema_init, ema_update
+from .flux import Flux, FluxConfig
 # NOTE: the t5 loaders stay at models.import_weights.{t5_config,t5_encoder} —
 # re-exporting the function here would shadow the .t5_encoder submodule name
-from .import_weights import clip_text_config, clip_text_encoder, diffusers_vae, sd3_mmdit
+from .import_weights import (
+    clip_text_config,
+    clip_text_encoder,
+    diffusers_vae,
+    flux_transformer,
+    sd3_mmdit,
+)
 from .mmdit import MMDiT, MMDiTConfig
 from .t5_encoder import T5Encoder, T5EncoderConfig
 from .text_encoder import ByteTokenizer, TextEncoder, TextEncoderConfig
@@ -19,6 +26,8 @@ __all__ = [
     "ByteTokenizer",
     "DiT",
     "DiTConfig",
+    "Flux",
+    "FluxConfig",
     "MMDiT",
     "MMDiTConfig",
     "T5Encoder",
@@ -35,6 +44,7 @@ __all__ = [
     "clip_text_config",
     "clip_text_encoder",
     "diffusers_vae",
+    "flux_transformer",
     "sd3_mmdit",
     "ema_decay_schedule",
     "ema_init",

@@ -28,6 +28,7 @@ from typing import Any, Mapping
 import jax.numpy as jnp
 import numpy as np
 
+from .flux import Flux, FluxConfig
 from .mmdit import MMDiT, MMDiTConfig
 from .t5_encoder import T5Encoder, T5EncoderConfig
 from .text_encoder import TextEncoder, TextEncoderConfig
@@ -418,6 +419,141 @@ def sd3_mmdit(source: Any) -> tuple[MMDiT, dict]:
     if leftover := sd.leftovers():
         raise ValueError(f"unmapped state-dict keys (first 10): {leftover[:10]}")
     return MMDiT(config), params
+
+
+def flux_config(hf_config: Any) -> FluxConfig:
+    """``diffusers.FluxTransformer2DModel`` config -> :class:`FluxConfig`.
+    The pipeline-level 2x2 latent packing (``in_channels=64`` packed) is
+    folded into the model's own patchify, so ``channels`` is the unpacked
+    latent width."""
+    if isinstance(hf_config, Mapping):
+        get = lambda k, d=None: hf_config.get(k, d)  # noqa: E731
+    else:
+        get = lambda k, d=None: getattr(hf_config, k, d)  # noqa: E731
+
+    heads = get("num_attention_heads")
+    head_dim = get("attention_head_dim")
+    patch = get("patch_size", 1)
+    if patch != 1:
+        raise ValueError("Flux checkpoints pack patches pipeline-side (patch_size=1 expected)")
+    packed = get("in_channels", 64)
+    if packed % 4:
+        raise ValueError(f"in_channels {packed} is not a packed 2x2 width")
+    rope = tuple(get("axes_dims_rope", (16, 56, 56)))
+    if sum(rope) != head_dim:
+        raise ValueError(f"axes_dims_rope {rope} must sum to attention_head_dim {head_dim}")
+    return FluxConfig(
+        patch=2,
+        channels=packed // 4,
+        dim=heads * head_dim,
+        depth=get("num_layers"),
+        single_depth=get("num_single_layers"),
+        heads=heads,
+        context_dim=get("joint_attention_dim", 4096),
+        pooled_dim=get("pooled_projection_dim", 768),
+        guidance=bool(get("guidance_embeds", False)),
+        rope_axes=rope,
+        compute_dtype=jnp.float32,
+    )
+
+
+def flux_transformer(source: Any) -> tuple[Flux, dict]:
+    """Import a ``diffusers.FluxTransformer2DModel`` (or a ``(state_dict,
+    config)`` pair) into ``(Flux, params)``.
+
+    Verified against an independently written torch mirror of the published
+    FLUX.1 architecture in ``tests/test_import_weights.py`` (RoPE tables,
+    qk-norm, double + single streams, guidance embedding).  Same layout
+    translations as :func:`sd3_mmdit` where shared (fused qkv, adaLN group
+    permutations); the single blocks' 3-group modulation permutes
+    [shift, scale, gate] -> our [shift, gate, scale], and ``proj_out``
+    consumes ``[attn | mlp]`` exactly as published.  Every state-dict
+    tensor must be consumed — unmapped keys raise."""
+    if isinstance(source, tuple):
+        raw_sd, hf_config = source
+    else:
+        raw_sd, hf_config = source.state_dict(), source.config
+    config = flux_config(hf_config)
+    sd = _TrackedSD(raw_sd)
+    d = config.dim
+
+    def perm_ada(key: str, order: list[int]) -> dict:
+        w, b = _np(sd[f"{key}.weight"]), _np(sd[f"{key}.bias"])
+        w = np.concatenate([w[g * d : (g + 1) * d] for g in order], axis=0)
+        b = np.concatenate([b[g * d : (g + 1) * d] for g in order], axis=0)
+        return {"w": jnp.asarray(w.T), "b": jnp.asarray(b)}
+
+    def qkv(q: str, k: str, v: str) -> dict:
+        return {
+            "w": jnp.asarray(np.concatenate([_np(sd[f"{n}.weight"]).T for n in (q, k, v)], axis=1)),
+            "b": jnp.concatenate([jnp.asarray(_np(sd[f"{n}.bias"])) for n in (q, k, v)]),
+        }
+
+    def two_layer(prefix: str) -> dict:
+        return {"l1": _linear(sd, f"{prefix}.linear_1"), "l2": _linear(sd, f"{prefix}.linear_2")}
+
+    def norm_scale(key: str) -> jnp.ndarray:
+        return jnp.asarray(_np(sd[f"{key}.weight"]))
+
+    double = []
+    for i in range(config.depth):
+        blk = f"transformer_blocks.{i}"
+        attn = f"{blk}.attn"
+        double.append(
+            {
+                "img": {
+                    "ada": perm_ada(f"{blk}.norm1.linear", [0, 2, 1, 3, 5, 4]),
+                    "qkv": qkv(f"{attn}.to_q", f"{attn}.to_k", f"{attn}.to_v"),
+                    "q_norm": norm_scale(f"{attn}.norm_q"),
+                    "k_norm": norm_scale(f"{attn}.norm_k"),
+                    "proj": _linear(sd, f"{attn}.to_out.0"),
+                    "mlp_in": _linear(sd, f"{blk}.ff.net.0.proj"),
+                    "mlp_out": _linear(sd, f"{blk}.ff.net.2"),
+                },
+                "txt": {
+                    "ada": perm_ada(f"{blk}.norm1_context.linear", [0, 2, 1, 3, 5, 4]),
+                    "qkv": qkv(f"{attn}.add_q_proj", f"{attn}.add_k_proj", f"{attn}.add_v_proj"),
+                    "q_norm": norm_scale(f"{attn}.norm_added_q"),
+                    "k_norm": norm_scale(f"{attn}.norm_added_k"),
+                    "proj": _linear(sd, f"{attn}.to_add_out"),
+                    "mlp_in": _linear(sd, f"{blk}.ff_context.net.0.proj"),
+                    "mlp_out": _linear(sd, f"{blk}.ff_context.net.2"),
+                },
+            }
+        )
+
+    single = []
+    for i in range(config.single_depth):
+        blk = f"single_transformer_blocks.{i}"
+        attn = f"{blk}.attn"
+        single.append(
+            {
+                "ada": perm_ada(f"{blk}.norm.linear", [0, 2, 1]),
+                "qkv": qkv(f"{attn}.to_q", f"{attn}.to_k", f"{attn}.to_v"),
+                "q_norm": norm_scale(f"{attn}.norm_q"),
+                "k_norm": norm_scale(f"{attn}.norm_k"),
+                "mlp_in": _linear(sd, f"{blk}.proj_mlp"),
+                "out": _linear(sd, f"{blk}.proj_out"),
+            }
+        )
+
+    params = {
+        "x_in": _linear(sd, "x_embedder"),
+        "ctx_in": _linear(sd, "context_embedder"),
+        "t_mlp": two_layer("time_text_embed.timestep_embedder"),
+        "pool_mlp": two_layer("time_text_embed.text_embedder"),
+        # norm_out is AdaLayerNormContinuous: [scale, shift] -> our [shift, scale]
+        "final_mod": perm_ada("norm_out.linear", [1, 0]),
+        "final_out": _linear(sd, "proj_out"),
+        "double": double,
+        "single": single,
+    }
+    if config.guidance:
+        params["guid_mlp"] = two_layer("time_text_embed.guidance_embedder")
+
+    if leftover := sd.leftovers():
+        raise ValueError(f"unmapped state-dict keys (first 10): {leftover[:10]}")
+    return Flux(config), params
 
 
 def t5_config(hf_config: Any) -> T5EncoderConfig:

@@ -663,6 +663,315 @@ class TestSD3:
         assert out.shape == x.shape and bool(jnp.isfinite(out).all())
 
 
+class TestFlux:
+    """FLUX.1 transformer import oracle.
+
+    Independently written torch mirror of the published FLUX.1 architecture
+    (black-forest-labs release / diffusers FluxTransformer2DModel): 3-axis
+    RoPE with consecutive-pair rotation, per-head RMS qk-norm, text-first
+    joint attention in the double-stream blocks, fused [attn | mlp] output
+    projection in the single-stream blocks, guidance embedding.  The mirror
+    consumes PACKED latent tokens exactly as the published pipeline packs
+    them; the test packs with the published recipe and compares against our
+    model's internal patchify."""
+
+    CFG = dict(
+        patch_size=1,
+        in_channels=16,
+        num_layers=2,
+        num_single_layers=2,
+        attention_head_dim=16,
+        num_attention_heads=4,
+        joint_attention_dim=32,
+        pooled_projection_dim=24,
+        guidance_embeds=True,
+        axes_dims_rope=(4, 6, 6),
+    )
+
+    @classmethod
+    def _torch_flux(cls, guidance: bool = True):
+        import math as _math
+
+        import torch.nn as nn
+        import torch.nn.functional as F
+
+        heads = cls.CFG["num_attention_heads"]
+        hd = cls.CFG["attention_head_dim"]
+        d = heads * hd
+        axes = cls.CFG["axes_dims_rope"]
+        ctx_d = cls.CFG["joint_attention_dim"]
+        pool_d = cls.CFG["pooled_projection_dim"]
+
+        def ln(x):
+            return F.layer_norm(x, (d,), eps=1e-6)
+
+        def rope_tables(ids):  # (N, 3) -> cos/sin (N, hd/2)
+            parts = []
+            for a, dim_a in enumerate(axes):
+                omega = 1.0 / 10000 ** (torch.arange(0, dim_a, 2, dtype=torch.float32) / dim_a)
+                parts.append(ids[:, a : a + 1].float() * omega[None])
+            ang = torch.cat(parts, dim=-1)
+            return torch.cos(ang), torch.sin(ang)
+
+        def apply_rope(x, cos, sin):  # (B, H, N, hd), consecutive pairs
+            p = x.float().reshape(*x.shape[:-1], hd // 2, 2)
+            x0, x1 = p[..., 0], p[..., 1]
+            co, si = cos[None, None], sin[None, None]
+            return torch.stack([x0 * co - x1 * si, x0 * si + x1 * co], dim=-1).reshape(x.shape)
+
+        class RMSNorm(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.weight = nn.Parameter(torch.rand(hd) + 0.5)
+
+            def forward(self, x):
+                return x * torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + 1e-6) * self.weight
+
+        class GELUProj(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = nn.Linear(d, 4 * d)
+
+            def forward(self, x):
+                return F.gelu(self.proj(x), approximate="tanh")
+
+        class FF(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.net = nn.ModuleList([GELUProj(), nn.Identity(), nn.Linear(4 * d, d)])
+
+            def forward(self, x):
+                return self.net[2](self.net[0](x))
+
+        class JointAttn(nn.Module):
+            def __init__(self):
+                super().__init__()
+                for name in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj", "add_v_proj"):
+                    setattr(self, name, nn.Linear(d, d))
+                self.to_out = nn.ModuleList([nn.Linear(d, d)])
+                self.to_add_out = nn.Linear(d, d)
+                self.norm_q = RMSNorm()
+                self.norm_k = RMSNorm()
+                self.norm_added_q = RMSNorm()
+                self.norm_added_k = RMSNorm()
+
+            def forward(self, img, txt, cos, sin):
+                B, L = txt.shape[:2]
+
+                def split(x):
+                    return x.reshape(B, -1, heads, hd).transpose(1, 2)
+
+                # text FIRST in the joint sequence (the Flux convention)
+                q = torch.cat([self.norm_added_q(split(self.add_q_proj(txt))), self.norm_q(split(self.to_q(img)))], dim=2)
+                k = torch.cat([self.norm_added_k(split(self.add_k_proj(txt))), self.norm_k(split(self.to_k(img)))], dim=2)
+                v = torch.cat([split(self.add_v_proj(txt)), split(self.to_v(img))], dim=2)
+                q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+                a = torch.softmax(q @ k.transpose(2, 3) / _math.sqrt(hd), dim=-1)
+                o = (a @ v).transpose(1, 2).reshape(B, -1, d)
+                return self.to_add_out(o[:, :L]), self.to_out[0](o[:, L:])
+
+        class AdaLinear(nn.Module):
+            def __init__(self, n):
+                super().__init__()
+                self.linear = nn.Linear(d, n * d)
+
+        class DoubleBlock(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm1 = AdaLinear(6)
+                self.norm1_context = AdaLinear(6)
+                self.attn = JointAttn()
+                self.ff = FF()
+                self.ff_context = FF()
+
+            def forward(self, img, txt, temb, cos, sin):
+                sh, sc, g, sh_m, sc_m, g_m = self.norm1.linear(F.silu(temb)).chunk(6, dim=1)
+                tsh, tsc, tg, tsh_m, tsc_m, tg_m = self.norm1_context.linear(F.silu(temb)).chunk(6, dim=1)
+                txt_attn, img_attn = self.attn(
+                    ln(img) * (1 + sc[:, None]) + sh[:, None],
+                    ln(txt) * (1 + tsc[:, None]) + tsh[:, None],
+                    cos,
+                    sin,
+                )
+                img = img + g[:, None] * img_attn
+                img = img + g_m[:, None] * self.ff(ln(img) * (1 + sc_m[:, None]) + sh_m[:, None])
+                txt = txt + tg[:, None] * txt_attn
+                txt = txt + tg_m[:, None] * self.ff_context(ln(txt) * (1 + tsc_m[:, None]) + tsh_m[:, None])
+                return img, txt
+
+        class SingleAttn(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.to_q = nn.Linear(d, d)
+                self.to_k = nn.Linear(d, d)
+                self.to_v = nn.Linear(d, d)
+                self.norm_q = RMSNorm()
+                self.norm_k = RMSNorm()
+
+            def forward(self, x, cos, sin):
+                B, N = x.shape[:2]
+
+                def split(t):
+                    return t.reshape(B, N, heads, hd).transpose(1, 2)
+
+                q = apply_rope(self.norm_q(split(self.to_q(x))), cos, sin)
+                k = apply_rope(self.norm_k(split(self.to_k(x))), cos, sin)
+                a = torch.softmax(q @ k.transpose(2, 3) / _math.sqrt(hd), dim=-1)
+                return (a @ split(self.to_v(x))).transpose(1, 2).reshape(B, N, d)
+
+        class SingleBlock(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm = AdaLinear(3)
+                self.attn = SingleAttn()
+                self.proj_mlp = nn.Linear(d, 4 * d)
+                self.proj_out = nn.Linear(5 * d, d)
+
+            def forward(self, x, temb, cos, sin):
+                sh, sc, g = self.norm.linear(F.silu(temb)).chunk(3, dim=1)
+                h = ln(x) * (1 + sc[:, None]) + sh[:, None]
+                attn = self.attn(h, cos, sin)
+                mlp = F.gelu(self.proj_mlp(h), approximate="tanh")
+                return x + g[:, None] * self.proj_out(torch.cat([attn, mlp], dim=2))
+
+        class TwoLayer(nn.Module):
+            def __init__(self, d_in):
+                super().__init__()
+                self.linear_1 = nn.Linear(d_in, d)
+                self.linear_2 = nn.Linear(d, d)
+
+            def forward(self, x):
+                return self.linear_2(F.silu(self.linear_1(x)))
+
+        class TimeText(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.timestep_embedder = TwoLayer(256)
+                self.text_embedder = TwoLayer(pool_d)
+                if guidance:
+                    self.guidance_embedder = TwoLayer(256)
+
+        class FluxMini(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.x_embedder = nn.Linear(16, d)
+                self.context_embedder = nn.Linear(ctx_d, d)
+                self.time_text_embed = TimeText()
+                self.transformer_blocks = nn.ModuleList([DoubleBlock() for _ in range(2)])
+                self.single_transformer_blocks = nn.ModuleList([SingleBlock() for _ in range(2)])
+                self.norm_out = AdaLinear(2)
+                self.proj_out = nn.Linear(d, 16)
+
+            def forward(self, packed, context, pooled, t, g, txt_ids, img_ids):
+                img = self.x_embedder(packed)
+                txt = self.context_embedder(context)
+                cos, sin = rope_tables(torch.cat([txt_ids, img_ids], dim=0))
+
+                freqs = torch.exp(-_math.log(10000.0) * torch.arange(128, dtype=torch.float32) / 128.0)
+                emb = lambda v: torch.cat(  # noqa: E731
+                    [torch.cos(v.float()[:, None] * freqs[None]), torch.sin(v.float()[:, None] * freqs[None])],
+                    dim=-1,
+                )
+                temb = self.time_text_embed.timestep_embedder(emb(t))
+                if guidance:
+                    temb = temb + self.time_text_embed.guidance_embedder(emb(g * 1000.0))
+                temb = temb + self.time_text_embed.text_embedder(pooled)
+
+                for blk in self.transformer_blocks:
+                    img, txt = blk(img, txt, temb, cos, sin)
+                h = torch.cat([txt, img], dim=1)
+                for blk in self.single_transformer_blocks:
+                    h = blk(h, temb, cos, sin)
+                img = h[:, txt.shape[1] :]
+                sc, sh = self.norm_out.linear(F.silu(temb)).chunk(2, dim=1)
+                return self.proj_out(ln(img) * (1 + sc[:, None]) + sh[:, None])
+
+        return FluxMini()
+
+    @staticmethod
+    def _pack(lat):  # the published pipeline packing
+        B, C, H, W = lat.shape
+        lat = lat.view(B, C, H // 2, 2, W // 2, 2).permute(0, 2, 4, 1, 3, 5)
+        return lat.reshape(B, (H // 2) * (W // 2), C * 4)
+
+    @staticmethod
+    def _unpack(tokens, C, H, W):
+        B = tokens.shape[0]
+        t = tokens.view(B, H // 2, W // 2, C, 2, 2).permute(0, 3, 1, 4, 2, 5)
+        return t.reshape(B, C, H, W)
+
+    def test_parity(self) -> None:
+        from skrample_tpu.models.import_weights import flux_transformer
+
+        torch.manual_seed(23)
+        ref = self._torch_flux().eval()
+        flux, params = flux_transformer((ref.state_dict(), self.CFG))
+        assert flux.config.channels == 4 and flux.config.guidance
+
+        gen = torch.Generator().manual_seed(24)
+        H = W = 8
+        x = torch.randn(2, 4, H, W, generator=gen)
+        t = torch.rand(2, generator=gen) * 1000.0
+        ctx = torch.randn(2, 12, 32, generator=gen)
+        pooled = torch.randn(2, 24, generator=gen)
+
+        gh, gw = H // 2, W // 2
+        img_ids = torch.zeros(gh * gw, 3)
+        img_ids[:, 1] = torch.arange(gh).repeat_interleave(gw)
+        img_ids[:, 2] = torch.arange(gw).repeat(gh)
+        with torch.no_grad():
+            out_tokens = ref(self._pack(x), ctx, pooled, t, torch.full((2,), 3.5), torch.zeros(12, 3), img_ids)
+            want = self._unpack(out_tokens, 4, H, W).numpy()
+        got = flux.apply(
+            params,
+            jnp.asarray(x.numpy()),
+            jnp.asarray(t.numpy()),
+            jnp.asarray(ctx.numpy()),
+            jnp.asarray(pooled.numpy()),
+            guidance=3.5,
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+    def test_parity_schnell_no_guidance(self) -> None:
+        from skrample_tpu.models.import_weights import flux_transformer
+
+        torch.manual_seed(25)
+        ref = self._torch_flux(guidance=False).eval()
+        cfg = {**self.CFG, "guidance_embeds": False}
+        flux, params = flux_transformer((ref.state_dict(), cfg))
+        assert not flux.config.guidance
+
+        gen = torch.Generator().manual_seed(26)
+        x = torch.randn(1, 4, 8, 8, generator=gen)
+        ctx = torch.randn(1, 12, 32, generator=gen)
+        pooled = torch.randn(1, 24, generator=gen)
+        img_ids = torch.zeros(16, 3)
+        img_ids[:, 1] = torch.arange(4).repeat_interleave(4)
+        img_ids[:, 2] = torch.arange(4).repeat(4)
+        with torch.no_grad():
+            out = ref(self._pack(x), ctx, pooled, torch.tensor([500.0]), None, torch.zeros(12, 3), img_ids)
+            want = self._unpack(out, 4, 8, 8).numpy()
+        got = flux.apply(
+            params, jnp.asarray(x.numpy()), 500.0, jnp.asarray(ctx.numpy()), jnp.asarray(pooled.numpy())
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
+
+    def test_rejects_unmapped_keys(self) -> None:
+        from skrample_tpu.models.import_weights import flux_transformer
+
+        torch.manual_seed(27)
+        sd = dict(self._torch_flux().state_dict())
+        sd["single_transformer_blocks.0.mystery.weight"] = torch.zeros(1)
+        with pytest.raises(ValueError, match="unmapped"):
+            flux_transformer((sd, self.CFG))
+
+    def test_rejects_bad_rope_axes(self) -> None:
+        from skrample_tpu.models.import_weights import flux_config
+
+        with pytest.raises(ValueError, match="axes_dims_rope"):
+            flux_config({**self.CFG, "axes_dims_rope": (4, 4, 4)})
+
+
 class TestT5:
     T5_CFG = dict(
         vocab_size=120,
