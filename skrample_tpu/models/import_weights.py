@@ -160,6 +160,7 @@ def vae_config(hf_config: Any) -> VAEConfig:
         blocks_per_level=get("layers_per_block", 2),
         groups=get("norm_num_groups", 32),
         scaling_factor=float(get("scaling_factor", 0.18215)),
+        shift_factor=float(get("shift_factor") or 0.0),
         compute_dtype=jnp.float32,
         norm_affine=True,
         quant_convs=bool(get("use_quant_conv", True)),

@@ -53,6 +53,10 @@ class VAEConfig:
     """Latent normalization: ``encode`` multiplies posterior draws by this
     and ``decode`` divides before the decoder — the SD convention that puts
     diffusion-model latents at roughly unit variance."""
+    shift_factor: float = 0.0
+    """Latent re-centering applied BEFORE the scale (the SDXL-refresh /
+    Flux AutoencoderKL convention): ``encode`` computes ``(z - shift) *
+    scale`` and ``decode`` inverts with ``z / scale + shift``."""
     compute_dtype: Any = jnp.bfloat16
     layout: str = "auto"
     """Interior activation layout, as in :class:`UNetConfig`: ``"auto"``
@@ -235,7 +239,7 @@ class VAE:
         z = mean
         if key is not None:
             z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape, jnp.float32)
-        return (z * self.config.scaling_factor).astype(x.dtype)
+        return ((z - self.config.shift_factor) * self.config.scaling_factor).astype(x.dtype)
 
     def decode(self, params: dict, z: jax.Array) -> jax.Array:
         "Scaled latent (B, latent, h, w) -> pixels (B, C, h*f, w*f)."
@@ -245,7 +249,7 @@ class VAE:
         cl = c.resolved_layout == "nhwc"
         dec = params["decoder"]
 
-        z = (z.astype(jnp.float32) / c.scaling_factor).astype(dtype)
+        z = (z.astype(jnp.float32) / c.scaling_factor + c.shift_factor).astype(dtype)
         h = z.transpose(0, 2, 3, 1) if cl else z
         if "post_quant_conv" in dec:
             h = _conv(dec["post_quant_conv"], h, dtype, cl=cl)
@@ -277,7 +281,7 @@ class VAE:
         Returns ``(scalar_loss, {"recon": ..., "kl": ...})``."""
         mean, logvar = self.posterior(params, x)
         z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape, jnp.float32)
-        recon = self.decode(params, (z * self.config.scaling_factor).astype(x.dtype))
+        recon = self.decode(params, ((z - self.config.shift_factor) * self.config.scaling_factor).astype(x.dtype))
         recon_loss = jnp.mean((recon.astype(jnp.float32) - x.astype(jnp.float32)) ** 2)
         kl = 0.5 * jnp.mean(jnp.sum(mean**2 + jnp.exp(logvar) - 1.0 - logvar, axis=1))
         return recon_loss + kl_weight * kl, {"recon": recon_loss, "kl": kl}

@@ -123,7 +123,7 @@ class TestVAE:
     )
 
     @classmethod
-    def _torch_vae(cls):
+    def _torch_vae(cls, quant: bool = True):
         import math as _math
 
         import torch.nn as nn
@@ -265,15 +265,17 @@ class TestVAE:
                 super().__init__()
                 self.encoder = Encoder()
                 self.decoder = Decoder()
-                self.quant_conv = nn.Conv2d(2 * latent, 2 * latent, 1)
-                self.post_quant_conv = nn.Conv2d(latent, latent, 1)
+                if quant:
+                    self.quant_conv = nn.Conv2d(2 * latent, 2 * latent, 1)
+                    self.post_quant_conv = nn.Conv2d(latent, latent, 1)
 
             def moments(self, x):
-                mean, logvar = self.quant_conv(self.encoder(x)).chunk(2, dim=1)
+                h = self.encoder(x)
+                mean, logvar = (self.quant_conv(h) if quant else h).chunk(2, dim=1)
                 return mean, logvar.clamp(-30.0, 20.0)
 
             def decode(self, z):
-                return self.decoder(self.post_quant_conv(z))
+                return self.decoder(self.post_quant_conv(z) if quant else z)
 
         return AutoKL()
 
