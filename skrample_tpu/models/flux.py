@@ -225,6 +225,30 @@ class Flux:
         angles = jnp.concatenate(parts, axis=-1)  # (N, head_dim/2)
         return jnp.cos(angles), jnp.sin(angles)
 
+    def _prep_qkv(self, qkv: jax.Array, p: dict, cos: jax.Array, sin: jax.Array) -> jax.Array:
+        """RMS-normalize AND rotate the q/k thirds of a fused qkv tensor in
+        ONE elementwise pass (per head; consecutive-pair rotation, the
+        published pairing).  ``cos``/``sin`` are the rope-table rows for
+        exactly this tensor's token positions — per-stream slices for the
+        double blocks, the full joint tables for the single blocks — so the
+        big (B, N, 3*dim) tensor makes a single HBM round trip."""
+        c = self.config
+        B, N, _ = qkv.shape
+        h = qkv.reshape(B, N, 3, c.heads, c.head_dim)
+        co = cos[None, :, None, :]
+        si = sin[None, :, None, :]
+
+        def prep(x, g):
+            x32 = x.astype(jnp.float32)
+            y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + 1e-6) * g
+            pairs = y.reshape(B, N, c.heads, c.head_dim // 2, 2)
+            y0, y1 = pairs[..., 0], pairs[..., 1]
+            out = jnp.stack([y0 * co - y1 * si, y0 * si + y1 * co], axis=-1)
+            return out.reshape(x.shape).astype(x.dtype)
+
+        h = jnp.stack([prep(h[:, :, 0], p["q_norm"]), prep(h[:, :, 1], p["k_norm"]), h[:, :, 2]], axis=2)
+        return h.reshape(B, N, 3 * c.dim)
+
     # -- attention ----------------------------------------------------------------
 
     def _attention(self, qkv: jax.Array) -> jax.Array:
@@ -251,11 +275,11 @@ class Flux:
 
         qkv_txt = _dense(block["txt"]["qkv"], _adaln(txt, st_a, ct_a), dtype)
         qkv_img = _dense(block["img"]["qkv"], _adaln(img, si_a, ci_a), dtype)
-        # per-stream qk-norm, then one joint rope+attention over [txt, img]
-        qkv_txt = self._qk_only(qkv_txt, block["txt"])
-        qkv_img = self._qk_only(qkv_img, block["img"])
-        joint = self._rotate_joint(jnp.concatenate([qkv_txt, qkv_img], axis=1), cos, sin)
-        out = self._attention(joint)
+        # one fused norm+rotate pass per stream (rope rows sliced to each
+        # stream's joint positions: [txt, img] order), then joint attention
+        qkv_txt = self._prep_qkv(qkv_txt, block["txt"], cos[:L], sin[:L])
+        qkv_img = self._prep_qkv(qkv_img, block["img"], cos[L:], sin[L:])
+        out = self._attention(jnp.concatenate([qkv_txt, qkv_img], axis=1))
         attn_txt, attn_img = out[:, :L], out[:, L:]
 
         img = img + gi_a[:, None] * _dense(block["img"]["proj"], attn_img, dtype)
@@ -270,44 +294,12 @@ class Flux:
         )
         return img, txt
 
-    def _qk_only(self, qkv: jax.Array, p: dict) -> jax.Array:
-        "RMS qk-norm without rotation (the rotation spans the joint sequence)."
-        c = self.config
-        B, N, _ = qkv.shape
-        h = qkv.reshape(B, N, 3, c.heads, c.head_dim)
-
-        def rms(x, g):
-            x32 = x.astype(jnp.float32)
-            y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + 1e-6)
-            return (y * g).astype(x.dtype)
-
-        h = jnp.stack([rms(h[:, :, 0], p["q_norm"]), rms(h[:, :, 1], p["k_norm"]), h[:, :, 2]], axis=2)
-        return h.reshape(B, N, 3 * c.dim)
-
-    def _rotate_joint(self, qkv: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-        "Rotate the q/k thirds of the joint fused qkv tensor."
-        c = self.config
-        B, N, _ = qkv.shape
-        h = qkv.reshape(B, N, 3, c.heads, c.head_dim)
-
-        def rotate(x):
-            x32 = x.astype(jnp.float32)
-            pairs = x32.reshape(B, N, c.heads, c.head_dim // 2, 2)
-            x0, x1 = pairs[..., 0], pairs[..., 1]
-            co = cos[None, :, None, :]
-            si = sin[None, :, None, :]
-            out = jnp.stack([x0 * co - x1 * si, x0 * si + x1 * co], axis=-1)
-            return out.reshape(x.shape).astype(x.dtype)
-
-        h = jnp.stack([rotate(h[:, :, 0]), rotate(h[:, :, 1]), h[:, :, 2]], axis=2)
-        return h.reshape(B, N, 3 * c.dim)
-
     def _single_block(self, block: dict, x: jax.Array, cond: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
         c = self.config
         dtype = c.compute_dtype
         shift, gate, scale = jnp.split(_dense(block["ada"], cond, dtype), 3, axis=-1)
         h = _adaln(x, shift, scale)
-        qkv = self._rotate_joint(self._qk_only(_dense(block["qkv"], h, dtype), block), cos, sin)
+        qkv = self._prep_qkv(_dense(block["qkv"], h, dtype), block, cos, sin)
         attn = self._attention(qkv)
         mlp = jax.nn.gelu(_dense(block["mlp_in"], h, dtype))
         return x + gate[:, None] * _dense(block["out"], jnp.concatenate([attn, mlp], axis=-1), dtype)
