@@ -363,7 +363,10 @@ class Flux:
         from ..ops.quant import quantize_params
 
         return quantize_params(
-            params, exclude=frozenset({"ada", "final_mod", "t_mlp", "pool_mlp", "guid_mlp", "ctx_in"})
+            params,
+            exclude=frozenset(
+                {"ada", "final_mod", "final_out", "t_mlp", "pool_mlp", "guid_mlp", "ctx_in", "x_in"}
+            ),
         )
 
     def as_sampleable(
@@ -381,3 +384,31 @@ class Flux:
             return self.apply(params, x, t, context, pooled, guidance=guidance)
 
         return model_fn
+
+
+def flux_forward_flops(config: FluxConfig, batch: int, h: int, w: int, txt_tokens: int) -> float:
+    "Analytic matmul FLOPs of one forward (checked against a traced count in tests/test_flux.py)."
+    c = config
+    n_img = (h // c.patch) * (w // c.patch)
+    n = n_img + txt_tokens
+    d = c.dim
+    total = 0.0
+    # double blocks: per-token qkv(6) + proj(2) + mlp(8+8) = 24 d^2 per stream
+    for tokens in (n_img, txt_tokens):
+        total += c.depth * batch * tokens * d * d * 24
+    total += c.depth * batch * 2 * (2.0 * d * 6 * d)  # two 6-group ada heads per block
+    total += 4.0 * batch * c.depth * n * n * d  # joint attention scores + combine
+    # single blocks: per-token qkv(6) + mlp_in(8) + fused out(10) = 24 d^2
+    total += c.single_depth * batch * n * d * d * 24
+    total += c.single_depth * batch * 2.0 * d * 3 * d  # 3-group ada head
+    total += 4.0 * batch * c.single_depth * n * n * d
+    pw = c.packed_width
+    total += 2.0 * batch * n_img * pw * d * 2  # x_in + final_out
+    total += 2.0 * batch * txt_tokens * c.context_dim * d  # ctx_in
+    # conditioning MLPs (per batch row): t, pooled, guidance, final_mod
+    total += 2.0 * batch * (256 * d + d * d)
+    total += 2.0 * batch * (c.pooled_dim * d + d * d)
+    if c.guidance:
+        total += 2.0 * batch * (256 * d + d * d)
+    total += 2.0 * batch * d * 2 * d
+    return total
