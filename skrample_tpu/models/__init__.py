@@ -11,6 +11,7 @@ from .flux import Flux, FluxConfig
 from .import_weights import (
     clip_text_config,
     clip_text_encoder,
+    diffusers_unet,
     diffusers_vae,
     flux_transformer,
     sd3_mmdit,
@@ -19,11 +20,14 @@ from .mmdit import MMDiT, MMDiTConfig
 from .t5_encoder import T5Encoder, T5EncoderConfig
 from .text_encoder import ByteTokenizer, TextEncoder, TextEncoderConfig
 from .unet import UNet, UNetConfig
+from .unet_cond import CondUNet, CondUNetConfig
 from .vae import VAE, VAEConfig
 from .video_dit import VideoDiT, VideoDiTConfig
 
 __all__ = [
     "ByteTokenizer",
+    "CondUNet",
+    "CondUNetConfig",
     "DiT",
     "DiTConfig",
     "Flux",
@@ -43,6 +47,7 @@ __all__ = [
     "VideoDiTConfig",
     "clip_text_config",
     "clip_text_encoder",
+    "diffusers_unet",
     "diffusers_vae",
     "flux_transformer",
     "sd3_mmdit",

@@ -20,7 +20,6 @@ from dataclasses import dataclass
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 
 from .flux import Flux
 from .import_weights import clip_text_encoder, diffusers_vae, flux_transformer, t5_encoder

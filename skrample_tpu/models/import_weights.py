@@ -32,6 +32,7 @@ from .flux import Flux, FluxConfig
 from .mmdit import MMDiT, MMDiTConfig
 from .t5_encoder import T5Encoder, T5EncoderConfig
 from .text_encoder import TextEncoder, TextEncoderConfig
+from .unet_cond import CondUNet, CondUNetConfig
 from .vae import VAE, VAEConfig
 
 
@@ -420,6 +421,196 @@ def sd3_mmdit(source: Any) -> tuple[MMDiT, dict]:
     if leftover := sd.leftovers():
         raise ValueError(f"unmapped state-dict keys (first 10): {leftover[:10]}")
     return MMDiT(config), params
+
+
+def unet_config(hf_config: Any) -> CondUNetConfig:
+    """``diffusers.UNet2DConditionModel`` config -> :class:`CondUNetConfig`.
+    Covers the SD1.5 and SDXL shapes; exotic variants (class embeddings,
+    encoder projections, non-default mid blocks) are rejected."""
+    if isinstance(hf_config, Mapping):
+        get = lambda k, d=None: hf_config.get(k, d)  # noqa: E731
+    else:
+        get = lambda k, d=None: getattr(hf_config, k, d)  # noqa: E731
+
+    widths = tuple(get("block_out_channels"))
+    levels = len(widths)
+    down_types = tuple(get("down_block_types"))
+    if len(down_types) != levels or any(
+        t not in ("DownBlock2D", "CrossAttnDownBlock2D") for t in down_types
+    ):
+        raise ValueError(f"unsupported down_block_types {down_types}")
+    tl = get("transformer_layers_per_block", 1)
+    tl = tuple(tl) if isinstance(tl, (list, tuple)) else (tl,) * levels
+    transformer_layers = tuple(
+        tl[i] if down_types[i] == "CrossAttnDownBlock2D" else 0 for i in range(levels)
+    )
+    heads = get("attention_head_dim", 8)  # diffusers' legacy naming: this IS the head count
+    heads = tuple(heads) if isinstance(heads, (list, tuple)) else (heads,) * levels
+    if get("class_embed_type") is not None or get("encoder_hid_dim") is not None:
+        raise ValueError("class/encoder-hid embeddings are not supported")
+    if get("addition_embed_type") not in (None, "text_time"):
+        raise ValueError(f"unsupported addition_embed_type {get('addition_embed_type')!r}")
+    if get("resnet_time_scale_shift", "default") != "default":
+        raise ValueError("only the default resnet time-embedding injection is supported")
+    if not get("flip_sin_to_cos", True) or get("freq_shift", 0) != 0:
+        raise ValueError("only the flip_sin_to_cos=True, freq_shift=0 timestep embedding is supported")
+
+    pooled_dim = 0
+    time_ids = 6
+    add_dim = get("addition_time_embed_dim") or 256
+    if get("addition_embed_type") == "text_time":
+        proj_in = get("projection_class_embeddings_input_dim")
+        pooled_dim = proj_in - time_ids * add_dim
+        if pooled_dim <= 0:
+            raise ValueError(f"projection_class_embeddings_input_dim {proj_in} too small")
+    return CondUNetConfig(
+        channels=get("in_channels", 4),
+        widths=widths,
+        layers_per_block=get("layers_per_block", 2),
+        transformer_layers=transformer_layers,
+        # the published mid block takes the RAW per-block count (SD1.5's
+        # last down level is plain yet the mid block carries attention)
+        mid_transformer_layers=tl[-1],
+        heads=heads,
+        context_dim=get("cross_attention_dim", 768),
+        pooled_dim=pooled_dim,
+        time_ids=time_ids,
+        add_time_embed_dim=add_dim,
+        groups=get("norm_num_groups", 32),
+        compute_dtype=jnp.float32,
+    )
+
+
+def diffusers_unet(source: Any) -> tuple[CondUNet, dict]:
+    """Import a ``diffusers.UNet2DConditionModel`` (SD1.5 / SDXL families)
+    into ``(CondUNet, params)``.
+
+    Verified against an independently written torch mirror of the published
+    architecture in ``tests/test_import_weights.py``: SDXL shape (added
+    text_time conditioning, linear token projections) and SD1.5 shape
+    (conv 1x1 projections — folded into the dense layout, order-equivalent
+    for 1x1).  Self-attention q/k/v fuse into one matmul; cross-attention
+    k/v fuse into one.  Every state-dict tensor must be consumed."""
+    if isinstance(source, tuple):
+        raw_sd, hf_config = source
+    else:
+        raw_sd, hf_config = source.state_dict(), source.config
+    config = unet_config(hf_config)
+    sd = _TrackedSD(raw_sd)
+
+    def conv(prefix: str) -> dict:
+        return {"w": jnp.asarray(_np(sd[f"{prefix}.weight"])), "b": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+
+    def mat(key: str) -> np.ndarray:  # Linear (out, in) or 1x1 conv (out, in, 1, 1)
+        w = _np(sd[key])
+        return w.reshape(w.shape[0], w.shape[1]) if w.ndim == 4 else w
+
+    def lin(prefix: str) -> dict:
+        return {"w": jnp.asarray(mat(f"{prefix}.weight").T), "b": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+
+    def fused(prefixes: tuple[str, ...]) -> dict:
+        return {
+            "w": jnp.asarray(np.concatenate([mat(f"{p}.weight").T for p in prefixes], axis=1)),
+            "b": jnp.concatenate(
+                [
+                    jnp.asarray(
+                        _np(sd[f"{p}.bias"]) if f"{p}.bias" in sd else np.zeros(mat(f"{p}.weight").shape[0])
+                    )
+                    for p in prefixes
+                ]
+            ),
+        }
+
+    def resnet(prefix: str) -> dict:
+        return {
+            "norm1": _ln(sd, f"{prefix}.norm1"),
+            "conv1": conv(f"{prefix}.conv1"),
+            "temb": lin(f"{prefix}.time_emb_proj"),
+            "norm2": _ln(sd, f"{prefix}.norm2"),
+            "conv2": conv(f"{prefix}.conv2"),
+            "skip": conv(f"{prefix}.conv_shortcut") if f"{prefix}.conv_shortcut.weight" in sd else None,
+        }
+
+    def basic(prefix: str) -> dict:
+        a1, a2 = f"{prefix}.attn1", f"{prefix}.attn2"
+        return {
+            "ln1": _ln(sd, f"{prefix}.norm1"),
+            "attn1_qkv": fused((f"{a1}.to_q", f"{a1}.to_k", f"{a1}.to_v")),
+            "attn1_out": lin(f"{a1}.to_out.0"),
+            "ln2": _ln(sd, f"{prefix}.norm2"),
+            "attn2_q": fused((f"{a2}.to_q",)),
+            "attn2_kv": fused((f"{a2}.to_k", f"{a2}.to_v")),
+            "attn2_out": lin(f"{a2}.to_out.0"),
+            "ln3": _ln(sd, f"{prefix}.norm3"),
+            "ff_in": lin(f"{prefix}.ff.net.0.proj"),
+            "ff_out": lin(f"{prefix}.ff.net.2"),
+        }
+
+    def transformer(prefix: str, depth: int) -> dict:
+        return {
+            "norm": _ln(sd, f"{prefix}.norm"),
+            "proj_in": lin(f"{prefix}.proj_in"),
+            "blocks": [basic(f"{prefix}.transformer_blocks.{k}") for k in range(depth)],
+            "proj_out": lin(f"{prefix}.proj_out"),
+        }
+
+    down = []
+    for i in range(config.levels):
+        blk = f"down_blocks.{i}"
+        depth = config.transformer_layers[i]
+        ds = f"{blk}.downsamplers.0.conv"
+        down.append(
+            {
+                "resnets": [resnet(f"{blk}.resnets.{j}") for j in range(config.layers_per_block)],
+                "attns": [
+                    transformer(f"{blk}.attentions.{j}", depth) if depth else None
+                    for j in range(config.layers_per_block)
+                ],
+                "downsample": conv(ds) if f"{ds}.weight" in sd else None,
+            }
+        )
+
+    mid_depth = config.resolved_mid_layers
+    mid = {
+        "res1": resnet("mid_block.resnets.0"),
+        "attn": transformer("mid_block.attentions.0", mid_depth) if mid_depth else None,
+        "res2": resnet("mid_block.resnets.1"),
+    }
+
+    up = []
+    for idx in range(config.levels):
+        i = config.levels - 1 - idx  # up_blocks[0] is the coarsest level
+        blk = f"up_blocks.{idx}"
+        depth = config.transformer_layers[i]
+        us = f"{blk}.upsamplers.0.conv"
+        up.append(
+            {
+                "resnets": [resnet(f"{blk}.resnets.{j}") for j in range(config.layers_per_block + 1)],
+                "attns": [
+                    transformer(f"{blk}.attentions.{j}", depth) if depth else None
+                    for j in range(config.layers_per_block + 1)
+                ],
+                "upsample": conv(us) if f"{us}.weight" in sd else None,
+            }
+        )
+
+    params = {
+        "conv_in": conv("conv_in"),
+        "t_mlp1": lin("time_embedding.linear_1"),
+        "t_mlp2": lin("time_embedding.linear_2"),
+        "down": down,
+        "mid": mid,
+        "up": up,
+        "norm_out": _ln(sd, "conv_norm_out"),
+        "conv_out": conv("conv_out"),
+    }
+    if config.pooled_dim:
+        params["add_mlp1"] = lin("add_embedding.linear_1")
+        params["add_mlp2"] = lin("add_embedding.linear_2")
+
+    if leftover := sd.leftovers():
+        raise ValueError(f"unmapped state-dict keys (first 10): {leftover[:10]}")
+    return CondUNet(config), params
 
 
 def flux_config(hf_config: Any) -> FluxConfig:

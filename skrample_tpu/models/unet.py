@@ -58,8 +58,13 @@ def _conv_init(key, k, c_in, c_out, scale=None):
     }
 
 
-def _conv(params, x, dtype, stride=1, cl=False):
-    "``cl``: channels-last (NHWC) activations; params stay OIHW either way."
+def _conv(params, x, dtype, stride=1, cl=False, pad="SAME"):
+    """``cl``: channels-last (NHWC) activations; params stay OIHW either way.
+
+    ``pad``: "SAME" (stride-2 pads (0, 1) on even inputs — the VAE
+    downsampler's asymmetric padding) or an int for torch-style symmetric
+    padding (the conditional UNet's stride-2 downsample uses padding=1,
+    which samples a DIFFERENT grid than SAME)."""
     w = params["w"].astype(dtype)
     if cl:
         w = w.transpose(2, 3, 1, 0)  # OIHW -> HWIO; folded into layout assignment
@@ -67,7 +72,7 @@ def _conv(params, x, dtype, stride=1, cl=False):
         x.astype(dtype),
         w,
         window_strides=(stride, stride),
-        padding="SAME",
+        padding=pad if isinstance(pad, str) else ((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC") if cl else ("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32,
     )

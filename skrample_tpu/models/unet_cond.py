@@ -1,0 +1,428 @@
+"""Text-conditioned SD-class UNet (UNet2DConditionModel) in pure JAX — the
+SD1.5 / SDXL checkpoint family.
+
+The reference's wrapper drops into SD1.5/SDXL pipelines (its own
+integration tests build random-weight SDXL pipes,
+`/root/reference/tests/diffusers_pipes.py:80-130`); this module ships the
+denoiser those pipelines are built around, per the published architecture:
+
+* resnet blocks with timestep-embedding injection
+  (``h += time_emb_proj(silu(emb))``) and GroupNorm(affine, eps 1e-5),
+* ``Transformer2DModel`` attention stages per level: GroupNorm + token
+  projection, then K basic blocks of self-attention, cross-attention over
+  the text context, and a GEGLU feed-forward (exact gelu gate) — K is the
+  per-level ``transformer_layers`` (SDXL: (0, 2, 10); SD1.5: (1, 1, 1, 0)),
+* skip-connection concatenation down -> up, stride-2 conv downsample with
+  torch ``padding=1`` (a DIFFERENT sampling grid than SAME — see
+  ``unet._conv``), nearest-2x upsample + conv,
+* SDXL's added conditioning: pooled text + six sinusoidally-embedded
+  ``time_ids``, concatenated through a second MLP into the time embedding.
+
+TPU notes follow :mod:`.unet`: interior activations run channels-last by
+default (``layout="auto"``) so convs hit XLA's implicit-GEMM path with the
+channel axis on the 128-wide lanes; weights stay OIHW (checkpoint
+portable); attention reshapes to ``(B, H*W, C)`` tokens either way.
+bf16 compute, f32 statistics/accumulation.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .unet import _conv, _conv_init, _dense, _dense_init
+
+
+@dataclass(frozen=True)
+class CondUNetConfig:
+    channels: int = 4
+    widths: tuple[int, ...] = (320, 640, 1280)
+    "Per-level channel widths (SDXL's (320, 640, 1280); SD1.5 adds a 4th 1280)."
+    layers_per_block: int = 2
+    transformer_layers: tuple[int, ...] = (0, 2, 10)
+    """Basic transformer blocks per attention stage, per level; 0 = a plain
+    (attention-free) level."""
+    mid_transformer_layers: int | None = None
+    """Mid-block depth; None = the last level's count.  SD1.5 needs it
+    explicit: its LAST down level is plain but the mid block still carries
+    attention (the published architecture takes the raw per-block count)."""
+    heads: tuple[int, ...] = (5, 10, 20)
+    "Attention heads per level (head_dim = width / heads; 64 for SDXL)."
+    context_dim: int = 2048
+    pooled_dim: int = 1280
+    """SDXL's added conditioning: pooled-text width (with ``time_ids``
+    micro-conditioning).  0 = SD1.5 (no added embedding)."""
+    time_ids: int = 6
+    add_time_embed_dim: int = 256
+    groups: int = 32
+    compute_dtype: Any = jnp.bfloat16
+    layout: str = "auto"
+    "As :class:`UNetConfig.layout`; auto picks NHWC when widths[0] >= 128."
+
+    @property
+    def resolved_layout(self) -> str:
+        if self.layout != "auto":
+            return self.layout
+        return "nhwc" if self.widths[0] >= 128 else "nchw"
+
+    @property
+    def levels(self) -> int:
+        return len(self.widths)
+
+    @property
+    def resolved_mid_layers(self) -> int:
+        return self.transformer_layers[-1] if self.mid_transformer_layers is None else self.mid_transformer_layers
+
+    @property
+    def time_dim(self) -> int:
+        return 4 * self.widths[0]
+
+
+def _affine_init(width: int) -> dict:
+    return {"g": jnp.ones((width,), jnp.float32), "b": jnp.zeros((width,), jnp.float32)}
+
+
+def _ln_affine(x: jax.Array, p: dict) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    return (((x32 - mean) * jax.lax.rsqrt(var + 1e-5)) * p["g"] + p["b"]).astype(x.dtype)
+
+
+def _timestep_embedding(t: jax.Array, dim: int) -> jax.Array:
+    "[cos | sin], denominator dim/2 — the diffusers flip_sin_to_cos layout."
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class CondUNet:
+    """Functional model: ``init`` -> params pytree, then
+    ``apply(params, x, t, context[, pooled, time_ids])``."""
+
+    def __init__(self, config: CondUNetConfig = CondUNetConfig()):
+        self.config = config
+        c = config
+        if not (len(c.transformer_layers) == len(c.heads) == c.levels):
+            raise ValueError("widths / transformer_layers / heads must have equal lengths")
+        for w, h, k in zip(c.widths, c.heads, c.transformer_layers):
+            if k and w % h:
+                raise ValueError(f"width {w} not divisible by heads {h}")
+
+    # -- init -----------------------------------------------------------------
+
+    def _resnet_init(self, keys, c_in: int, c_out: int) -> dict:
+        return {
+            "norm1": _affine_init(c_in),
+            "conv1": _conv_init(next(keys), 3, c_in, c_out),
+            "temb": _dense_init(next(keys), self.config.time_dim, c_out),
+            "norm2": _affine_init(c_out),
+            "conv2": _conv_init(next(keys), 3, c_out, c_out, scale=0.0),
+            "skip": _conv_init(next(keys), 1, c_in, c_out) if c_in != c_out else None,
+        }
+
+    def _basic_init(self, keys, d: int) -> dict:
+        c = self.config
+        return {
+            "ln1": _affine_init(d),
+            "attn1_qkv": _dense_init(next(keys), d, 3 * d),
+            "attn1_out": _dense_init(next(keys), d, d),
+            "ln2": _affine_init(d),
+            "attn2_q": _dense_init(next(keys), d, d),
+            "attn2_kv": _dense_init(next(keys), c.context_dim, 2 * d),
+            "attn2_out": _dense_init(next(keys), d, d),
+            "ln3": _affine_init(d),
+            "ff_in": _dense_init(next(keys), d, 8 * d),
+            "ff_out": _dense_init(next(keys), 4 * d, d),
+        }
+
+    def _transformer_init(self, keys, d: int, depth: int) -> dict:
+        return {
+            "norm": _affine_init(d),
+            "proj_in": _dense_init(next(keys), d, d),
+            "blocks": [self._basic_init(keys, d) for _ in range(depth)],
+            "proj_out": _dense_init(next(keys), d, d, scale=0.0),
+        }
+
+    def init(self, key: jax.Array) -> dict:
+        c = self.config
+        keys = iter(jax.random.split(key, 4096))
+        widths = c.widths
+
+        params: dict = {
+            "conv_in": _conv_init(next(keys), 3, c.channels, widths[0]),
+            "t_mlp1": _dense_init(next(keys), widths[0], c.time_dim),
+            "t_mlp2": _dense_init(next(keys), c.time_dim, c.time_dim),
+            "norm_out": _affine_init(widths[0]),
+            "conv_out": _conv_init(next(keys), 3, widths[0], c.channels, scale=0.0),
+        }
+        if c.pooled_dim:
+            add_in = c.pooled_dim + c.time_ids * c.add_time_embed_dim
+            params["add_mlp1"] = _dense_init(next(keys), add_in, c.time_dim)
+            params["add_mlp2"] = _dense_init(next(keys), c.time_dim, c.time_dim)
+
+        params["down"] = []
+        for i, w in enumerate(widths):
+            prev = widths[max(i - 1, 0)]
+            level = {
+                "resnets": [
+                    self._resnet_init(keys, prev if j == 0 else w, w) for j in range(c.layers_per_block)
+                ],
+                "attns": [
+                    self._transformer_init(keys, w, c.transformer_layers[i])
+                    if c.transformer_layers[i]
+                    else None
+                    for _ in range(c.layers_per_block)
+                ],
+                "downsample": _conv_init(next(keys), 3, w, w) if i < c.levels - 1 else None,
+            }
+            params["down"].append(level)
+
+        mid = widths[-1]
+        params["mid"] = {
+            "res1": self._resnet_init(keys, mid, mid),
+            "attn": self._transformer_init(keys, mid, c.resolved_mid_layers)
+            if c.resolved_mid_layers
+            else None,
+            "res2": self._resnet_init(keys, mid, mid),
+        }
+
+        # skip-channel bookkeeping mirrors the down path exactly
+        skip_widths = [widths[0]]
+        for i, w in enumerate(widths):
+            skip_widths += [w] * c.layers_per_block
+            if i < c.levels - 1:
+                skip_widths.append(w)
+
+        params["up"] = []
+        for i in reversed(range(c.levels)):
+            w = widths[i]
+            prev = widths[min(i + 1, c.levels - 1)]
+            resnets, attns = [], []
+            for j in range(c.layers_per_block + 1):
+                c_in = (prev if j == 0 else w) + skip_widths.pop()
+                resnets.append(self._resnet_init(keys, c_in, w))
+                attns.append(
+                    self._transformer_init(keys, w, c.transformer_layers[i])
+                    if c.transformer_layers[i]
+                    else None
+                )
+            params["up"].append(
+                {
+                    "resnets": resnets,
+                    "attns": attns,
+                    "upsample": _conv_init(next(keys), 3, w, w) if i > 0 else None,
+                }
+            )
+        return params
+
+    # -- building blocks ----------------------------------------------------
+
+    def _gn(self, x: jax.Array, p: dict, cl: bool, silu: bool = False) -> jax.Array:
+        "Affine GroupNorm (eps 1e-5, matching the published UNet) + optional SiLU."
+        c = self.config
+        B = x.shape[0]
+        if cl:
+            *_, C = x.shape
+            x32 = x.astype(jnp.float32).reshape(B, -1, c.groups, C // c.groups)
+            mean = x32.mean((1, 3), keepdims=True)
+            var = x32.var((1, 3), keepdims=True)
+            y = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(x.shape)
+            y = y * p["g"] + p["b"]
+        else:
+            C = x.shape[1]
+            x32 = x.astype(jnp.float32).reshape(B, c.groups, C // c.groups, *x.shape[2:])
+            mean = x32.mean((2, 3, 4), keepdims=True)
+            var = x32.var((2, 3, 4), keepdims=True)
+            y = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(x.shape)
+            y = y * p["g"][None, :, None, None] + p["b"][None, :, None, None]
+        y = y.astype(x.dtype)
+        return jax.nn.silu(y) if silu else y
+
+    def _resnet(self, p: dict, x: jax.Array, cond: jax.Array, dtype: Any, cl: bool) -> jax.Array:
+        h = _conv(p["conv1"], self._gn(x, p["norm1"], cl, silu=True), dtype, cl=cl)
+        emb = _dense(p["temb"], cond, dtype)
+        h = h + (emb[:, None, None, :] if cl else emb[:, :, None, None])
+        h = _conv(p["conv2"], self._gn(h, p["norm2"], cl, silu=True), dtype, cl=cl)
+        skip = _conv(p["skip"], x, dtype, cl=cl) if p["skip"] is not None else x
+        return skip + h
+
+    def _mha(self, q: jax.Array, k: jax.Array, v: jax.Array, heads: int) -> jax.Array:
+        B, N, D = q.shape
+        d = D // heads
+
+        def split(x):
+            return x.reshape(B, -1, heads, d).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        a = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) / math.sqrt(d),
+            axis=-1,
+        ).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", a, v, preferred_element_type=jnp.float32).astype(v.dtype)
+        return out.transpose(0, 2, 1, 3).reshape(B, N, D)
+
+    def _transformer(
+        self, p: dict, x: jax.Array, context: jax.Array, heads: int, dtype: Any, cl: bool
+    ) -> jax.Array:
+        "Transformer2DModel: norm -> tokens -> K basic blocks -> back + residual."
+        residual = x
+        if cl:
+            B, H, W, C = x.shape
+            tokens = self._gn(x, p["norm"], cl).reshape(B, H * W, C)
+        else:
+            B, C, H, W = x.shape
+            tokens = self._gn(x, p["norm"], cl).reshape(B, C, H * W).transpose(0, 2, 1)
+        h = _dense(p["proj_in"], tokens.astype(dtype), dtype)
+        for blk in p["blocks"]:
+            qkv = _dense(blk["attn1_qkv"], _ln_affine(h, blk["ln1"]), dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            h = h + _dense(blk["attn1_out"], self._mha(q, k, v, heads), dtype)
+            q = _dense(blk["attn2_q"], _ln_affine(h, blk["ln2"]), dtype)
+            kv = _dense(blk["attn2_kv"], context, dtype)
+            k, v = jnp.split(kv, 2, axis=-1)
+            h = h + _dense(blk["attn2_out"], self._mha(q, k, v, heads), dtype)
+            ff = _dense(blk["ff_in"], _ln_affine(h, blk["ln3"]), dtype)
+            gate, act = jnp.split(ff, 2, axis=-1)
+            # GEGLU uses the exact (erf) gelu, unlike the DiT family's tanh
+            h = h + _dense(blk["ff_out"], gate * jax.nn.gelu(act, approximate=False), dtype)
+        h = _dense(p["proj_out"], h, dtype)
+        out = h.reshape(B, H, W, C) if cl else h.transpose(0, 2, 1).reshape(B, C, H, W)
+        return residual + out
+
+    # -- forward ------------------------------------------------------------
+
+    def apply(
+        self,
+        params: dict,
+        x: jax.Array,
+        t: jax.Array,
+        context: jax.Array,
+        pooled: jax.Array | None = None,
+        time_ids: jax.Array | None = None,
+    ) -> jax.Array:
+        """(B, C, H, W), (B,) timestep, (B, L, context_dim) text features
+        [, (B, pooled_dim), (B, time_ids)] -> same-shape prediction."""
+        c = self.config
+        dtype = c.compute_dtype
+        cl = c.resolved_layout == "nhwc"
+        B = x.shape[0]
+        in_dtype = x.dtype
+        if (pooled is not None) != bool(c.pooled_dim):
+            raise ValueError("pooled= goes with CondUNetConfig(pooled_dim > 0), and is required there")
+        if jnp.ndim(t) == 0:
+            t = jnp.broadcast_to(t, (B,))
+
+        temb = _dense(
+            params["t_mlp2"],
+            jax.nn.silu(_dense(params["t_mlp1"], _timestep_embedding(t, c.widths[0]).astype(dtype), dtype)),
+            dtype,
+        )
+        if c.pooled_dim:
+            if time_ids is None:
+                time_ids = jnp.zeros((B, c.time_ids), jnp.float32)
+            ids_emb = _timestep_embedding(time_ids.reshape(-1), c.add_time_embed_dim)
+            add = jnp.concatenate([pooled.astype(jnp.float32), ids_emb.reshape(B, -1)], axis=-1)
+            temb = temb + _dense(
+                params["add_mlp2"], jax.nn.silu(_dense(params["add_mlp1"], add.astype(dtype), dtype)), dtype
+            )
+        cond = jax.nn.silu(temb)  # every resnet consumes time_emb_proj(silu(emb))
+        context = context.astype(dtype)
+
+        h = x.astype(dtype).transpose(0, 2, 3, 1) if cl else x.astype(dtype)
+        h = _conv(params["conv_in"], h, dtype, cl=cl)
+        skips = [h]
+        for i, level in enumerate(params["down"]):
+            for res, attn in zip(level["resnets"], level["attns"]):
+                h = self._resnet(res, h, cond, dtype, cl)
+                if attn is not None:
+                    h = self._transformer(attn, h, context, c.heads[i], dtype, cl)
+                skips.append(h)
+            if level["downsample"] is not None:
+                h = _conv(level["downsample"], h, dtype, stride=2, cl=cl, pad=1)
+                skips.append(h)
+
+        mid = params["mid"]
+        h = self._resnet(mid["res1"], h, cond, dtype, cl)
+        if mid["attn"] is not None:
+            h = self._transformer(mid["attn"], h, context, c.heads[-1], dtype, cl)
+        h = self._resnet(mid["res2"], h, cond, dtype, cl)
+
+        for idx, level in enumerate(params["up"]):
+            i = c.levels - 1 - idx
+            for res, attn in zip(level["resnets"], level["attns"]):
+                h = jnp.concatenate([h, skips.pop()], axis=-1 if cl else 1)
+                h = self._resnet(res, h, cond, dtype, cl)
+                if attn is not None:
+                    h = self._transformer(attn, h, context, c.heads[i], dtype, cl)
+            if level["upsample"] is not None:
+                if cl:
+                    Bh, H, W, C = h.shape
+                    h = jax.image.resize(h, (Bh, 2 * H, 2 * W, C), method="nearest")
+                else:
+                    Bh, C, H, W = h.shape
+                    h = jax.image.resize(h, (Bh, C, 2 * H, 2 * W), method="nearest")
+                h = _conv(level["upsample"], h, dtype, cl=cl)
+
+        h = self._gn(h, params["norm_out"], cl, silu=True)
+        h = _conv(params["conv_out"], h, dtype, cl=cl)
+        return (h.transpose(0, 3, 1, 2) if cl else h).astype(in_dtype)
+
+    def as_sampleable(
+        self,
+        params: dict,
+        context: jax.Array,
+        pooled: jax.Array | None = None,
+        time_ids: jax.Array | None = None,
+        guidance_scale: float = 1.0,
+        uncond_context: jax.Array | None = None,
+        uncond_pooled: jax.Array | None = None,
+    ):
+        """Sampling closure.  ``guidance_scale != 1`` runs classifier-free
+        guidance against ``uncond_context`` (the encoded empty prompt),
+        both branches in one doubled-batch forward."""
+        if guidance_scale == 1.0:
+
+            def model_fn(x, t, s, a):
+                return self.apply(params, x, t, context, pooled, time_ids)
+
+            return model_fn
+
+        if uncond_context is None or (pooled is not None and uncond_pooled is None):
+            raise ValueError("guided sampling needs uncond_context= (and uncond_pooled= with SDXL)")
+
+        def guided_fn(x, t, s, a):
+            B = x.shape[0]
+            ctx = jnp.concatenate(
+                [
+                    jnp.broadcast_to(context, (B, *context.shape[-2:])),
+                    jnp.broadcast_to(uncond_context, (B, *uncond_context.shape[-2:])),
+                ]
+            )
+            pool = ids = None
+            if pooled is not None:
+                pool = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(pooled, (B, pooled.shape[-1])),
+                        jnp.broadcast_to(uncond_pooled, (B, uncond_pooled.shape[-1])),
+                    ]
+                )
+                tid = time_ids if time_ids is not None else jnp.zeros((1, self.config.time_ids), jnp.float32)
+                ids = jnp.concatenate([jnp.broadcast_to(tid, (B, tid.shape[-1]))] * 2)
+            both = self.apply(
+                params,
+                jnp.concatenate([x, x]),
+                jnp.broadcast_to(t, (2 * B,)) if jnp.ndim(t) == 0 else jnp.concatenate([t, t]),
+                ctx,
+                pool,
+                ids,
+            )
+            c_out, u_out = both[:B], both[B:]
+            return u_out + guidance_scale * (c_out - u_out)
+
+        return guided_fn

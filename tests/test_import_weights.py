@@ -665,6 +665,348 @@ class TestSD3:
         assert out.shape == x.shape and bool(jnp.isfinite(out).all())
 
 
+class TestCondUNet:
+    """UNet2DConditionModel import oracle (SD1.5 / SDXL families).
+
+    Independently written torch mirror of the published architecture:
+    timestep-injected resnets (GroupNorm eps 1e-5, affine),
+    Transformer2DModel stages (self + cross attention, GEGLU with exact
+    gelu, bias-free q/k/v), torch-padding stride-2 downsample, skip-concat
+    up path, and SDXL's text_time added conditioning.  Both the linear
+    (SDXL) and conv-1x1 (SD1.5) token projections are covered."""
+
+    SDXL_CFG = dict(
+        in_channels=4,
+        block_out_channels=(32, 64, 128),
+        down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D"),
+        layers_per_block=2,
+        transformer_layers_per_block=[1, 1, 2],
+        attention_head_dim=[2, 2, 4],
+        cross_attention_dim=48,
+        norm_num_groups=8,
+        addition_embed_type="text_time",
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=56 + 6 * 8,
+        flip_sin_to_cos=True,
+        freq_shift=0,
+    )
+    SD15_CFG = dict(
+        in_channels=4,
+        block_out_channels=(32, 64, 64, 64),
+        down_block_types=(
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "CrossAttnDownBlock2D",
+            "DownBlock2D",
+        ),
+        layers_per_block=2,
+        transformer_layers_per_block=1,
+        attention_head_dim=4,
+        cross_attention_dim=24,
+        norm_num_groups=8,
+        addition_embed_type=None,
+        flip_sin_to_cos=True,
+        freq_shift=0,
+    )
+
+    @classmethod
+    def _torch_unet(cls, cfg: dict, linear_proj: bool = True):
+        import math as _math
+
+        import torch.nn as nn
+        import torch.nn.functional as F
+
+        widths = cfg["block_out_channels"]
+        levels = len(widths)
+        layers = cfg["layers_per_block"]
+        groups = cfg["norm_num_groups"]
+        ctx_d = cfg["cross_attention_dim"]
+        tdim = 4 * widths[0]
+        tl = cfg["transformer_layers_per_block"]
+        tl = list(tl) if isinstance(tl, (list, tuple)) else [tl] * levels
+        hd = cfg["attention_head_dim"]
+        heads = list(hd) if isinstance(hd, (list, tuple)) else [hd] * levels
+        cross = [t == "CrossAttnDownBlock2D" for t in cfg["down_block_types"]]
+        sdxl = cfg.get("addition_embed_type") == "text_time"
+
+        def sin_emb(t, dim):
+            half = dim // 2
+            freqs = torch.exp(-_math.log(10000.0) * torch.arange(half, dtype=torch.float32) / half)
+            args = t.float()[:, None] * freqs[None]
+            return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+
+        class Resnet(nn.Module):
+            def __init__(self, c_in, c_out):
+                super().__init__()
+                self.norm1 = nn.GroupNorm(groups, c_in, eps=1e-5)
+                self.conv1 = nn.Conv2d(c_in, c_out, 3, padding=1)
+                self.time_emb_proj = nn.Linear(tdim, c_out)
+                self.norm2 = nn.GroupNorm(groups, c_out, eps=1e-5)
+                self.conv2 = nn.Conv2d(c_out, c_out, 3, padding=1)
+                if c_in != c_out:
+                    self.conv_shortcut = nn.Conv2d(c_in, c_out, 1)
+
+            def forward(self, x, emb):
+                h = self.conv1(F.silu(self.norm1(x)))
+                h = h + self.time_emb_proj(F.silu(emb))[:, :, None, None]
+                h = self.conv2(F.silu(self.norm2(h)))
+                return (self.conv_shortcut(x) if hasattr(self, "conv_shortcut") else x) + h
+
+        class Attn(nn.Module):
+            def __init__(self, d, kv_d, n_heads):
+                super().__init__()
+                self.heads = n_heads
+                self.to_q = nn.Linear(d, d, bias=False)
+                self.to_k = nn.Linear(kv_d, d, bias=False)
+                self.to_v = nn.Linear(kv_d, d, bias=False)
+                self.to_out = nn.ModuleList([nn.Linear(d, d)])
+
+            def forward(self, x, ctx=None):
+                ctx = x if ctx is None else ctx
+                B, N, D = x.shape
+                d = D // self.heads
+
+                def split(t):
+                    return t.reshape(B, -1, self.heads, d).transpose(1, 2)
+
+                q, k, v = split(self.to_q(x)), split(self.to_k(ctx)), split(self.to_v(ctx))
+                a = torch.softmax(q @ k.transpose(2, 3) / _math.sqrt(d), dim=-1)
+                return self.to_out[0]((a @ v).transpose(1, 2).reshape(B, N, D))
+
+        class GEGLU(nn.Module):
+            def __init__(self, d):
+                super().__init__()
+                self.proj = nn.Linear(d, 8 * d)
+
+            def forward(self, x):
+                value, gate = self.proj(x).chunk(2, dim=-1)
+                return value * F.gelu(gate)  # exact gelu, the published GEGLU
+
+        class FF(nn.Module):
+            def __init__(self, d):
+                super().__init__()
+                self.net = nn.ModuleList([GEGLU(d), nn.Identity(), nn.Linear(4 * d, d)])
+
+            def forward(self, x):
+                return self.net[2](self.net[0](x))
+
+        class Basic(nn.Module):
+            def __init__(self, d, n_heads):
+                super().__init__()
+                self.norm1 = nn.LayerNorm(d, eps=1e-5)
+                self.attn1 = Attn(d, d, n_heads)
+                self.norm2 = nn.LayerNorm(d, eps=1e-5)
+                self.attn2 = Attn(d, ctx_d, n_heads)
+                self.norm3 = nn.LayerNorm(d, eps=1e-5)
+                self.ff = FF(d)
+
+            def forward(self, x, ctx):
+                x = x + self.attn1(self.norm1(x))
+                x = x + self.attn2(self.norm2(x), ctx)
+                return x + self.ff(self.norm3(x))
+
+        class Transformer2D(nn.Module):
+            def __init__(self, d, depth, n_heads):
+                super().__init__()
+                self.norm = nn.GroupNorm(groups, d, eps=1e-6)
+                if linear_proj:
+                    self.proj_in = nn.Linear(d, d)
+                    self.proj_out = nn.Linear(d, d)
+                else:
+                    self.proj_in = nn.Conv2d(d, d, 1)
+                    self.proj_out = nn.Conv2d(d, d, 1)
+                self.transformer_blocks = nn.ModuleList([Basic(d, n_heads) for _ in range(depth)])
+
+            def forward(self, x, ctx):
+                B, C, H, W = x.shape
+                res = x
+                h = self.norm(x)
+                if linear_proj:
+                    h = h.reshape(B, C, H * W).transpose(1, 2)
+                    h = self.proj_in(h)
+                else:
+                    h = self.proj_in(h).reshape(B, C, H * W).transpose(1, 2)
+                for blk in self.transformer_blocks:
+                    h = blk(h, ctx)
+                if linear_proj:
+                    h = self.proj_out(h).transpose(1, 2).reshape(B, C, H, W)
+                else:
+                    h = self.proj_out(h.transpose(1, 2).reshape(B, C, H, W))
+                return res + h
+
+        class Downsampler(nn.Module):
+            def __init__(self, w):
+                super().__init__()
+                self.conv = nn.Conv2d(w, w, 3, stride=2, padding=1)
+
+            def forward(self, x):
+                return self.conv(x)
+
+        class Upsampler(nn.Module):
+            def __init__(self, w):
+                super().__init__()
+                self.conv = nn.Conv2d(w, w, 3, padding=1)
+
+            def forward(self, x):
+                return self.conv(F.interpolate(x, scale_factor=2.0, mode="nearest"))
+
+        class DownBlock(nn.Module):
+            def __init__(self, i):
+                super().__init__()
+                prev = widths[max(i - 1, 0)]
+                self.resnets = nn.ModuleList(
+                    [Resnet(prev if j == 0 else widths[i], widths[i]) for j in range(layers)]
+                )
+                if cross[i]:
+                    self.attentions = nn.ModuleList(
+                        [Transformer2D(widths[i], tl[i], heads[i]) for _ in range(layers)]
+                    )
+                if i < levels - 1:
+                    self.downsamplers = nn.ModuleList([Downsampler(widths[i])])
+
+            def forward(self, x, emb, ctx, skips):
+                for j, res in enumerate(self.resnets):
+                    x = res(x, emb)
+                    if hasattr(self, "attentions"):
+                        x = self.attentions[j](x, ctx)
+                    skips.append(x)
+                if hasattr(self, "downsamplers"):
+                    x = self.downsamplers[0](x)
+                    skips.append(x)
+                return x
+
+        class UpBlock(nn.Module):
+            def __init__(self, i):
+                super().__init__()
+                prev = widths[min(i + 1, levels - 1)]
+                self.resnets = nn.ModuleList()
+                for j in range(layers + 1):
+                    skip_w = widths[i] if j < layers else (widths[max(i - 1, 0)] if i else widths[0])
+                    self.resnets.append(Resnet((prev if j == 0 else widths[i]) + skip_w, widths[i]))
+                if cross[i]:
+                    self.attentions = nn.ModuleList(
+                        [Transformer2D(widths[i], tl[i], heads[i]) for _ in range(layers + 1)]
+                    )
+                if i > 0:
+                    self.upsamplers = nn.ModuleList([Upsampler(widths[i])])
+
+            def forward(self, x, emb, ctx, skips):
+                for j, res in enumerate(self.resnets):
+                    x = res(torch.cat([x, skips.pop()], dim=1), emb)
+                    if hasattr(self, "attentions"):
+                        x = self.attentions[j](x, ctx)
+                if hasattr(self, "upsamplers"):
+                    x = self.upsamplers[0](x)
+                return x
+
+        class Mid(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.resnets = nn.ModuleList([Resnet(widths[-1], widths[-1]), Resnet(widths[-1], widths[-1])])
+                self.attentions = nn.ModuleList([Transformer2D(widths[-1], tl[-1], heads[-1])])
+
+            def forward(self, x, emb, ctx):
+                return self.resnets[1](self.attentions[0](self.resnets[0](x, emb), ctx), emb)
+
+        class TwoLayer(nn.Module):
+            def __init__(self, d_in):
+                super().__init__()
+                self.linear_1 = nn.Linear(d_in, tdim)
+                self.linear_2 = nn.Linear(tdim, tdim)
+
+            def forward(self, x):
+                return self.linear_2(F.silu(self.linear_1(x)))
+
+        class UNetMini(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_in = nn.Conv2d(cfg["in_channels"], widths[0], 3, padding=1)
+                self.time_embedding = TwoLayer(widths[0])
+                if sdxl:
+                    self.add_embedding = TwoLayer(cfg["projection_class_embeddings_input_dim"])
+                self.down_blocks = nn.ModuleList([DownBlock(i) for i in range(levels)])
+                self.mid_block = Mid()
+                self.up_blocks = nn.ModuleList([UpBlock(levels - 1 - k) for k in range(levels)])
+                self.conv_norm_out = nn.GroupNorm(groups, widths[0], eps=1e-5)
+                self.conv_out = nn.Conv2d(widths[0], cfg["in_channels"], 3, padding=1)
+
+            def forward(self, x, t, ctx, pooled=None, time_ids=None):
+                emb = self.time_embedding(sin_emb(t, widths[0]))
+                if sdxl:
+                    ids = sin_emb(time_ids.reshape(-1), cfg["addition_time_embed_dim"])
+                    add = torch.cat([pooled, ids.reshape(x.shape[0], -1)], dim=-1)
+                    emb = emb + self.add_embedding(add)
+                h = self.conv_in(x)
+                skips = [h]
+                for blk in self.down_blocks:
+                    h = blk(h, emb, ctx, skips)
+                h = self.mid_block(h, emb, ctx)
+                for blk in self.up_blocks:
+                    h = blk(h, emb, ctx, skips)
+                return self.conv_out(F.silu(self.conv_norm_out(h)))
+
+        return UNetMini()
+
+    def test_parity_sdxl_shape(self) -> None:
+        from skrample_tpu.models.import_weights import diffusers_unet
+
+        torch.manual_seed(40)
+        ref = self._torch_unet(self.SDXL_CFG).eval()
+        unet, params = diffusers_unet((ref.state_dict(), self.SDXL_CFG))
+        assert unet.config.pooled_dim == 56 and unet.config.transformer_layers == (0, 1, 2)
+
+        gen = torch.Generator().manual_seed(41)
+        x = torch.randn(2, 4, 16, 16, generator=gen)
+        t = torch.rand(2, generator=gen) * 1000.0
+        ctx = torch.randn(2, 10, 48, generator=gen)
+        pooled = torch.randn(2, 56, generator=gen)
+        tids = torch.tensor([[512.0, 512.0, 0.0, 0.0, 512.0, 512.0]] * 2)
+        with torch.no_grad():
+            want = ref(x, t, ctx, pooled, tids).numpy()
+        got = unet.apply(
+            params,
+            jnp.asarray(x.numpy()),
+            jnp.asarray(t.numpy()),
+            jnp.asarray(ctx.numpy()),
+            jnp.asarray(pooled.numpy()),
+            jnp.asarray(tids.numpy()),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_parity_sd15_shape_conv_projections(self) -> None:
+        from skrample_tpu.models.import_weights import diffusers_unet
+
+        torch.manual_seed(42)
+        ref = self._torch_unet(self.SD15_CFG, linear_proj=False).eval()
+        unet, params = diffusers_unet((ref.state_dict(), self.SD15_CFG))
+        assert unet.config.pooled_dim == 0 and unet.config.transformer_layers == (1, 1, 1, 0)
+
+        gen = torch.Generator().manual_seed(43)
+        x = torch.randn(1, 4, 16, 16, generator=gen)
+        ctx = torch.randn(1, 8, 24, generator=gen)
+        with torch.no_grad():
+            want = ref(x, torch.tensor([500.0]), ctx).numpy()
+        got = unet.apply(params, jnp.asarray(x.numpy()), 500.0, jnp.asarray(ctx.numpy()))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_rejects_unmapped_keys(self) -> None:
+        from skrample_tpu.models.import_weights import diffusers_unet
+
+        torch.manual_seed(44)
+        sd = dict(self._torch_unet(self.SDXL_CFG).state_dict())
+        sd["mid_block.mystery.weight"] = torch.zeros(1)
+        with pytest.raises(ValueError, match="unmapped"):
+            diffusers_unet((sd, self.SDXL_CFG))
+
+    def test_rejects_exotic_configs(self) -> None:
+        from skrample_tpu.models.import_weights import unet_config
+
+        with pytest.raises(ValueError, match="addition_embed_type"):
+            unet_config({**self.SDXL_CFG, "addition_embed_type": "image"})
+        with pytest.raises(ValueError, match="down_block_types"):
+            unet_config({**self.SDXL_CFG, "down_block_types": ("AttnDownBlock2D",) * 3})
+
+
 class TestFlux:
     """FLUX.1 transformer import oracle.
 

@@ -1,0 +1,150 @@
+"""SDXL / SD1.5 stack assembly: the UNet-family importers glued by the
+published recipe.  Conditioning oracle = transformers (penultimate states
+of both towers, CLIP-G projected pooling); the UNet/VAE are the mirrors
+from ``test_import_weights``."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from transformers import CLIPTextConfig, CLIPTextModel, CLIPTextModelWithProjection  # noqa: E402
+
+import tests.test_import_weights as oracles  # noqa: E402
+from skrample_tpu.models.sdxl import SDXLStack  # noqa: E402
+
+CLIP_L = dict(
+    vocab_size=99,
+    hidden_size=20,
+    intermediate_size=80,
+    num_hidden_layers=3,
+    num_attention_heads=2,
+    max_position_embeddings=16,
+    eos_token_id=98,
+    bos_token_id=97,
+    hidden_act="gelu",
+)
+# CLIP-G: projected pooling must match the mirror UNet's pooled_dim (56);
+# widths 20 + 28 = 48 = the mirror's cross_attention_dim
+CLIP_G = dict(CLIP_L, hidden_size=28, intermediate_size=112, projection_dim=56)
+SD15_CLIP = dict(CLIP_L, hidden_size=24, intermediate_size=96)
+
+
+def token_ids(fill: int = 7) -> np.ndarray:
+    ids = np.full((1, 16), fill, np.int64)
+    ids[0, :5] = [97, 10, 20, 30, 98]
+    return ids
+
+
+def build_sdxl() -> SDXLStack:
+    torch.manual_seed(50)
+    return SDXLStack.from_checkpoints(
+        (oracles.TestCondUNet._torch_unet(oracles.TestCondUNet.SDXL_CFG).state_dict(), oracles.TestCondUNet.SDXL_CFG),
+        (oracles.TestVAE._torch_vae().state_dict(), oracles.TestVAE.CFG),
+        CLIPTextModel(CLIPTextConfig(**CLIP_L)).eval(),
+        CLIPTextModelWithProjection(CLIPTextConfig(**CLIP_G)).eval(),
+    )
+
+
+def test_encode_prompt_matches_transformers() -> None:
+    torch.manual_seed(50)
+    unet = oracles.TestCondUNet._torch_unet(oracles.TestCondUNet.SDXL_CFG).eval()
+    vae = oracles.TestVAE._torch_vae().eval()
+    hf_l = CLIPTextModel(CLIPTextConfig(**CLIP_L)).eval()
+    hf_g = CLIPTextModelWithProjection(CLIPTextConfig(**CLIP_G)).eval()
+    stack = SDXLStack.from_checkpoints(
+        (unet.state_dict(), oracles.TestCondUNet.SDXL_CFG), (vae.state_dict(), oracles.TestVAE.CFG), hf_l, hf_g
+    )
+
+    ids = token_ids()
+    with torch.no_grad():
+        out_l = hf_l(input_ids=torch.as_tensor(ids), output_hidden_states=True)
+        out_g = hf_g(input_ids=torch.as_tensor(ids), output_hidden_states=True)
+    want_ctx = np.concatenate(
+        [out_l.hidden_states[-2].numpy(), out_g.hidden_states[-2].numpy()], axis=-1
+    )
+    ctx, pooled = stack.encode_prompt(jnp.asarray(ids, jnp.int32), jnp.asarray(ids, jnp.int32))
+    assert ctx.shape == (1, 16, 48) and pooled.shape == (1, 56)
+    np.testing.assert_allclose(np.asarray(ctx), want_ctx, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(pooled), out_g.text_embeds.numpy(), atol=3e-5)
+
+
+def test_sd15_shape_single_tower() -> None:
+    torch.manual_seed(51)
+    stack = SDXLStack.from_checkpoints(
+        (
+            oracles.TestCondUNet._torch_unet(oracles.TestCondUNet.SD15_CFG, linear_proj=False).state_dict(),
+            oracles.TestCondUNet.SD15_CFG,
+        ),
+        (oracles.TestVAE._torch_vae().state_dict(), oracles.TestVAE.CFG),
+        CLIPTextModel(CLIPTextConfig(**SD15_CLIP)).eval(),
+    )
+    ctx, pooled = stack.encode_prompt(jnp.asarray(token_ids(), jnp.int32))
+    assert ctx.shape == (1, 16, 24) and pooled is None
+    pipe = stack.pipeline(ctx, height=16, width=16, steps=4, donate=False)
+    latent = pipe.generate(jax.random.PRNGKey(0))
+    assert latent.shape == (1, 4, 8, 8)
+    pixels = stack.decode(latent)
+    assert pixels.shape == (1, 3, 16, 16) and bool(jnp.isfinite(pixels).all())
+
+
+def test_tower_mismatch_rejected() -> None:
+    torch.manual_seed(52)
+    with pytest.raises(ValueError, match="clip_g"):
+        SDXLStack.from_checkpoints(
+            (
+                oracles.TestCondUNet._torch_unet(oracles.TestCondUNet.SDXL_CFG).state_dict(),
+                oracles.TestCondUNet.SDXL_CFG,
+            ),
+            (oracles.TestVAE._torch_vae().state_dict(), oracles.TestVAE.CFG),
+            CLIPTextModel(CLIPTextConfig(**CLIP_L)).eval(),  # missing clip_g for an SDXL UNet
+        )
+
+
+class TestEndToEnd:
+    def test_ids_to_pixels_cfg(self) -> None:
+        "SDXL: both towers, micro-conditioning, CFG, epsilon on Scaled."
+        stack = build_sdxl()
+        ids = jnp.asarray(token_ids(), jnp.int32)
+        cond = stack.encode_prompt(ids, ids)
+        empty = jnp.asarray(token_ids(fill=9), jnp.int32)
+        uncond = stack.encode_prompt(empty, empty)
+
+        pipe = stack.pipeline(
+            *cond,
+            height=16,
+            width=16,
+            steps=4,
+            time_ids=stack.time_ids((16, 16), (0, 0), (16, 16)),
+            guidance_scale=5.0,
+            uncond=uncond,
+            donate=False,
+        )
+        latent = pipe.generate(jax.random.PRNGKey(0))
+        assert latent.shape == (1, 4, 8, 8)
+        pixels = stack.decode(latent)
+        assert pixels.shape == (1, 3, 16, 16) and bool(jnp.isfinite(pixels).all())
+        again = stack.decode(pipe.generate(jax.random.PRNGKey(0)))
+        np.testing.assert_array_equal(np.asarray(pixels), np.asarray(again))
+
+    def test_time_ids_change_output(self) -> None:
+        "The micro-conditioning is live: different crop ids, different image."
+        stack = build_sdxl()
+        ids = jnp.asarray(token_ids(), jnp.int32)
+        cond = stack.encode_prompt(ids, ids)
+        outs = []
+        for crop in ((0, 0), (8, 8)):
+            pipe = stack.pipeline(
+                *cond,
+                height=16,
+                width=16,
+                steps=3,
+                time_ids=stack.time_ids((16, 16), crop, (16, 16)),
+                donate=False,
+            )
+            outs.append(np.asarray(pipe.generate(jax.random.PRNGKey(1))))
+        assert not np.array_equal(outs[0], outs[1])
