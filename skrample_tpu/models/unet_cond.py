@@ -221,6 +221,95 @@ class CondUNet:
             )
         return params
 
+    def param_spec(self) -> dict:
+        """PartitionSpecs over mesh axis 'tp': the transformer stages shard
+        megatron-style (qkv/ff-in column-parallel, out/ff-out row-parallel;
+        cross-attention k/v column-parallel so heads split); convs,
+        norms, and time embeddings replicate — they are latency noise next
+        to the attention/FF matmuls at SDXL widths."""
+        from jax.sharding import PartitionSpec as P
+
+        col = {"w": P(None, "tp"), "b": P("tp")}
+        row = {"w": P("tp", None), "b": P()}
+        rep_c = {"w": P(), "b": P()}
+        aff = {"g": P(), "b": P()}
+
+        def resnet_spec(has_skip: bool) -> dict:
+            return {
+                "norm1": dict(aff),
+                "conv1": dict(rep_c),
+                "temb": dict(rep_c),
+                "norm2": dict(aff),
+                "conv2": dict(rep_c),
+                "skip": dict(rep_c) if has_skip else None,
+            }
+
+        def basic_spec() -> dict:
+            return {
+                "ln1": dict(aff),
+                "attn1_qkv": dict(col),
+                "attn1_out": dict(row),
+                "ln2": dict(aff),
+                "attn2_q": dict(col),
+                "attn2_kv": dict(col),
+                "attn2_out": dict(row),
+                "ln3": dict(aff),
+                "ff_in": dict(col),
+                "ff_out": dict(row),
+            }
+
+        def transformer_spec(depth: int) -> dict:
+            return {
+                "norm": dict(aff),
+                "proj_in": dict(rep_c),
+                "blocks": [basic_spec() for _ in range(depth)],
+                "proj_out": dict(rep_c),
+            }
+
+        c = self.config
+        spec: dict = {
+            "conv_in": dict(rep_c),
+            "t_mlp1": dict(rep_c),
+            "t_mlp2": dict(rep_c),
+            "norm_out": dict(aff),
+            "conv_out": dict(rep_c),
+        }
+        if c.pooled_dim:
+            spec["add_mlp1"] = dict(rep_c)
+            spec["add_mlp2"] = dict(rep_c)
+        spec["down"] = [
+            {
+                "resnets": [
+                    resnet_spec(j == 0 and c.widths[max(i - 1, 0)] != c.widths[i])
+                    for j in range(c.layers_per_block)
+                ],
+                "attns": [
+                    transformer_spec(c.transformer_layers[i]) if c.transformer_layers[i] else None
+                    for _ in range(c.layers_per_block)
+                ],
+                "downsample": dict(rep_c) if i < c.levels - 1 else None,
+            }
+            for i in range(c.levels)
+        ]
+        spec["mid"] = {
+            "res1": resnet_spec(False),
+            "attn": transformer_spec(c.resolved_mid_layers) if c.resolved_mid_layers else None,
+            "res2": resnet_spec(False),
+        }
+        spec["up"] = [
+            {
+                # up-path resnets always consume a skip concat: c_in > width
+                "resnets": [resnet_spec(True) for _ in range(c.layers_per_block + 1)],
+                "attns": [
+                    transformer_spec(c.transformer_layers[i]) if c.transformer_layers[i] else None
+                    for _ in range(c.layers_per_block + 1)
+                ],
+                "upsample": dict(rep_c) if i > 0 else None,
+            }
+            for i in reversed(range(c.levels))
+        ]
+        return spec
+
     # -- building blocks ----------------------------------------------------
 
     def _gn(self, x: jax.Array, p: dict, cl: bool, silu: bool = False) -> jax.Array:

@@ -92,6 +92,18 @@ def test_sd15_shape_single_tower() -> None:
     assert pixels.shape == (1, 3, 16, 16) and bool(jnp.isfinite(pixels).all())
 
 
+def test_param_spec_matches_tree() -> None:
+    "Both family shapes shard with the CondUNet's own PartitionSpecs."
+    from skrample_tpu.models.import_weights import diffusers_unet
+
+    torch.manual_seed(53)
+    for cfg, linear in ((oracles.TestCondUNet.SDXL_CFG, True), (oracles.TestCondUNet.SD15_CFG, False)):
+        unet, params = diffusers_unet(
+            (oracles.TestCondUNet._torch_unet(cfg, linear_proj=linear).state_dict(), cfg)
+        )
+        jax.tree.map(lambda w, s: None, params, unet.param_spec())  # same structure or raises
+
+
 def test_tower_mismatch_rejected() -> None:
     torch.manual_seed(52)
     with pytest.raises(ValueError, match="clip_g"):
