@@ -19,6 +19,7 @@ from .import_weights import (
 from .mmdit import MMDiT, MMDiTConfig
 from .t5_encoder import T5Encoder, T5EncoderConfig
 from .text_encoder import ByteTokenizer, TextEncoder, TextEncoderConfig
+from .tokenizers import CLIPBPETokenizer
 from .unet import UNet, UNetConfig
 from .unet_cond import CondUNet, CondUNetConfig
 from .vae import VAE, VAEConfig
@@ -26,6 +27,7 @@ from .video_dit import VideoDiT, VideoDiTConfig
 
 __all__ = [
     "ByteTokenizer",
+    "CLIPBPETokenizer",
     "CondUNet",
     "CondUNetConfig",
     "DiT",
