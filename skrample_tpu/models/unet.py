@@ -89,6 +89,10 @@ def _dense_init(key, d_in, d_out, scale=None):
 
 
 def _dense(params, x, dtype):
+    if "w_q" in params:  # int8 serving tree (see ops/quant.py)
+        from ..ops.quant import dense_int8
+
+        return dense_int8(params, x, dtype)
     return (jnp.dot(x, params["w"].astype(dtype), preferred_element_type=jnp.float32) + params["b"]).astype(dtype)
 
 

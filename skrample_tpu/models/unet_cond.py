@@ -462,6 +462,17 @@ class CondUNet:
         h = _conv(params["conv_out"], h, dtype, cl=cl)
         return (h.transpose(0, 3, 1, 2) if cl else h).astype(in_dtype)
 
+    def quantize_params(self, params: dict) -> dict:
+        """Int8 serving tree: the Transformer2D matmuls (the FLOPs bulk at
+        SDXL's 10-deep mid stages) go W8A8; convs are untouched (4-D
+        weights) and the conditioning pathway stays f32 — its outputs feed
+        every resnet's time injection."""
+        from ..ops.quant import quantize_params
+
+        return quantize_params(
+            params, exclude=frozenset({"temb", "t_mlp1", "t_mlp2", "add_mlp1", "add_mlp2"})
+        )
+
     def as_sampleable(
         self,
         params: dict,

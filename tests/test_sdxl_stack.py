@@ -104,6 +104,37 @@ def test_param_spec_matches_tree() -> None:
         jax.tree.map(lambda w, s: None, params, unet.param_spec())  # same structure or raises
 
 
+def test_int8_tree_runs_close() -> None:
+    "W8A8 Transformer2D matmuls; convs and conditioning stay full precision."
+    from skrample_tpu.models import CondUNet, CondUNetConfig
+
+    cfg = CondUNetConfig(
+        widths=(32, 64, 128),
+        layers_per_block=1,
+        transformer_layers=(0, 1, 2),
+        heads=(2, 2, 4),
+        context_dim=48,
+        pooled_dim=56,
+        add_time_embed_dim=8,
+        groups=8,
+        compute_dtype=jnp.float32,
+        layout="nchw",
+    )
+    model = CondUNet(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda w: w + 0.02 * jax.random.normal(jax.random.PRNGKey(7), w.shape, w.dtype), params
+    )
+    q = model.quantize_params(params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 10, 48))
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (1, 56))
+    a = np.asarray(model.apply(params, x, 500.0, ctx, pooled)).ravel()
+    b = np.asarray(model.apply(q, x, 500.0, ctx, pooled)).ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.99, cos
+
+
 def test_tower_mismatch_rejected() -> None:
     torch.manual_seed(52)
     with pytest.raises(ValueError, match="clip_g"):
