@@ -23,6 +23,10 @@ def main(multiplier: int = 10, seed_base: int = 10_000_000) -> int:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # the compiled-vs-eager family compares against a float64 oracle; under
+    # pytest a module-scoped fixture in test_ops enables x64, but this
+    # script calls the functions directly, so enable it here
+    jax.config.update("jax_enable_x64", True)
 
     import test_ops as ops_tests
     import test_reference_fuzz as ref_fuzz
