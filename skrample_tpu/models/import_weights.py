@@ -423,10 +423,17 @@ def sd3_mmdit(source: Any) -> tuple[MMDiT, dict]:
     return MMDiT(config), params
 
 
-def unet_config(hf_config: Any) -> CondUNetConfig:
+def unet_config(hf_config: Any, time_ids: int = 6) -> CondUNetConfig:
     """``diffusers.UNet2DConditionModel`` config -> :class:`CondUNetConfig`.
     Covers the SD1.5 and SDXL shapes; exotic variants (class embeddings,
-    encoder projections, non-default mid blocks) are rejected."""
+    encoder projections, non-default mid blocks) are rejected.
+
+    ``time_ids`` is the micro-conditioning id count, which the HF config
+    does not record — the pooled width is derived as
+    ``projection_class_embeddings_input_dim - time_ids * addition_time_embed_dim``.
+    SDXL-base uses 6; the SDXL refiner uses 5 (aesthetic-score
+    conditioning), so pass ``time_ids=5`` for refiner-class checkpoints or
+    the split lands at the wrong boundary."""
     if isinstance(hf_config, Mapping):
         get = lambda k, d=None: hf_config.get(k, d)  # noqa: E731
     else:
@@ -454,9 +461,16 @@ def unet_config(hf_config: Any) -> CondUNetConfig:
         raise ValueError("only the default resnet time-embedding injection is supported")
     if not get("flip_sin_to_cos", True) or get("freq_shift", 0) != 0:
         raise ValueError("only the flip_sin_to_cos=True, freq_shift=0 timestep embedding is supported")
+    if get("mid_block_type", "UNetMidBlock2DCrossAttn") != "UNetMidBlock2DCrossAttn":
+        raise ValueError(f"unsupported mid_block_type {get('mid_block_type')!r}")
+    up_types = get("up_block_types")
+    want_up = tuple(
+        "CrossAttnUpBlock2D" if t == "CrossAttnDownBlock2D" else "UpBlock2D" for t in reversed(down_types)
+    )
+    if up_types is not None and tuple(up_types) != want_up:
+        raise ValueError(f"up_block_types {tuple(up_types)} don't mirror the down path {want_up}")
 
     pooled_dim = 0
-    time_ids = 6
     add_dim = get("addition_time_embed_dim") or 256
     if get("addition_embed_type") == "text_time":
         proj_in = get("projection_class_embeddings_input_dim")
@@ -481,9 +495,10 @@ def unet_config(hf_config: Any) -> CondUNetConfig:
     )
 
 
-def diffusers_unet(source: Any) -> tuple[CondUNet, dict]:
+def diffusers_unet(source: Any, time_ids: int = 6) -> tuple[CondUNet, dict]:
     """Import a ``diffusers.UNet2DConditionModel`` (SD1.5 / SDXL families)
-    into ``(CondUNet, params)``.
+    into ``(CondUNet, params)``.  ``time_ids``: see :func:`unet_config`
+    (pass 5 for SDXL-refiner-class checkpoints).
 
     Verified against an independently written torch mirror of the published
     architecture in ``tests/test_import_weights.py``: SDXL shape (added
@@ -495,7 +510,7 @@ def diffusers_unet(source: Any) -> tuple[CondUNet, dict]:
         raw_sd, hf_config = source
     else:
         raw_sd, hf_config = source.state_dict(), source.config
-    config = unet_config(hf_config)
+    config = unet_config(hf_config, time_ids=time_ids)
     sd = _TrackedSD(raw_sd)
 
     def conv(prefix: str) -> dict:

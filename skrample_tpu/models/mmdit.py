@@ -151,7 +151,8 @@ class MMDiT:
     def init(self, key: jax.Array) -> dict:
         c = self.config
         patch_dim = c.channels * c.patch * c.patch
-        keys = iter(jax.random.split(key, 12 + 10 * c.depth))
+        # dual-attention blocks draw 3 extra keys (ada re-init, qkv2, proj2)
+        keys = iter(jax.random.split(key, 12 + 10 * c.depth + 3 * len(c.dual_attention_layers)))
 
         params: dict = {
             "patch_in": _dense_init(next(keys), patch_dim, c.dim),

@@ -120,10 +120,9 @@ class SD3Stack:
         the transformer, following the published SD3 recipe (see module
         docstring).  Verified against transformers' own towers in
         ``tests/test_sd3_stack.py``."""
-        feats_l = self.clip_l.apply(self.clip_l_params, clip_l_ids, layer_skip=1)
-        feats_g = self.clip_g.apply(self.clip_g_params, clip_g_ids, layer_skip=1)
-        _, pooled_l = self.clip_l.encode(self.clip_l_params, clip_l_ids)
-        _, pooled_g = self.clip_g.encode(self.clip_g_params, clip_g_ids)
+        # one forward per tower: penultimate features + full-tower pooling
+        feats_l, pooled_l = self.clip_l.encode(self.clip_l_params, clip_l_ids, layer_skip=1)
+        feats_g, pooled_g = self.clip_g.encode(self.clip_g_params, clip_g_ids, layer_skip=1)
 
         clip_feats = jnp.concatenate([feats_l, feats_g], axis=-1)
         width = self.mmdit.config.context_dim

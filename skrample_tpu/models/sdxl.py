@@ -80,8 +80,8 @@ class SDXLStack:
             return feats_l, None
         if clip_g_ids is None:
             raise ValueError("SDXL needs both towers' ids")
-        feats_g = self.clip_g.apply(self.clip_g_params, clip_g_ids, layer_skip=1)
-        _, pooled = self.clip_g.encode(self.clip_g_params, clip_g_ids)
+        # one CLIP-G forward: penultimate features + full-tower pooling
+        feats_g, pooled = self.clip_g.encode(self.clip_g_params, clip_g_ids, layer_skip=1)
         return jnp.concatenate([feats_l, feats_g], axis=-1), pooled
 
     @staticmethod

@@ -203,13 +203,11 @@ class TextEncoder:
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v.reshape(shape), preferred_element_type=jnp.float32)
         return out.reshape(B, L, c.dim).astype(qkv.dtype)
 
-    def apply(self, params: dict, ids: jax.Array, layer_skip: int = 0) -> jax.Array:
-        """(B, L) int32 ids -> (B, L, dim) sequence features (final-LN'd, f32).
-
-        ``layer_skip=k`` stops k blocks early and returns the RAW hidden
-        state (no final LN) — transformers' ``hidden_states[-(k+1)]``.  SD3
-        conditions on the penultimate CLIP states (``layer_skip=1``, the
-        "clip skip" convention) while pooling from the full tower."""
+    def _tower(self, params: dict, ids: jax.Array, capture_skip: int = 0):
+        """One pass through the blocks.  Returns ``(final, captured)``:
+        the final-LN'd states, plus (when ``capture_skip > 0``) the RAW
+        hidden state ``capture_skip`` blocks early — transformers'
+        ``hidden_states[-(capture_skip+1)]``."""
         c = self.config
         dtype = c.compute_dtype
         L = ids.shape[-1]
@@ -217,26 +215,44 @@ class TextEncoder:
             raise ValueError(f"sequence length {L} > max_tokens {c.max_tokens}")
 
         act = _ACTIVATIONS[c.act]
-        blocks = params["blocks"][: len(params["blocks"]) - layer_skip] if layer_skip else params["blocks"]
+        blocks = params["blocks"]
         h = (params["tok_embed"][ids] + params["pos_embed"][:L]).astype(dtype)
-        for block in blocks:
+        captured = None
+        for i, block in enumerate(blocks):
+            if capture_skip and i == len(blocks) - capture_skip:
+                captured = h
             norm = self._ln(h, block.get("ln1"))
             h = h + _dense(block["proj"], self._attention(_dense(block["qkv"], norm, dtype)), dtype)
             norm = self._ln(h, block.get("ln2"))
             h = h + _dense(block["mlp_out"], act(_dense(block["mlp_in"], norm, dtype)), dtype)
-        if layer_skip:
-            return h.astype(jnp.float32)
-        return self._ln(h, params.get("final_ln")).astype(jnp.float32)
+        return self._ln(h, params.get("final_ln")).astype(jnp.float32), (
+            None if captured is None else captured.astype(jnp.float32)
+        )
 
-    def encode(self, params: dict, ids: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def apply(self, params: dict, ids: jax.Array, layer_skip: int = 0) -> jax.Array:
+        """(B, L) int32 ids -> (B, L, dim) sequence features (final-LN'd, f32).
+
+        ``layer_skip=k`` stops k blocks early and returns the RAW hidden
+        state (no final LN) — transformers' ``hidden_states[-(k+1)]``.  SD3
+        conditions on the penultimate CLIP states (``layer_skip=1``, the
+        "clip skip" convention) while pooling from the full tower."""
+        final, captured = self._tower(params, ids, capture_skip=layer_skip)
+        return captured if layer_skip else final
+
+    def encode(
+        self, params: dict, ids: jax.Array, layer_skip: int = 0
+    ) -> tuple[jax.Array, jax.Array]:
         """ids -> ``(features, pooled)``: the (B, L, dim) sequence features
         plus the (B, dim) text-projected feature at each row's EOS position
-        (first occurrence; the CLIP pooling convention)."""
-        features = self.apply(params, ids)
+        (first occurrence; the CLIP pooling convention).  ``layer_skip=k``
+        returns the RAW states k blocks early as the features while pooling
+        from the FULL tower — the SD3/SDXL conditioning recipe, in ONE
+        forward instead of two."""
+        final, captured = self._tower(params, ids, capture_skip=layer_skip)
         eos_idx = jnp.argmax(ids == self.config.resolved_eos_id, axis=-1)
-        at_eos = jnp.take_along_axis(features, eos_idx[:, None, None], axis=1)[:, 0]
+        at_eos = jnp.take_along_axis(final, eos_idx[:, None, None], axis=1)[:, 0]
         pooled = _dense(params["text_proj"], at_eos.astype(self.config.compute_dtype), self.config.compute_dtype)
-        return features, pooled.astype(jnp.float32)
+        return (captured if layer_skip else final), pooled.astype(jnp.float32)
 
     def quantize_params(self, params: dict) -> dict:
         "Int8 serving tree, same recipe as :meth:`DiT.quantize_params`."

@@ -108,10 +108,15 @@ class CLIPBPETokenizer:
         return word
 
     def encode(self, text: str) -> list[int]:
-        "Text -> BPE ids, no specials.  Cleaning: whitespace collapse + lowercase."
+        "Text -> BPE ids, no implicit specials.  Cleaning: whitespace collapse + lowercase."
         text = " ".join(text.split()).lower()
         ids: list[int] = []
         for token in _PATTERN.findall(text):
+            if token in (self.BOS, self.EOS):
+                # the regex matches literal special-token text; it stays one
+                # atomic id (the published cache pre-seeds these), never BPE'd
+                ids.append(self.vocab[token])
+                continue
             mapped = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             for piece in self._bpe(mapped):
                 ids.append(self.vocab[piece])

@@ -404,6 +404,13 @@ class CondUNet:
         in_dtype = x.dtype
         if (pooled is not None) != bool(c.pooled_dim):
             raise ValueError("pooled= goes with CondUNetConfig(pooled_dim > 0), and is required there")
+        if c.pooled_dim and time_ids is None:
+            # SDXL was TRAINED on this micro-conditioning; silently zeroing
+            # it would sample a degenerate 0x0 crop without any error
+            raise ValueError(
+                "SDXL conditioning needs time_ids= (orig_h, orig_w, crop_top, crop_left, "
+                "target_h, target_w) — see SDXLStack.time_ids"
+            )
         if jnp.ndim(t) == 0:
             t = jnp.broadcast_to(t, (B,))
 
@@ -413,8 +420,6 @@ class CondUNet:
             dtype,
         )
         if c.pooled_dim:
-            if time_ids is None:
-                time_ids = jnp.zeros((B, c.time_ids), jnp.float32)
             ids_emb = _timestep_embedding(time_ids.reshape(-1), c.add_time_embed_dim)
             add = jnp.concatenate([pooled.astype(jnp.float32), ids_emb.reshape(B, -1)], axis=-1)
             temb = temb + _dense(
@@ -512,8 +517,7 @@ class CondUNet:
                         jnp.broadcast_to(uncond_pooled, (B, uncond_pooled.shape[-1])),
                     ]
                 )
-                tid = time_ids if time_ids is not None else jnp.zeros((1, self.config.time_ids), jnp.float32)
-                ids = jnp.concatenate([jnp.broadcast_to(tid, (B, tid.shape[-1]))] * 2)
+                ids = jnp.concatenate([jnp.broadcast_to(time_ids, (B, time_ids.shape[-1]))] * 2)
             both = self.apply(
                 params,
                 jnp.concatenate([x, x]),

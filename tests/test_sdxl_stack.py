@@ -129,10 +129,15 @@ def test_int8_tree_runs_close() -> None:
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16, 16))
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 10, 48))
     pooled = jax.random.normal(jax.random.PRNGKey(3), (1, 56))
-    a = np.asarray(model.apply(params, x, 500.0, ctx, pooled)).ravel()
-    b = np.asarray(model.apply(q, x, 500.0, ctx, pooled)).ravel()
+    tids = jnp.asarray([[16.0, 16.0, 0.0, 0.0, 16.0, 16.0]])
+    a = np.asarray(model.apply(params, x, 500.0, ctx, pooled, tids)).ravel()
+    b = np.asarray(model.apply(q, x, 500.0, ctx, pooled, tids)).ravel()
     cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
     assert cos > 0.99, cos
+
+    # SDXL conditioning without time_ids is an error, not silent zeros
+    with pytest.raises(ValueError, match="time_ids"):
+        model.apply(params, x, 500.0, ctx, pooled)
 
 
 def test_tower_mismatch_rejected() -> None:

@@ -80,6 +80,17 @@ def test_contractions_follow_the_published_regex(files) -> None:
     assert ours.decode(ids) == "isn 't"  # </w> boundaries become spaces
 
 
+def test_special_token_text_stays_atomic(files) -> None:
+    "Literal <|endoftext|> in a prompt is one id, matching transformers."
+    vocab_json, merges_txt = files
+    ours = CLIPBPETokenizer.from_files(vocab_json, merges_txt)
+    hf = CLIPTokenizer(str(vocab_json), str(merges_txt), pad_token="<|endoftext|>")
+    text = "the cat <|endoftext|> hat"
+    assert ours.encode(text).count(ours.eos_id) == 1
+    want = hf(text, padding="max_length", max_length=16, truncation=True).input_ids
+    np.testing.assert_array_equal(ours(text, length=16)[0], np.asarray(want, np.int32))
+
+
 def test_pad_id_override(files) -> None:
     "SDXL's second tokenizer pads with id 0 instead of eos."
     ours = CLIPBPETokenizer.from_files(*files)
