@@ -1,0 +1,44 @@
+"""Shared slope-timing helper for the bench/profile scripts.
+
+The repo's tunnel timing discipline in one place: jit one scan per length,
+warm BOTH with a forced host transfer (block_until_ready alone can return
+while scanned work is still in flight through the dev tunnel — see
+docs/ROUND3.md), take best-of-3 per length, and report the marginal
+seconds/step as the slope between the two lengths so dispatch and transfer
+constants cancel.
+
+New scripts should import from here; the older scripts carry historical
+inline copies of the same function (kept verbatim so their committed
+numbers stay reproducible)."""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def slope_time(fn: Callable, x, lengths: tuple[int, int] = (2, 6), repeats: int = 3) -> float:
+    "Marginal seconds per ``fn(carry, t)`` step, slope-timed over two scan lengths."
+
+    def loop_body(y, n):
+        def body(carry, i):
+            return fn(carry, i.astype(jnp.float32) * 40.0), None
+
+        out, _ = jax.lax.scan(body, y, jnp.arange(n))
+        return jnp.float32(out.astype(jnp.float32).sum())
+
+    jl = {n: jax.jit(lambda y, n=n: loop_body(y, n)) for n in lengths}
+    for n in lengths:
+        np.asarray(jl[n](x))  # compile + forced-transfer warm-up
+    best = {n: float("inf") for n in lengths}
+    for _ in range(repeats):
+        for n in lengths:
+            t0 = time.perf_counter()
+            np.asarray(jl[n](x))
+            best[n] = min(best[n], time.perf_counter() - t0)
+    lo, hi = lengths
+    return (best[hi] - best[lo]) / (hi - lo)

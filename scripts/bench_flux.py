@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -34,29 +33,16 @@ from skrample_tpu.models import Flux, FluxConfig
 from skrample_tpu.models.flux import flux_forward_flops
 
 BATCH, HW, TXT = 1, 128, 512
+from _bench_common import slope_time as _slope_time  # noqa: E402
+
 LENGTHS = (2, 6)
+
+
+def slope_time(fn, x):
+    return _slope_time(fn, x, lengths=LENGTHS)
+
+
 PEAK_BF16 = 197e12
-
-
-def slope_time(fn, x) -> float:
-    def loop_body(y, n):
-        def body(carry, i):
-            return fn(carry, i.astype(jnp.float32) * 40.0), None
-
-        out, _ = jax.lax.scan(body, y, jnp.arange(n))
-        return jnp.float32(out.astype(jnp.float32).sum())
-
-    jl = {n: jax.jit(lambda y, n=n: loop_body(y, n)) for n in LENGTHS}
-    for n in LENGTHS:
-        np.asarray(jl[n](x))
-    best = {n: float("inf") for n in LENGTHS}
-    for _ in range(3):
-        for n in LENGTHS:
-            t0 = time.perf_counter()
-            np.asarray(jl[n](x))
-            best[n] = min(best[n], time.perf_counter() - t0)
-    lo, hi = LENGTHS
-    return (best[hi] - best[lo]) / (hi - lo)
 
 
 def main(steps: int = 25) -> None:

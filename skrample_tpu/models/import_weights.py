@@ -51,6 +51,41 @@ def _ln(sd: Mapping[str, Any], prefix: str) -> dict:
     return {"g": jnp.asarray(_np(sd[f"{prefix}.weight"])), "b": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
 
 
+def _getter(hf_config: Any):
+    "Uniform key access over dict-like and attribute-style HF configs."
+    if isinstance(hf_config, Mapping):
+        return lambda k, d=None: hf_config.get(k, d)
+    return lambda k, d=None: getattr(hf_config, k, d)
+
+
+def _conv_params(sd: Mapping[str, Any], prefix: str) -> dict:
+    "torch Conv2d -> our conv params (OIHW weight kept as-is)."
+    return {"w": jnp.asarray(_np(sd[f"{prefix}.weight"])), "b": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+
+
+def _mat(sd: Mapping[str, Any], key: str) -> np.ndarray:
+    "A matmul weight: Linear (out, in) or a legacy 1x1 conv (out, in, 1, 1)."
+    w = _np(sd[key])
+    return w.reshape(w.shape[0], w.shape[1]) if w.ndim == 4 else w
+
+
+def _fused(sd: Mapping[str, Any], prefixes: tuple[str, ...]) -> dict:
+    """Concatenate several torch projections into ONE of our dense matmuls
+    (q/k/v -> qkv, k/v -> kv), transposing to (in, out).  Bias-free torch
+    projections contribute zeros."""
+    return {
+        "w": jnp.asarray(np.concatenate([_mat(sd, f"{p}.weight").T for p in prefixes], axis=1)),
+        "b": jnp.concatenate(
+            [
+                jnp.asarray(
+                    _np(sd[f"{p}.bias"]) if f"{p}.bias" in sd else np.zeros(_mat(sd, f"{p}.weight").shape[0])
+                )
+                for p in prefixes
+            ]
+        ),
+    }
+
+
 def clip_text_config(hf_config: Any) -> TextEncoderConfig:
     "``transformers.CLIPTextConfig`` -> :class:`TextEncoderConfig`."
     dim = hf_config.hidden_size
@@ -135,10 +170,7 @@ def vae_config(hf_config: Any) -> VAEConfig:
     Our width ladder is ``base * min(2**level, 4)`` (the SD family's
     (128, 256, 512, 512) shape); arbitrary ``block_out_channels`` that
     don't fit it are rejected rather than silently mis-mapped."""
-    if isinstance(hf_config, Mapping):
-        get = lambda k, d=None: hf_config.get(k, d)  # noqa: E731
-    else:
-        get = lambda k, d=None: getattr(hf_config, k, d)  # noqa: E731
+    get = _getter(hf_config)
 
     widths = tuple(get("block_out_channels"))
     base, levels = widths[0], len(widths)
@@ -206,12 +238,8 @@ def diffusers_vae(source: Any) -> tuple[VAE, dict]:
     config = vae_config(hf_config)
     sd = _TrackedSD(raw_sd)
 
-    def conv(prefix: str) -> dict:  # torch Conv2d is OIHW, same as ours
-        return {"w": jnp.asarray(_np(sd[f"{prefix}.weight"])), "b": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
-
-    def mat(key: str) -> np.ndarray:  # Linear (out, in) or legacy 1x1 conv (out, in, 1, 1)
-        w = _np(sd[key])
-        return w.reshape(w.shape[0], w.shape[1]) if w.ndim == 4 else w
+    def conv(prefix: str) -> dict:
+        return _conv_params(sd, prefix)
 
     def resblock(prefix: str) -> dict:
         return {
@@ -231,11 +259,8 @@ def diffusers_vae(source: Any) -> tuple[VAE, dict]:
         )
         out = f"{prefix}.to_out.0" if modern else f"{prefix}.proj_attn"
         return {
-            "qkv": {
-                "w": jnp.asarray(np.concatenate([mat(f"{n}.weight").T for n in (q, k, v)], axis=1)),
-                "b": jnp.concatenate([jnp.asarray(_np(sd[f"{n}.bias"])) for n in (q, k, v)]),
-            },
-            "proj": {"w": jnp.asarray(mat(f"{out}.weight").T), "b": jnp.asarray(_np(sd[f"{out}.bias"]))},
+            "qkv": _fused(sd, (q, k, v)),
+            "proj": _fused(sd, (out,)),
             "norm": _ln(sd, f"{prefix}.group_norm"),
         }
 
@@ -286,10 +311,7 @@ def mmdit_config(hf_config: Any) -> MMDiTConfig:
     (the SD3 wiring: dedicated pooled input, cropped pos-embed table,
     pre-only final text stream).  The whole family maps: SD3-medium (2B),
     SD3.5-large (qk RMS-norm), and SD3.5-medium (dual attention layers)."""
-    if isinstance(hf_config, Mapping):
-        get = lambda k, d=None: hf_config.get(k, d)  # noqa: E731
-    else:
-        get = lambda k, d=None: getattr(hf_config, k, d)  # noqa: E731
+    get = _getter(hf_config)
 
     heads = get("num_attention_heads")
     dim = heads * get("attention_head_dim")
@@ -357,12 +379,6 @@ def sd3_mmdit(source: Any) -> tuple[MMDiT, dict]:
             "b": jnp.asarray(np.concatenate([b[d:], b[:d]], axis=0)),
         }
 
-    def qkv(q: str, k: str, v: str) -> dict:
-        return {
-            "w": jnp.asarray(np.concatenate([_np(sd[f"{n}.weight"]).T for n in (q, k, v)], axis=1)),
-            "b": jnp.concatenate([jnp.asarray(_np(sd[f"{n}.bias"])) for n in (q, k, v)]),
-        }
-
     blocks = []
     for i in range(config.depth):
         blk = f"transformer_blocks.{i}"
@@ -370,19 +386,19 @@ def sd3_mmdit(source: Any) -> tuple[MMDiT, dict]:
         dual = i in config.dual_attention_layers
         img = {
             "ada": ada6(f"{blk}.norm1.linear", groups=9 if dual else 6),
-            "qkv": qkv(f"{attn}.to_q", f"{attn}.to_k", f"{attn}.to_v"),
+            "qkv": _fused(sd, (f"{attn}.to_q", f"{attn}.to_k", f"{attn}.to_v")),
             "proj": _linear(sd, f"{attn}.to_out.0"),
             "mlp_in": _linear(sd, f"{blk}.ff.net.0.proj"),
             "mlp_out": _linear(sd, f"{blk}.ff.net.2"),
         }
         if dual:
             attn2 = f"{blk}.attn2"
-            img["qkv2"] = qkv(f"{attn2}.to_q", f"{attn2}.to_k", f"{attn2}.to_v")
+            img["qkv2"] = _fused(sd, (f"{attn2}.to_q", f"{attn2}.to_k", f"{attn2}.to_v"))
             img["proj2"] = _linear(sd, f"{attn2}.to_out.0")
             if config.qk_norm:
                 img["q_norm2"] = jnp.asarray(_np(sd[f"{attn2}.norm_q.weight"]))
                 img["k_norm2"] = jnp.asarray(_np(sd[f"{attn2}.norm_k.weight"]))
-        txt_qkv = qkv(f"{attn}.add_q_proj", f"{attn}.add_k_proj", f"{attn}.add_v_proj")
+        txt_qkv = _fused(sd, (f"{attn}.add_q_proj", f"{attn}.add_k_proj", f"{attn}.add_v_proj"))
         if i == config.depth - 1:  # context_pre_only
             txt = {"ada": ada2(f"{blk}.norm1_context.linear"), "qkv": txt_qkv}
         else:
@@ -434,10 +450,7 @@ def unet_config(hf_config: Any, time_ids: int = 6) -> CondUNetConfig:
     SDXL-base uses 6; the SDXL refiner uses 5 (aesthetic-score
     conditioning), so pass ``time_ids=5`` for refiner-class checkpoints or
     the split lands at the wrong boundary."""
-    if isinstance(hf_config, Mapping):
-        get = lambda k, d=None: hf_config.get(k, d)  # noqa: E731
-    else:
-        get = lambda k, d=None: getattr(hf_config, k, d)  # noqa: E731
+    get = _getter(hf_config)
 
     widths = tuple(get("block_out_channels"))
     levels = len(widths)
@@ -514,27 +527,10 @@ def diffusers_unet(source: Any, time_ids: int = 6) -> tuple[CondUNet, dict]:
     sd = _TrackedSD(raw_sd)
 
     def conv(prefix: str) -> dict:
-        return {"w": jnp.asarray(_np(sd[f"{prefix}.weight"])), "b": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+        return _conv_params(sd, prefix)
 
-    def mat(key: str) -> np.ndarray:  # Linear (out, in) or 1x1 conv (out, in, 1, 1)
-        w = _np(sd[key])
-        return w.reshape(w.shape[0], w.shape[1]) if w.ndim == 4 else w
-
-    def lin(prefix: str) -> dict:
-        return {"w": jnp.asarray(mat(f"{prefix}.weight").T), "b": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
-
-    def fused(prefixes: tuple[str, ...]) -> dict:
-        return {
-            "w": jnp.asarray(np.concatenate([mat(f"{p}.weight").T for p in prefixes], axis=1)),
-            "b": jnp.concatenate(
-                [
-                    jnp.asarray(
-                        _np(sd[f"{p}.bias"]) if f"{p}.bias" in sd else np.zeros(mat(f"{p}.weight").shape[0])
-                    )
-                    for p in prefixes
-                ]
-            ),
-        }
+    def lin(prefix: str) -> dict:  # tolerates 1x1-conv storage (SD1.5 projections)
+        return {"w": jnp.asarray(_mat(sd, f"{prefix}.weight").T), "b": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
 
     def resnet(prefix: str) -> dict:
         return {
@@ -550,11 +546,11 @@ def diffusers_unet(source: Any, time_ids: int = 6) -> tuple[CondUNet, dict]:
         a1, a2 = f"{prefix}.attn1", f"{prefix}.attn2"
         return {
             "ln1": _ln(sd, f"{prefix}.norm1"),
-            "attn1_qkv": fused((f"{a1}.to_q", f"{a1}.to_k", f"{a1}.to_v")),
+            "attn1_qkv": _fused(sd, (f"{a1}.to_q", f"{a1}.to_k", f"{a1}.to_v")),
             "attn1_out": lin(f"{a1}.to_out.0"),
             "ln2": _ln(sd, f"{prefix}.norm2"),
-            "attn2_q": fused((f"{a2}.to_q",)),
-            "attn2_kv": fused((f"{a2}.to_k", f"{a2}.to_v")),
+            "attn2_q": _fused(sd, (f"{a2}.to_q",)),
+            "attn2_kv": _fused(sd, (f"{a2}.to_k", f"{a2}.to_v")),
             "attn2_out": lin(f"{a2}.to_out.0"),
             "ln3": _ln(sd, f"{prefix}.norm3"),
             "ff_in": lin(f"{prefix}.ff.net.0.proj"),
@@ -633,10 +629,7 @@ def flux_config(hf_config: Any) -> FluxConfig:
     The pipeline-level 2x2 latent packing (``in_channels=64`` packed) is
     folded into the model's own patchify, so ``channels`` is the unpacked
     latent width."""
-    if isinstance(hf_config, Mapping):
-        get = lambda k, d=None: hf_config.get(k, d)  # noqa: E731
-    else:
-        get = lambda k, d=None: getattr(hf_config, k, d)  # noqa: E731
+    get = _getter(hf_config)
 
     heads = get("num_attention_heads")
     head_dim = get("attention_head_dim")
@@ -690,12 +683,6 @@ def flux_transformer(source: Any) -> tuple[Flux, dict]:
         b = np.concatenate([b[g * d : (g + 1) * d] for g in order], axis=0)
         return {"w": jnp.asarray(w.T), "b": jnp.asarray(b)}
 
-    def qkv(q: str, k: str, v: str) -> dict:
-        return {
-            "w": jnp.asarray(np.concatenate([_np(sd[f"{n}.weight"]).T for n in (q, k, v)], axis=1)),
-            "b": jnp.concatenate([jnp.asarray(_np(sd[f"{n}.bias"])) for n in (q, k, v)]),
-        }
-
     def two_layer(prefix: str) -> dict:
         return {"l1": _linear(sd, f"{prefix}.linear_1"), "l2": _linear(sd, f"{prefix}.linear_2")}
 
@@ -710,7 +697,7 @@ def flux_transformer(source: Any) -> tuple[Flux, dict]:
             {
                 "img": {
                     "ada": perm_ada(f"{blk}.norm1.linear", [0, 2, 1, 3, 5, 4]),
-                    "qkv": qkv(f"{attn}.to_q", f"{attn}.to_k", f"{attn}.to_v"),
+                    "qkv": _fused(sd, (f"{attn}.to_q", f"{attn}.to_k", f"{attn}.to_v")),
                     "q_norm": norm_scale(f"{attn}.norm_q"),
                     "k_norm": norm_scale(f"{attn}.norm_k"),
                     "proj": _linear(sd, f"{attn}.to_out.0"),
@@ -719,7 +706,7 @@ def flux_transformer(source: Any) -> tuple[Flux, dict]:
                 },
                 "txt": {
                     "ada": perm_ada(f"{blk}.norm1_context.linear", [0, 2, 1, 3, 5, 4]),
-                    "qkv": qkv(f"{attn}.add_q_proj", f"{attn}.add_k_proj", f"{attn}.add_v_proj"),
+                    "qkv": _fused(sd, (f"{attn}.add_q_proj", f"{attn}.add_k_proj", f"{attn}.add_v_proj")),
                     "q_norm": norm_scale(f"{attn}.norm_added_q"),
                     "k_norm": norm_scale(f"{attn}.norm_added_k"),
                     "proj": _linear(sd, f"{attn}.to_add_out"),
@@ -736,7 +723,7 @@ def flux_transformer(source: Any) -> tuple[Flux, dict]:
         single.append(
             {
                 "ada": perm_ada(f"{blk}.norm.linear", [0, 2, 1]),
-                "qkv": qkv(f"{attn}.to_q", f"{attn}.to_k", f"{attn}.to_v"),
+                "qkv": _fused(sd, (f"{attn}.to_q", f"{attn}.to_k", f"{attn}.to_v")),
                 "q_norm": norm_scale(f"{attn}.norm_q"),
                 "k_norm": norm_scale(f"{attn}.norm_k"),
                 "mlp_in": _linear(sd, f"{blk}.proj_mlp"),
