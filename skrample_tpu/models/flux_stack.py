@@ -81,6 +81,22 @@ class FluxStack:
             self.flux_params, context, pooled, guidance=guidance if self.flux.config.guidance else None
         )
 
+    def as_served(self, guidance: float | None = 3.5):
+        """A ``(x, t, sigma, alpha, cond)`` closure for
+        ``ServingEngine(conditioned=True)``: each request submits
+        ``context=(context_row, pooled_row)`` and the engine stacks them —
+        one executable per bucket serves every prompt.  Guidance is the
+        embedded dev-mode input (None for schnell)."""
+        g = guidance if self.flux.config.guidance else None
+
+        def model_fn(x, t, sigma, alpha, cond=None):
+            if cond is None:
+                raise ValueError("Flux serving requires context=(context, pooled) per request")
+            context, pooled = cond
+            return self.flux.apply(self.flux_params, x, t, context, pooled, guidance=g)
+
+        return model_fn
+
     def pipeline(
         self,
         context: jax.Array,

@@ -165,6 +165,41 @@ class SD3Stack:
             uncond_pooled=uncond[1],
         )
 
+    def as_served(
+        self,
+        guidance_scale: float = 1.0,
+        uncond: tuple[jax.Array, jax.Array] | None = None,
+    ):
+        """A ``(x, t, sigma, alpha, cond)`` closure for
+        ``ServingEngine(conditioned=True)``: each request submits its own
+        ``context=(context_row, pooled_row)`` pair (one ``encode_prompt``
+        row each) and the engine stacks them per batch — one executable per
+        bucket serves every prompt.  ``uncond`` is a single-prompt
+        ``encode_prompt`` output used for classifier-free guidance."""
+        if guidance_scale != 1.0 and uncond is None:
+            raise ValueError("guidance_scale != 1 needs uncond=(context, pooled) — the encoded empty prompt")
+
+        def model_fn(x, t, sigma, alpha, cond=None):
+            if cond is None:
+                raise ValueError("SD3 serving requires context=(context, pooled) per request")
+            context, pooled = cond
+            if guidance_scale == 1.0:
+                return self.mmdit.apply(self.mmdit_params, x, t, context, pooled=pooled)
+            B = x.shape[0]
+            ctx_u = jnp.broadcast_to(uncond[0], (B, *uncond[0].shape[-2:]))
+            pool_u = jnp.broadcast_to(uncond[1], (B, uncond[1].shape[-1]))
+            both = self.mmdit.apply(
+                self.mmdit_params,
+                jnp.concatenate([x, x]),
+                jnp.broadcast_to(t, (2 * B,)) if jnp.ndim(t) == 0 else jnp.concatenate([t, t]),
+                jnp.concatenate([context, ctx_u]),
+                pooled=jnp.concatenate([pooled, pool_u]),
+            )
+            c_out, u_out = both[:B], both[B:]
+            return u_out + guidance_scale * (c_out - u_out)
+
+        return model_fn
+
     def pipeline(
         self,
         context: jax.Array,

@@ -114,6 +114,50 @@ class SDXLStack:
             uncond_pooled=uncond[1],
         )
 
+    def as_served(
+        self,
+        time_ids: jax.Array | None = None,
+        guidance_scale: float = 1.0,
+        uncond: tuple[jax.Array, jax.Array | None] | None = None,
+    ):
+        """A ``(x, t, sigma, alpha, cond)`` closure for
+        ``ServingEngine(conditioned=True)``: each request submits
+        ``context=(context_row, pooled_row)`` (SDXL) or a bare context row
+        (SD1.5) and the engine stacks them.  ``time_ids`` binds one
+        micro-conditioning row for all requests (per-request ids can ride
+        the context tree instead if needed)."""
+        sdxl = bool(self.unet.config.pooled_dim)
+        if sdxl and time_ids is None:
+            raise ValueError("SDXL serving needs time_ids= — see SDXLStack.time_ids")
+        if guidance_scale != 1.0 and uncond is None:
+            raise ValueError("guidance_scale != 1 needs uncond= — the encoded empty prompt")
+
+        def model_fn(x, t, sigma, alpha, cond=None):
+            if cond is None:
+                raise ValueError("conditioned serving requires context= per request")
+            context, pooled = cond if sdxl else (cond, None)
+            B = x.shape[0]
+            tid = None if not sdxl else jnp.broadcast_to(time_ids, (B, time_ids.shape[-1]))
+            if guidance_scale == 1.0:
+                return self.unet.apply(self.unet_params, x, t, context, pooled, tid)
+            ctx_u = jnp.broadcast_to(uncond[0], (B, *uncond[0].shape[-2:]))
+            pool = tid2 = None
+            if sdxl:
+                pool = jnp.concatenate([pooled, jnp.broadcast_to(uncond[1], (B, uncond[1].shape[-1]))])
+                tid2 = jnp.concatenate([tid, tid])
+            both = self.unet.apply(
+                self.unet_params,
+                jnp.concatenate([x, x]),
+                jnp.broadcast_to(t, (2 * B,)) if jnp.ndim(t) == 0 else jnp.concatenate([t, t]),
+                jnp.concatenate([context, ctx_u]),
+                pool,
+                tid2,
+            )
+            c_out, u_out = both[:B], both[B:]
+            return u_out + guidance_scale * (c_out - u_out)
+
+        return model_fn
+
     def pipeline(
         self,
         context: jax.Array,

@@ -136,10 +136,13 @@ class ServingEngine:
         strength adds its own bucket executables — quantize strengths in
         the API layer if callers are free-form.
 
-        ``context`` (conditioned engines only): this request's conditioning
-        features, shaped ``(tokens, width)`` without the batch axis — e.g.
-        one row of :meth:`TextEncoder.apply`.  All requests must share one
-        context shape to share executables."""
+        ``context`` (conditioned engines only): this request's conditioning,
+        without the batch axis — a single ``(tokens, width)`` array (e.g.
+        one row of :meth:`TextEncoder.apply`) or any PYTREE of arrays (e.g.
+        the SD3/SDXL stacks' ``(context, pooled)`` pair): each leaf is
+        stacked across the batch and the model_fn receives the stacked
+        tree.  All requests must share one context structure/shape to share
+        executables."""
         if self._closed:
             raise RuntimeError("engine is closed")
         if context is not None and not self.conditioned:
@@ -297,10 +300,12 @@ class ServingEngine:
         if batch[0][3] is not None:
             stack = [context for *_, context, _ in batch]
             stack += [stack[0]] * (bucket - n)
-            # pin the engine dtype: an off-dtype context (f64 literals under
-            # x64, bf16 encoder output) would otherwise promote the denoise
-            # scan carry (a TypeError) or split the bucket executable
-            ctx = jnp.stack(stack).astype(self.dtype)
+            # per-LEAF stacking supports pytree contexts (e.g. the stacks'
+            # (context, pooled) pairs); pin the engine dtype — an off-dtype
+            # context (f64 literals under x64, bf16 encoder output) would
+            # otherwise promote the denoise scan carry (a TypeError) or
+            # split the bucket executable
+            ctx = jax.tree.map(lambda *leaves: jnp.stack(leaves).astype(self.dtype), *stack)
         x0, noises = self._prepare(keys, initials, start)
 
         if ctx is None:

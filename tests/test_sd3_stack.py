@@ -173,6 +173,32 @@ class TestEndToEnd:
             outs.append(np.asarray(stack.decode(pipe.generate(jax.random.PRNGKey(1)))))
         assert not np.array_equal(outs[0], outs[1])
 
+    def test_dynamic_batch_serving(self) -> None:
+        "Per-prompt (context, pooled) pairs through ServingEngine: batched == solo."
+        from skrample_tpu.serving import ServingEngine
+
+        stack = build_stack()
+        t5_ids = jnp.asarray([[3, 14, 15, 92, 6, 53, 1, 0]], jnp.int32)
+        conds = []
+        for fill in (7, 9, 11):
+            clip = jnp.asarray(token_ids(fill=fill), jnp.int32)
+            ctx, pooled = stack.encode_prompt(clip, clip, t5_ids)
+            conds.append((ctx[0], pooled[0]))  # one request = one unbatched row pair
+
+        kwargs = dict(item_shape=(4, 8, 8), steps=3, conditioned=True)
+        with ServingEngine(stack.as_served(), buckets=(1,), **kwargs) as engine:
+            ref = [np.asarray(engine.generate(k, context=c)) for k, c in enumerate(conds)]
+        with ServingEngine(stack.as_served(), buckets=(4,), max_delay_ms=50.0, **kwargs) as engine:
+            futs = [engine.submit(k, context=c) for k, c in enumerate(conds)]
+            got = [np.asarray(f.result()) for f in futs]
+            assert len(engine._executables) == 1
+        # bucket-1 vs bucket-4 are DIFFERENT executables: XLA tiles the
+        # transformer matmuls per batch shape, so equality is to reduction
+        # order (the engine's documented cross-bucket contract), not bits
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(r, g, rtol=3e-5, atol=3e-6)
+        assert not np.allclose(ref[0], ref[1], atol=1e-3)  # prompts actually condition
+
     def test_img2img_roundtrip_shapes(self) -> None:
         stack = build_stack()
         clip = jnp.asarray(token_ids(), jnp.int32)

@@ -199,6 +199,15 @@ def conditioned_model(x, t, sigma, alpha, context=None):
     return x * 0.9 - jnp.tanh(x) * sigma + bias
 
 
+def tuple_conditioned_model(x, t, sigma, alpha, cond=None):
+    "Pytree context: (sequence features, pooled vector), the stacks' shape."
+    if cond is None:
+        return x * 0.9 - jnp.tanh(x) * sigma
+    seq, pooled = cond
+    bias = seq.mean(axis=(1, 2)) + pooled.mean(axis=1)
+    return x * 0.9 - jnp.tanh(x) * sigma + bias[:, None, None, None]
+
+
 class TestConditioned:
     def test_per_request_context_equals_solo(self):
         "Prompts batched together == each prompt served alone (bit-exact)."
@@ -264,3 +273,24 @@ class TestConditioned:
         with make_engine() as engine:
             with pytest.raises(ValueError, match="conditioned=True"):
                 engine.submit(0, context=jnp.zeros((16, 8)))
+
+    def test_pytree_context_equals_solo(self):
+        "(context, pooled) tuples stack per leaf — the imported stacks' shape."
+        conds = [(jnp.full((16, 8), float(i)), jnp.full((5,), 10.0 * i)) for i in (1, 2, 3)]
+        with ServingEngine(
+            tuple_conditioned_model, item_shape=(4, 8, 8), steps=6, buckets=(1,), conditioned=True
+        ) as engine:
+            ref = [np.asarray(engine.generate(k, context=c)) for k, c in enumerate(conds)]
+        with ServingEngine(
+            tuple_conditioned_model,
+            item_shape=(4, 8, 8),
+            steps=6,
+            buckets=(4,),
+            max_delay_ms=50.0,
+            conditioned=True,
+        ) as engine:
+            futs = [engine.submit(k, context=c) for k, c in enumerate(conds)]
+            got = [np.asarray(f.result()) for f in futs]
+            assert len(engine._executables) == 1
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(r, g)
