@@ -6,6 +6,7 @@ from .checkpoint import TrainCheckpointer, load_params, save_params
 from .dit import DiT, DiTConfig
 from .ema import ema_decay_schedule, ema_init, ema_update
 from .flux import Flux, FluxConfig
+from .flux_stack import FluxStack
 # NOTE: the t5 loaders stay at models.import_weights.{t5_config,t5_encoder} —
 # re-exporting the function here would shadow the .t5_encoder submodule name
 from .import_weights import (
@@ -17,6 +18,8 @@ from .import_weights import (
     sd3_mmdit,
 )
 from .mmdit import MMDiT, MMDiTConfig
+from .sd3 import SD3Stack
+from .sdxl import SDXLStack
 from .t5_encoder import T5Encoder, T5EncoderConfig
 from .text_encoder import ByteTokenizer, TextEncoder, TextEncoderConfig
 from .tokenizers import CLIPBPETokenizer
@@ -34,8 +37,11 @@ __all__ = [
     "DiTConfig",
     "Flux",
     "FluxConfig",
+    "FluxStack",
     "MMDiT",
     "MMDiTConfig",
+    "SD3Stack",
+    "SDXLStack",
     "T5Encoder",
     "T5EncoderConfig",
     "TextEncoder",
