@@ -1005,6 +1005,19 @@ class TestCondUNet:
             unet_config({**self.SDXL_CFG, "addition_embed_type": "image"})
         with pytest.raises(ValueError, match="down_block_types"):
             unet_config({**self.SDXL_CFG, "down_block_types": ("AttnDownBlock2D",) * 3})
+        with pytest.raises(ValueError, match="mid_block_type"):
+            unet_config({**self.SDXL_CFG, "mid_block_type": "UNetMidBlock2D"})
+        with pytest.raises(ValueError, match="up_block_types"):
+            unet_config({**self.SDXL_CFG, "up_block_types": ("UpBlock2D",) * 3})
+
+    def test_refiner_time_ids_split(self) -> None:
+        "SDXL-refiner-class checkpoints (5 time ids) split pooled correctly."
+        from skrample_tpu.models.import_weights import unet_config
+
+        cfg = {**self.SDXL_CFG, "projection_class_embeddings_input_dim": 56 + 5 * 8}
+        assert unet_config(cfg, time_ids=5).pooled_dim == 56
+        # the default 6-id split would land at the wrong boundary
+        assert unet_config(cfg).pooled_dim != 56
 
 
 class TestFlux:
