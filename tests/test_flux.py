@@ -150,6 +150,37 @@ def test_quantized_tree_runs_close() -> None:
     assert cos > 0.99, cos
 
 
+def test_flow_matching_loss_decreases() -> None:
+    "The training path end-to-end: adamw on a flow-matching objective."
+    import optax
+
+    model = Flux(small_config(depth=1, single_depth=1))
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adamw(2e-3)
+    opt_state = opt.init(params)
+    x, _, ctx, pooled = inputs(batch=4)
+    noise = jax.random.normal(jax.random.PRNGKey(9), x.shape)
+
+    def loss_fn(p, sigma):
+        s = sigma[:, None, None, None]
+        xt = (1 - s) * x + s * noise
+        pred = model.apply(p, xt, sigma * 1000.0, ctx, pooled, guidance=3.5)
+        return jnp.mean((pred - (noise - x)) ** 2)
+
+    @jax.jit
+    def step(p, o, key):
+        sigma = jax.random.uniform(key, (4,), minval=1e-3, maxval=1.0)
+        loss, grads = jax.value_and_grad(loss_fn)(p, sigma)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    losses = []
+    for i in range(30):
+        params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(100 + i))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
 def test_guidance_contract() -> None:
     import pytest
 

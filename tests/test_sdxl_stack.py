@@ -140,6 +140,52 @@ def test_int8_tree_runs_close() -> None:
         model.apply(params, x, 500.0, ctx, pooled)
 
 
+def test_epsilon_loss_decreases() -> None:
+    "CondUNet trains: adamw on an epsilon objective through the full graph."
+    import optax
+
+    from skrample_tpu.models import CondUNet, CondUNetConfig
+
+    model = CondUNet(
+        CondUNetConfig(
+            widths=(32, 64),
+            layers_per_block=1,
+            transformer_layers=(0, 1),
+            heads=(2, 2),
+            context_dim=24,
+            pooled_dim=0,
+            groups=8,
+            compute_dtype=jnp.float32,
+            layout="nchw",
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    opt = optax.adamw(2e-3)
+    opt_state = opt.init(params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 16, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (4, 8, 24))
+    noise = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+
+    def loss_fn(p, sigma):
+        s = sigma[:, None, None, None]
+        xt = x + s * noise  # VP-style corruption, epsilon target
+        pred = model.apply(p, xt, sigma * 1000.0, ctx)
+        return jnp.mean((pred - noise) ** 2)
+
+    @jax.jit
+    def step(p, o, key):
+        sigma = jax.random.uniform(key, (4,), minval=1e-3, maxval=1.0)
+        loss, grads = jax.value_and_grad(loss_fn)(p, sigma)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    losses = []
+    for i in range(30):
+        params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(100 + i))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
 def test_tower_mismatch_rejected() -> None:
     torch.manual_seed(52)
     with pytest.raises(ValueError, match="clip_g"):
