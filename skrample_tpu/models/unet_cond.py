@@ -344,6 +344,28 @@ class CondUNet:
     def _mha(self, q: jax.Array, k: jax.Array, v: jax.Array, heads: int) -> jax.Array:
         B, N, D = q.shape
         d = D // heads
+        kv_len = k.shape[1]
+
+        # big self-attention (the 64x64-grid stages at SDXL scale) rides the
+        # Pallas flash kernel via head-dim zero-padding to the 128-lane tile:
+        # padded q/k lanes add zero logits and padded v lanes slice away, so
+        # the result is EXACT; q pre-scales by sqrt(d_pad/d) to cancel the
+        # kernel's 1/sqrt(d_pad).  This keeps the (N, N) score matrix out of
+        # HBM (640 MB per stage at 4096 tokens) for 2x padded-lane FLOPs.
+        if kv_len == N and N % 128 == 0 and d < 128 and 128 % d == 0 and N >= 1024:
+            from ..ops.flash_attention import flash_attention_packed
+
+            def pad_heads(x, scale=1.0):
+                h = x.reshape(B, N, heads, d).astype(x.dtype)
+                if scale != 1.0:
+                    h = h * jnp.asarray(scale, h.dtype)
+                h = jnp.pad(h, ((0, 0), (0, 0), (0, 0), (0, 128 - d)))
+                return h.reshape(B, N, heads * 128)
+
+            out = flash_attention_packed(
+                pad_heads(q, math.sqrt(128 / d)), pad_heads(k), pad_heads(v), heads
+            )
+            return out.reshape(B, N, heads, 128)[..., :d].reshape(B, N, D)
 
         def split(x):
             return x.reshape(B, -1, heads, d).transpose(0, 2, 1, 3)

@@ -140,6 +140,26 @@ def test_int8_tree_runs_close() -> None:
         model.apply(params, x, 500.0, ctx, pooled)
 
 
+def test_padded_flash_self_attention_matches_eager() -> None:
+    "head_dim-64 self-attention via zero-padded 128-lane flash is exact."
+    import math
+
+    from skrample_tpu.models import CondUNet, CondUNetConfig
+
+    model = CondUNet(CondUNetConfig(compute_dtype=jnp.float32))
+    B, N, heads, d = 2, 1024, 4, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (B, N, heads * d)) for kk in ks)
+    flash = model._mha(q, k, v, heads)  # N >= 1024 -> the padded kernel path
+
+    def split(x):
+        return x.reshape(B, -1, heads, d).transpose(0, 2, 1, 3)
+
+    a = jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k)) / math.sqrt(d), -1)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", a, split(v)).transpose(0, 2, 1, 3).reshape(B, N, heads * d)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(ref), atol=3e-5)
+
+
 def test_epsilon_loss_decreases() -> None:
     "CondUNet trains: adamw on an epsilon objective through the full graph."
     import optax
