@@ -75,11 +75,55 @@ class FluxStack:
         _, pooled = self.clip.encode(self.clip_params, clip_ids)
         return context, pooled
 
-    def model_fn(self, context: jax.Array, pooled: jax.Array, guidance: float | None = 3.5):
-        "(x, t, sigma, alpha) -> prediction closure; ``guidance`` embeds (dev) or must be None (schnell)."
-        return self.flux.as_sampleable(
-            self.flux_params, context, pooled, guidance=guidance if self.flux.config.guidance else None
-        )
+    def model_fn(
+        self,
+        context: jax.Array,
+        pooled: jax.Array,
+        guidance: float | None = 3.5,
+        true_cfg_scale: float = 1.0,
+        negative: tuple[jax.Array, jax.Array] | None = None,
+    ):
+        """(x, t, sigma, alpha) -> prediction closure.
+
+        ``guidance`` is the embedded dev-mode input (ignored for schnell).
+        ``true_cfg_scale != 1`` with ``negative=(context, pooled)`` (an
+        encoded negative prompt) additionally runs the published
+        true-classifier-free-guidance mode: both branches carry the
+        embedded guidance and combine as ``neg + s * (pos - neg)`` in one
+        doubled-batch forward."""
+        g = guidance if self.flux.config.guidance else None
+        if true_cfg_scale == 1.0:
+            return self.flux.as_sampleable(self.flux_params, context, pooled, guidance=g)
+        if negative is None:
+            raise ValueError("true_cfg_scale != 1 needs negative=(context, pooled)")
+        import jax.numpy as jnp
+
+        def guided_fn(x, t, s, a):
+            B = x.shape[0]
+            ctx = jnp.concatenate(
+                [
+                    jnp.broadcast_to(context, (B, *context.shape[-2:])),
+                    jnp.broadcast_to(negative[0], (B, *negative[0].shape[-2:])),
+                ]
+            )
+            pool = jnp.concatenate(
+                [
+                    jnp.broadcast_to(pooled, (B, pooled.shape[-1])),
+                    jnp.broadcast_to(negative[1], (B, negative[1].shape[-1])),
+                ]
+            )
+            both = self.flux.apply(
+                self.flux_params,
+                jnp.concatenate([x, x]),
+                jnp.broadcast_to(t, (2 * B,)) if jnp.ndim(t) == 0 else jnp.concatenate([t, t]),
+                ctx,
+                pool,
+                guidance=g,
+            )
+            pos, neg = both[:B], both[B:]
+            return neg + true_cfg_scale * (pos - neg)
+
+        return guided_fn
 
     def as_served(self, guidance: float | None = 3.5):
         """A ``(x, t, sigma, alpha, cond)`` closure for

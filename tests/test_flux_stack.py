@@ -136,6 +136,23 @@ class TestEndToEnd:
         again = stack.decode(pipe.generate(jax.random.PRNGKey(0)))
         np.testing.assert_array_equal(np.asarray(pixels), np.asarray(again))
 
+    def test_true_cfg_with_negative_prompt(self) -> None:
+        "The published optional true-CFG mode: negative prompt steers output."
+        stack = build_stack()
+        clip = jnp.asarray(token_ids(), jnp.int32)
+        cond = stack.encode_prompt(clip, jnp.asarray(T5_IDS, jnp.int32))
+        neg_clip = jnp.asarray(token_ids(fill=9), jnp.int32)
+        neg = stack.encode_prompt(neg_clip, jnp.zeros_like(jnp.asarray(T5_IDS, jnp.int32)))
+
+        fn_plain = stack.model_fn(*cond, guidance=3.5)
+        fn_cfg = stack.model_fn(*cond, guidance=3.5, true_cfg_scale=4.0, negative=neg)
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 8, 8))
+        a, b = fn_plain(x, 500.0, None, None), fn_cfg(x, 500.0, None, None)
+        assert a.shape == b.shape == x.shape
+        assert bool(jnp.isfinite(b).all()) and not np.allclose(np.asarray(a), np.asarray(b))
+        with pytest.raises(ValueError, match="negative"):
+            stack.model_fn(*cond, true_cfg_scale=4.0)
+
     def test_guidance_changes_output(self) -> None:
         "dev's guidance is an embedded input: different scale, different image."
         stack = build_stack()
