@@ -19,6 +19,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any
 
+import math
+
 import jax
 
 from .flux import Flux
@@ -26,6 +28,21 @@ from .import_weights import clip_text_encoder, diffusers_vae, flux_transformer, 
 from .t5_encoder import T5Encoder
 from .text_encoder import TextEncoder
 from .vae import VAE
+
+
+def dynamic_shift(
+    seq_len: int,
+    base_seq: int = 256,
+    max_seq: int = 4096,
+    base_shift: float = 0.5,
+    max_shift: float = 1.15,
+) -> float:
+    """The published Flux resolution-dependent schedule shift: ``mu`` is
+    linear in the image-token count between (base_seq, base_shift) and
+    (max_seq, max_shift), and the flow shift is ``exp(mu)`` — more noise
+    retention at higher resolutions."""
+    slope = (max_shift - base_shift) / (max_seq - base_seq)
+    return math.exp(seq_len * slope + base_shift - base_seq * slope)
 
 
 @dataclass
@@ -152,7 +169,10 @@ class FluxStack:
         batch: int = 1,
         **kwargs: Any,
     ):
-        "A :class:`GenerationPipeline` with the Flux flow defaults."
+        """A :class:`GenerationPipeline` with the Flux flow defaults,
+        including the published DYNAMIC schedule shift: the FlowShift factor
+        is ``exp(mu)`` for this resolution's image-token count (see
+        :func:`dynamic_shift`); pass ``schedule=`` to override."""
         from .. import scheduling
         from ..pipeline import GenerationPipeline
         from ..sampling import models, structured
@@ -161,9 +181,11 @@ class FluxStack:
         if height % f or width % f:
             raise ValueError(f"height/width must be multiples of the VAE factor {f}")
         latent_shape = (batch, self.flux.config.channels, height // f, width // f)
+        p = self.flux.config.patch
+        seq_len = (height // f // p) * (width // f // p)
         defaults: dict[str, Any] = {
             "sampler": structured.Euler(),
-            "schedule": scheduling.FlowShift(scheduling.Linear()),
+            "schedule": scheduling.FlowShift(scheduling.Linear(), shift=dynamic_shift(seq_len)),
             "model_transform": models.FlowModel(),
         }
         return GenerationPipeline(

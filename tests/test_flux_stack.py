@@ -112,6 +112,28 @@ def test_vae_shift_factor_semantics() -> None:
     np.testing.assert_allclose(np.asarray(vae.decode(params, z)), want, atol=5e-5)
 
 
+def test_dynamic_shift_matches_published_endpoints() -> None:
+    "exp(mu) at the published anchor points: 256 tokens -> e^0.5, 4096 -> e^1.15."
+    import math
+
+    from skrample_tpu.models.flux_stack import dynamic_shift
+
+    assert dynamic_shift(256) == pytest.approx(math.exp(0.5))
+    assert dynamic_shift(4096) == pytest.approx(math.exp(1.15))
+    # 1024px image: 128x128 latent, 2x2 packing -> 4096 tokens (the max anchor)
+    stack_shift = dynamic_shift((128 // 2) * (128 // 2))
+    assert stack_shift == pytest.approx(math.exp(1.15))
+
+
+def test_pipeline_uses_resolution_shift() -> None:
+    stack = build_stack()
+    cond = stack.encode_prompt(jnp.asarray(token_ids(), jnp.int32), jnp.asarray(T5_IDS, jnp.int32))
+    pipe = stack.pipeline(*cond, height=16, width=16, steps=2, donate=False)
+    from skrample_tpu.models.flux_stack import dynamic_shift
+
+    assert pipe.schedule.shift == pytest.approx(dynamic_shift(16))
+
+
 def test_mismatched_t5_width_rejected() -> None:
     torch.manual_seed(33)
     with pytest.raises(ValueError, match="context_dim"):
