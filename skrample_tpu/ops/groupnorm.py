@@ -44,13 +44,13 @@ _EPS = 1e-6
 _MAX_SLICE_BYTES = 6 * 1024 * 1024
 
 
-def groupnorm_reference(x: jax.Array, groups: int, fuse_silu: bool = False) -> jax.Array:
+def groupnorm_reference(x: jax.Array, groups: int, fuse_silu: bool = False, eps: float = _EPS) -> jax.Array:
     "(B, N, C) eager oracle: f32 grouped norm (+ optional SiLU)."
     B, N, C = x.shape
     x32 = x.astype(jnp.float32).reshape(B, N, groups, C // groups)
     mean = x32.mean((1, 3), keepdims=True)
     var = x32.var((1, 3), keepdims=True)
-    y = ((x32 - mean) * jax.lax.rsqrt(var + _EPS)).reshape(B, N, C)
+    y = ((x32 - mean) * jax.lax.rsqrt(var + eps)).reshape(B, N, C)
     if fuse_silu:
         y = jax.nn.silu(y)
     return y.astype(x.dtype)
@@ -65,7 +65,7 @@ def _group_matrix(C: int, groups: int, N: int) -> np.ndarray:
     return M
 
 
-def _groupnorm_kernel(x_ref, m_ref, o_ref, *, fuse_silu: bool):
+def _groupnorm_kernel(x_ref, m_ref, o_ref, *, fuse_silu: bool, eps: float):
     x32 = x_ref[0].astype(jnp.float32)  # (N, C)
     M = m_ref[...]  # (C, C) group-averaging matrix
     ch_sum = jnp.sum(x32, axis=0, keepdims=True)  # (1, C) sublane reduce
@@ -73,15 +73,15 @@ def _groupnorm_kernel(x_ref, m_ref, o_ref, *, fuse_silu: bool):
     centered = x32 - mean
     ch_sq = jnp.sum(centered * centered, axis=0, keepdims=True)
     var = jax.lax.dot(ch_sq, M, preferred_element_type=jnp.float32)
-    y = centered * jax.lax.rsqrt(var + _EPS)
+    y = centered * jax.lax.rsqrt(var + eps)
     if fuse_silu:
         y = y * jax.lax.logistic(y)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "fuse_silu", "interpret"))
+@functools.partial(jax.jit, static_argnames=("groups", "fuse_silu", "interpret", "eps"))
 def groupnorm_forward(
-    x: jax.Array, groups: int, fuse_silu: bool = False, interpret: bool = False
+    x: jax.Array, groups: int, fuse_silu: bool = False, interpret: bool = False, eps: float = _EPS
 ) -> jax.Array:
     """``(B, N, C) -> (B, N, C)`` grouped norm (+SiLU) in one HBM pass.
 
@@ -93,7 +93,7 @@ def groupnorm_forward(
         raise ValueError(f"groupnorm kernel needs C % 128 == 0 and C % groups == 0, got C={C}, groups={groups}")
     M = jnp.asarray(_group_matrix(C, groups, N))
     return pl.pallas_call(
-        functools.partial(_groupnorm_kernel, fuse_silu=fuse_silu),
+        functools.partial(_groupnorm_kernel, fuse_silu=fuse_silu, eps=eps),
         out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
         grid=(B,),
         in_specs=[
@@ -114,7 +114,7 @@ def fits_kernel(n: int, c: int) -> bool:
 
 
 @functools.cache
-def _groupnorm_spmd(groups: int, fuse_silu: bool, interpret: bool):
+def _groupnorm_spmd(groups: int, fuse_silu: bool, interpret: bool, eps: float = _EPS):
     """SPMD wrapper: the batch axis shards; token and channel axes must be
     replicated (statistics reduce over both).  Without this XLA replicates
     the opaque pallas custom call under a sharded jit."""
@@ -123,7 +123,7 @@ def _groupnorm_spmd(groups: int, fuse_silu: bool, interpret: bool):
     from jax.sharding import PartitionSpec as P
 
     def fn(x):
-        return groupnorm_forward(x, groups, fuse_silu, interpret)
+        return groupnorm_forward(x, groups, fuse_silu, interpret, eps)
 
     cp = custom_partitioning(fn)
 
@@ -148,34 +148,36 @@ def _groupnorm_spmd(groups: int, fuse_silu: bool, interpret: bool):
     return jax.jit(cp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _groupnorm_vjp(x: jax.Array, groups: int, fuse_silu: bool) -> jax.Array:
-    return _groupnorm_spmd(groups, fuse_silu, jax.default_backend() != "tpu")(x)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _groupnorm_vjp(x: jax.Array, groups: int, fuse_silu: bool, eps: float = _EPS) -> jax.Array:
+    return _groupnorm_spmd(groups, fuse_silu, jax.default_backend() != "tpu", eps)(x)
 
 
-def _groupnorm_fwd(x, groups, fuse_silu):
-    return _groupnorm_vjp(x, groups, fuse_silu), x
+def _groupnorm_fwd(x, groups, fuse_silu, eps=_EPS):
+    return _groupnorm_vjp(x, groups, fuse_silu, eps), x
 
 
-def _groupnorm_bwd(groups, fuse_silu, x, g):
-    _, vjp = jax.vjp(lambda xx: groupnorm_reference(xx, groups, fuse_silu), x)
+def _groupnorm_bwd(groups, fuse_silu, eps, x, g):
+    _, vjp = jax.vjp(lambda xx: groupnorm_reference(xx, groups, fuse_silu, eps), x)
     return vjp(g)
 
 
 _groupnorm_vjp.defvjp(_groupnorm_fwd, _groupnorm_bwd)
 
 
-def groupnorm_cl(x: jax.Array, groups: int, fuse_silu: bool = False) -> jax.Array:
+def groupnorm_cl(x: jax.Array, groups: int, fuse_silu: bool = False, eps: float = _EPS) -> jax.Array:
     """Fused grouped norm (+SiLU) over a channels-last ``(B, H, W, C)`` or
     ``(B, N, C)`` activation, with exact gradients.
 
     Off-TPU and for shapes outside the kernel's envelope this is the eager
     composition (trace-time dispatch; shapes are static under jit), so CPU
-    runs stay bit-identical to the NCHW path."""
+    runs stay bit-identical to the NCHW path.  ``eps`` follows the caller's
+    family convention (1e-6 for the VAE/UNet, 1e-5 for the published
+    conditional UNet)."""
     shape = x.shape
     B, C = shape[0], shape[-1]
     n = x.size // (B * C)
     if jax.default_backend() != "tpu" or not fits_kernel(n, C) or C % groups:
-        y = groupnorm_reference(x.reshape(B, n, C), groups, fuse_silu)
+        y = groupnorm_reference(x.reshape(B, n, C), groups, fuse_silu, eps)
         return y.reshape(shape)
-    return _groupnorm_vjp(x.reshape(B, n, C), groups, fuse_silu).reshape(shape)
+    return _groupnorm_vjp(x.reshape(B, n, C), groups, fuse_silu, eps).reshape(shape)

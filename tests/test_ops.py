@@ -875,6 +875,18 @@ def test_groupnorm_kernel_matches_eager(dtype, fuse_silu, shape, groups) -> None
     np.testing.assert_allclose(np.asarray(fused, np.float32), np.asarray(eager, np.float32), atol=atol)
 
 
+def test_groupnorm_kernel_eps_variant() -> None:
+    "The conditional UNet's eps 1e-5 threads through the kernel exactly."
+    from skrample_tpu.ops.groupnorm import groupnorm_forward, groupnorm_reference
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 64, 128)) * 1e-3  # eps-sensitive scale
+    fused = groupnorm_forward(x, 16, eps=1e-5, interpret=jax.default_backend() != "tpu")
+    eager = groupnorm_reference(x, 16, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(eager), atol=2e-5)
+    # and it genuinely differs from the default-eps result at this scale
+    assert not np.allclose(np.asarray(fused), np.asarray(groupnorm_reference(x, 16)), atol=1e-4)
+
+
 def test_groupnorm_gradients_match_eager() -> None:
     "custom_vjp backward == differentiating the eager composition."
     from skrample_tpu.ops.groupnorm import groupnorm_cl, groupnorm_reference
