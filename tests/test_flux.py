@@ -48,6 +48,33 @@ def test_rope_text_rows_are_identity() -> None:
     assert not np.allclose(np.asarray(cos[5]), np.asarray(cos[-1]))
 
 
+def test_rope_relative_position_property() -> None:
+    """The defining RoPE property, independent of any mirror: rotated
+    q . k depends only on the POSITION DIFFERENCE, so translating both
+    tokens by the same grid offset leaves every attention logit unchanged."""
+    model = Flux(small_config())
+    cos, sin = model._rope_tables(0, 8, 8)  # image rows only, ids (0, y, x)
+
+    def rotate(vec, row):  # consecutive-pair rotation with table row `row`
+        pairs = vec.reshape(-1, 2)
+        c, s = np.asarray(cos[row]), np.asarray(sin[row])
+        return np.stack([pairs[:, 0] * c - pairs[:, 1] * s, pairs[:, 0] * s + pairs[:, 1] * c], -1).ravel()
+
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=model.config.head_dim)
+    k = rng.normal(size=model.config.head_dim)
+
+    def logit(pos_q, pos_k):  # positions as (y, x) on the 8x8 grid
+        return float(np.dot(rotate(q, pos_q[0] * 8 + pos_q[1]), rotate(k, pos_k[0] * 8 + pos_k[1])))
+
+    base = logit((2, 3), (5, 6))
+    for dy, dx in ((1, 1), (2, 0), (0, 1)):
+        shifted = logit((2 + dy, 3 + dx), (5 + dy, 6 + dx))
+        np.testing.assert_allclose(shifted, base, rtol=1e-6)
+    # and it genuinely DOES depend on the relative offset
+    assert abs(logit((2, 3), (6, 6)) - base) > 1e-3
+
+
 def test_flash_matches_full_at_head_dim_128() -> None:
     "The fused Pallas path (interpret mode on CPU) == the einsum oracle."
     kwargs = dict(
