@@ -175,6 +175,27 @@ class TestEndToEnd:
         with pytest.raises(ValueError, match="negative"):
             stack.model_fn(*cond, true_cfg_scale=4.0)
 
+    def test_dynamic_batch_serving(self) -> None:
+        "Per-prompt (context, pooled) pairs through ServingEngine."
+        from skrample_tpu.serving import ServingEngine
+
+        stack = build_stack()
+        conds = []
+        for fill in (7, 9):
+            clip = jnp.asarray(token_ids(fill=fill), jnp.int32)
+            ctx, pooled = stack.encode_prompt(clip, jnp.asarray(T5_IDS, jnp.int32))
+            conds.append((ctx[0], pooled[0]))
+
+        kwargs = dict(item_shape=(4, 8, 8), steps=2, conditioned=True)
+        with ServingEngine(stack.as_served(guidance=3.5), buckets=(1,), **kwargs) as engine:
+            ref = [np.asarray(engine.generate(k, context=c)) for k, c in enumerate(conds)]
+        with ServingEngine(stack.as_served(guidance=3.5), buckets=(2,), max_delay_ms=50.0, **kwargs) as engine:
+            futs = [engine.submit(k, context=c) for k, c in enumerate(conds)]
+            got = [np.asarray(f.result()) for f in futs]
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(r, g, rtol=3e-5, atol=3e-6)
+        assert not np.allclose(ref[0], ref[1], atol=1e-3)
+
     def test_guidance_changes_output(self) -> None:
         "dev's guidance is an embedded input: different scale, different image."
         stack = build_stack()

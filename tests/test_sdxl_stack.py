@@ -245,6 +245,37 @@ class TestEndToEnd:
         again = stack.decode(pipe.generate(jax.random.PRNGKey(0)))
         np.testing.assert_array_equal(np.asarray(pixels), np.asarray(again))
 
+    def test_dynamic_batch_serving(self) -> None:
+        "SDXL (context, pooled) pairs through ServingEngine, time_ids bound."
+        from skrample_tpu.serving import ServingEngine
+
+        stack = build_sdxl()
+        conds = []
+        for fill in (7, 9):
+            ids = jnp.asarray(token_ids(fill=fill), jnp.int32)
+            ctx, pooled = stack.encode_prompt(ids, ids)
+            conds.append((ctx[0], pooled[0]))
+        served = stack.as_served(time_ids=stack.time_ids((16, 16), (0, 0), (16, 16)))
+
+        from skrample_tpu import scheduling
+        from skrample_tpu.sampling import models as sk_models
+
+        kwargs = dict(
+            item_shape=(4, 8, 8),
+            steps=2,
+            conditioned=True,
+            schedule=scheduling.Karras(scheduling.Scaled()),
+            model_transform=sk_models.NoiseModel(),
+        )
+        with ServingEngine(served, buckets=(1,), **kwargs) as engine:
+            ref = [np.asarray(engine.generate(k, context=c)) for k, c in enumerate(conds)]
+        with ServingEngine(served, buckets=(2,), max_delay_ms=50.0, **kwargs) as engine:
+            got = [np.asarray(f.result()) for f in [engine.submit(k, context=c) for k, c in enumerate(conds)]]
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(r, g, rtol=3e-5, atol=3e-6)
+        with pytest.raises(ValueError, match="time_ids"):
+            stack.as_served()
+
     def test_time_ids_change_output(self) -> None:
         "The micro-conditioning is live: different crop ids, different image."
         stack = build_sdxl()
