@@ -381,7 +381,10 @@ class Flux:
         doubling — one forward per step."""
 
         def model_fn(x, t, s, a):
-            return self.apply(params, x, t, context, pooled, guidance=guidance)
+            B = x.shape[0]
+            ctx = jnp.broadcast_to(context, (B, *context.shape[-2:]))
+            pool = jnp.broadcast_to(pooled, (B, pooled.shape[-1]))
+            return self.apply(params, x, t, ctx, pool, guidance=guidance)
 
         return model_fn
 

@@ -495,7 +495,12 @@ class MMDiT:
         if context is None or guidance_scale == 1.0:
 
             def model_fn(x, t, s, a):
-                return self.apply(params, x, t, context, pooled=pooled)
+                ctx, pool = context, pooled
+                if ctx is not None:  # single-prompt conditioning serves any batch
+                    ctx = jnp.broadcast_to(ctx, (x.shape[0], *ctx.shape[-2:]))
+                if pool is not None:
+                    pool = jnp.broadcast_to(pool, (x.shape[0], pool.shape[-1]))
+                return self.apply(params, x, t, ctx, pooled=pool)
 
             return model_fn
 

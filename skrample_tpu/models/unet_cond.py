@@ -517,7 +517,11 @@ class CondUNet:
         if guidance_scale == 1.0:
 
             def model_fn(x, t, s, a):
-                return self.apply(params, x, t, context, pooled, time_ids)
+                B = x.shape[0]  # single-prompt conditioning serves any batch
+                ctx = jnp.broadcast_to(context, (B, *context.shape[-2:]))
+                pool = None if pooled is None else jnp.broadcast_to(pooled, (B, pooled.shape[-1]))
+                tid = None if time_ids is None else jnp.broadcast_to(time_ids, (B, time_ids.shape[-1]))
+                return self.apply(params, x, t, ctx, pool, tid)
 
             return model_fn
 
