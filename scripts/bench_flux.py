@@ -33,14 +33,7 @@ from skrample_tpu.models import Flux, FluxConfig
 from skrample_tpu.models.flux import flux_forward_flops
 
 BATCH, HW, TXT = 1, 128, 512
-from _bench_common import slope_time as _slope_time  # noqa: E402
-
-LENGTHS = (2, 6)
-
-
-def slope_time(fn, x):
-    return _slope_time(fn, x, lengths=LENGTHS)
-
+from _bench_common import slope_time  # noqa: E402 — (2, 6) default lengths
 
 PEAK_BF16 = 197e12
 

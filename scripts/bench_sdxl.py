@@ -30,14 +30,7 @@ from skrample_tpu.models import CondUNet, CondUNetConfig
 from skrample_tpu.models import unet_cond as unet_mod
 
 BATCH, HW, TXT = 1, 128, 77
-from _bench_common import slope_time as _slope_time  # noqa: E402
-
-LENGTHS = (2, 6)
-
-
-def slope_time(fn, x):
-    return _slope_time(fn, x, lengths=LENGTHS)
-
+from _bench_common import slope_time  # noqa: E402 — (2, 6) default lengths
 
 PEAK_BF16 = 197e12
 

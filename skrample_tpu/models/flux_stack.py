@@ -22,6 +22,7 @@ from typing import Any
 import math
 
 import jax
+import jax.numpy as jnp
 
 from .flux import Flux
 from .import_weights import clip_text_encoder, diffusers_vae, flux_transformer, t5_encoder
@@ -110,10 +111,11 @@ class FluxStack:
         doubled-batch forward."""
         g = guidance if self.flux.config.guidance else None
         if true_cfg_scale == 1.0:
+            if negative is not None:
+                raise ValueError("negative= has no effect at true_cfg_scale=1 — set the scale too")
             return self.flux.as_sampleable(self.flux_params, context, pooled, guidance=g)
         if negative is None:
             raise ValueError("true_cfg_scale != 1 needs negative=(context, pooled)")
-        import jax.numpy as jnp
 
         def guided_fn(x, t, s, a):
             B = x.shape[0]

@@ -135,7 +135,11 @@ class SDXLStack:
         def model_fn(x, t, sigma, alpha, cond=None):
             if cond is None:
                 raise ValueError("conditioned serving requires context= per request")
-            context, pooled = cond if sdxl else (cond, None)
+            if sdxl:
+                context, pooled = cond
+            else:  # SD1.5: a bare context row, or encode_prompt's (context, None)
+                context = cond[0] if isinstance(cond, tuple) else cond
+                pooled = None
             B = x.shape[0]
             tid = None if not sdxl else jnp.broadcast_to(time_ids, (B, time_ids.shape[-1]))
             if guidance_scale == 1.0:

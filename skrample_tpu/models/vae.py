@@ -172,10 +172,13 @@ class VAE:
         c = self.config
         if p is None:
             return _groupnorm(x, c.groups, cl, silu=silu)
+        if cl:
+            # one fused pass: statistics + normalize + f32 affine (+SiLU)
+            from ..ops.groupnorm import groupnorm_cl
+
+            return groupnorm_cl(x, c.groups, fuse_silu=silu, scale=p["g"], bias=p["b"])
         y = _groupnorm(x, c.groups, cl)
-        y = y * (p["g"] if cl else p["g"][None, :, None, None]) + (
-            p["b"] if cl else p["b"][None, :, None, None]
-        )
+        y = y * p["g"][None, :, None, None] + p["b"][None, :, None, None]
         return jax.nn.silu(y) if silu else y
 
     def _resblock(self, p: dict, x: jax.Array, dtype: Any, cl: bool) -> jax.Array:

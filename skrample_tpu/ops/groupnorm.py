@@ -1,4 +1,5 @@
-"""Fused GroupNorm(+SiLU) for channels-last activations as a Pallas kernel.
+"""Fused GroupNorm(+affine)(+SiLU) for channels-last activations as a
+Pallas kernel.
 
 The UNet ablation profiler (``scripts/profile_unet.py``) attributes 742 us
 of the 2147 us base=128 forward (35%) to GroupNorm: the grouped mean/var
@@ -7,8 +8,8 @@ float32 HBM round-trips, and the following SiLU is yet another pass.  A
 UNet activation slice per batch element is small — (H*W, C) is at most a
 couple of MB at latent resolutions — so this kernel loads the whole slice
 into VMEM once, computes the grouped statistics, normalizes, applies the
-optional SiLU, and writes once: one read + one write of the input dtype
-total.
+optional learned affine and SiLU, and writes once: one read + one write of
+the input dtype total.
 
 Grouped statistics on the lane axis: channels live on the 128-wide lane
 dimension, and a group's 8-32 channels do not align with any vector tile.
@@ -20,12 +21,15 @@ broadcasts them back per channel in a single tiny matmul.  Variance uses
 the centered two-pass form (matching the eager ``x.var``'s numerics, not
 the catastrophic-cancellation-prone ``E[x^2] - mu^2``).
 
-Semantics match ``models/unet.py``'s ``_groupnorm`` (f32 statistics,
-eps 1e-6, no learned affine — the UNet's convs carry the affine role);
-the reference library has no model layer (SURVEY.md §2.0).
+Affine semantics: imported checkpoint families (AutoencoderKL, the
+conditional UNet) carry learned scale/bias; these apply IN FLOAT32 before
+the optional SiLU inside the kernel, so bf16 activations round exactly
+once — matching the eager NCHW path's numerics.  ``eps`` follows the
+caller's family convention (1e-6 VAE/UNet, 1e-5 conditional UNet).
 
 Gradients: ``jax.custom_vjp`` whose backward differentiates the eager
-composition — same memory as a remat'd groupnorm, exact to reduction order.
+composition (including d/dscale and d/dbias — the affine is trainable) —
+same memory as a remat'd groupnorm, exact to reduction order.
 """
 
 from __future__ import annotations
@@ -44,13 +48,22 @@ _EPS = 1e-6
 _MAX_SLICE_BYTES = 6 * 1024 * 1024
 
 
-def groupnorm_reference(x: jax.Array, groups: int, fuse_silu: bool = False, eps: float = _EPS) -> jax.Array:
-    "(B, N, C) eager oracle: f32 grouped norm (+ optional SiLU)."
+def groupnorm_reference(
+    x: jax.Array,
+    groups: int,
+    fuse_silu: bool = False,
+    eps: float = _EPS,
+    scale: jax.Array | None = None,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    "(B, N, C) eager oracle: f32 grouped norm (+ affine) (+ SiLU)."
     B, N, C = x.shape
     x32 = x.astype(jnp.float32).reshape(B, N, groups, C // groups)
     mean = x32.mean((1, 3), keepdims=True)
     var = x32.var((1, 3), keepdims=True)
     y = ((x32 - mean) * jax.lax.rsqrt(var + eps)).reshape(B, N, C)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if fuse_silu:
         y = jax.nn.silu(y)
     return y.astype(x.dtype)
@@ -65,7 +78,7 @@ def _group_matrix(C: int, groups: int, N: int) -> np.ndarray:
     return M
 
 
-def _groupnorm_kernel(x_ref, m_ref, o_ref, *, fuse_silu: bool, eps: float):
+def _groupnorm_kernel(x_ref, m_ref, s_ref, b_ref, o_ref, *, fuse_silu: bool, eps: float, affine: bool):
     x32 = x_ref[0].astype(jnp.float32)  # (N, C)
     M = m_ref[...]  # (C, C) group-averaging matrix
     ch_sum = jnp.sum(x32, axis=0, keepdims=True)  # (1, C) sublane reduce
@@ -74,16 +87,25 @@ def _groupnorm_kernel(x_ref, m_ref, o_ref, *, fuse_silu: bool, eps: float):
     ch_sq = jnp.sum(centered * centered, axis=0, keepdims=True)
     var = jax.lax.dot(ch_sq, M, preferred_element_type=jnp.float32)
     y = centered * jax.lax.rsqrt(var + eps)
+    if affine:
+        y = y * s_ref[...] + b_ref[...]  # (1, C) f32, before any SiLU
     if fuse_silu:
         y = y * jax.lax.logistic(y)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "fuse_silu", "interpret", "eps"))
+@functools.partial(jax.jit, static_argnames=("groups", "fuse_silu", "interpret", "eps", "affine"))
 def groupnorm_forward(
-    x: jax.Array, groups: int, fuse_silu: bool = False, interpret: bool = False, eps: float = _EPS
+    x: jax.Array,
+    groups: int,
+    fuse_silu: bool = False,
+    interpret: bool = False,
+    eps: float = _EPS,
+    scale: jax.Array | None = None,
+    bias: jax.Array | None = None,
+    affine: bool | None = None,
 ) -> jax.Array:
-    """``(B, N, C) -> (B, N, C)`` grouped norm (+SiLU) in one HBM pass.
+    """``(B, N, C) -> (B, N, C)`` grouped norm (+affine) (+SiLU) in one HBM pass.
 
     ``C`` must be a multiple of 128 and divisible by ``groups``; the whole
     ``(N, C)`` slice of one batch element must fit the f32 VMEM budget
@@ -91,21 +113,26 @@ def groupnorm_forward(
     B, N, C = x.shape
     if C % _LANE or C % groups:
         raise ValueError(f"groupnorm kernel needs C % 128 == 0 and C % groups == 0, got C={C}, groups={groups}")
+    affine = (scale is not None) if affine is None else affine
+    s = jnp.ones((1, C), jnp.float32) if scale is None else scale.astype(jnp.float32).reshape(1, C)
+    b = jnp.zeros((1, C), jnp.float32) if bias is None else bias.astype(jnp.float32).reshape(1, C)
     M = jnp.asarray(_group_matrix(C, groups, N))
     return pl.pallas_call(
-        functools.partial(_groupnorm_kernel, fuse_silu=fuse_silu, eps=eps),
+        functools.partial(_groupnorm_kernel, fuse_silu=fuse_silu, eps=eps, affine=affine),
         out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
-    )(x, M)
+    )(x, M, s, b)
 
 
 def fits_kernel(n: int, c: int) -> bool:
@@ -114,16 +141,17 @@ def fits_kernel(n: int, c: int) -> bool:
 
 
 @functools.cache
-def _groupnorm_spmd(groups: int, fuse_silu: bool, interpret: bool, eps: float = _EPS):
-    """SPMD wrapper: the batch axis shards; token and channel axes must be
-    replicated (statistics reduce over both).  Without this XLA replicates
-    the opaque pallas custom call under a sharded jit."""
+def _groupnorm_spmd(groups: int, fuse_silu: bool, interpret: bool, eps: float, affine: bool):
+    """SPMD wrapper: the batch axis shards; token and channel axes (and the
+    tiny affine vectors) must be replicated — statistics reduce over both.
+    Without this XLA replicates the opaque pallas custom call under a
+    sharded jit."""
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
-    def fn(x):
-        return groupnorm_forward(x, groups, fuse_silu, interpret, eps)
+    def fn(x, s, b):
+        return groupnorm_forward(x, groups, fuse_silu, interpret, eps, s, b, affine=affine)
 
     cp = custom_partitioning(fn)
 
@@ -132,9 +160,13 @@ def _groupnorm_spmd(groups: int, fuse_silu: bool, interpret: bool, eps: float = 
         batch = spec[0] if spec is not None and len(spec) else None
         return NamedSharding(named.mesh, P(batch, None, None))
 
+    def _rep(named, ndim=1):
+        return NamedSharding(named.mesh, P(*([None] * ndim)))
+
     def partition(mesh, arg_shapes, result_shape):
         s = _shard(arg_shapes[0].sharding)
-        return mesh, fn, (s,), s
+        reps = tuple(_rep(a.sharding, len(a.shape)) for a in arg_shapes[1:])
+        return mesh, fn, (s, *reps), s
 
     def infer(mesh, arg_shapes, shape):
         return _shard(arg_shapes[0].sharding)
@@ -142,42 +174,61 @@ def _groupnorm_spmd(groups: int, fuse_silu: bool, interpret: bool, eps: float = 
     cp.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer,
-        sharding_rule="b n c -> b n c",
+        sharding_rule="b n c, c, c -> b n c",
         need_replication_factors=("n", "c"),
     )
     return jax.jit(cp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _groupnorm_vjp(x: jax.Array, groups: int, fuse_silu: bool, eps: float = _EPS) -> jax.Array:
-    return _groupnorm_spmd(groups, fuse_silu, jax.default_backend() != "tpu", eps)(x)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _groupnorm_vjp(
+    x: jax.Array, scale: jax.Array, bias: jax.Array, groups: int, fuse_silu: bool, eps: float, affine: bool
+) -> jax.Array:
+    return _groupnorm_spmd(groups, fuse_silu, jax.default_backend() != "tpu", eps, affine)(x, scale, bias)
 
 
-def _groupnorm_fwd(x, groups, fuse_silu, eps=_EPS):
-    return _groupnorm_vjp(x, groups, fuse_silu, eps), x
+def _groupnorm_fwd(x, scale, bias, groups, fuse_silu, eps, affine):
+    return _groupnorm_vjp(x, scale, bias, groups, fuse_silu, eps, affine), (x, scale, bias)
 
 
-def _groupnorm_bwd(groups, fuse_silu, eps, x, g):
-    _, vjp = jax.vjp(lambda xx: groupnorm_reference(xx, groups, fuse_silu, eps), x)
+def _groupnorm_bwd(groups, fuse_silu, eps, affine, res, g):
+    x, scale, bias = res
+
+    def ref(xx, ss, bb):
+        return groupnorm_reference(
+            xx, groups, fuse_silu, eps, ss if affine else None, bb if affine else None
+        )
+
+    _, vjp = jax.vjp(ref, x, scale, bias)
     return vjp(g)
 
 
 _groupnorm_vjp.defvjp(_groupnorm_fwd, _groupnorm_bwd)
 
 
-def groupnorm_cl(x: jax.Array, groups: int, fuse_silu: bool = False, eps: float = _EPS) -> jax.Array:
-    """Fused grouped norm (+SiLU) over a channels-last ``(B, H, W, C)`` or
-    ``(B, N, C)`` activation, with exact gradients.
+def groupnorm_cl(
+    x: jax.Array,
+    groups: int,
+    fuse_silu: bool = False,
+    eps: float = _EPS,
+    scale: jax.Array | None = None,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Fused grouped norm (+learned affine) (+SiLU) over a channels-last
+    ``(B, H, W, C)`` or ``(B, N, C)`` activation, with exact gradients
+    (including d/dscale, d/dbias).
 
     Off-TPU and for shapes outside the kernel's envelope this is the eager
     composition (trace-time dispatch; shapes are static under jit), so CPU
-    runs stay bit-identical to the NCHW path.  ``eps`` follows the caller's
-    family convention (1e-6 for the VAE/UNet, 1e-5 for the published
-    conditional UNet)."""
+    runs stay bit-identical to the NCHW path.  The affine applies in f32
+    before the SiLU — one rounding to the activation dtype total."""
     shape = x.shape
     B, C = shape[0], shape[-1]
     n = x.size // (B * C)
     if jax.default_backend() != "tpu" or not fits_kernel(n, C) or C % groups:
-        y = groupnorm_reference(x.reshape(B, n, C), groups, fuse_silu, eps)
+        y = groupnorm_reference(x.reshape(B, n, C), groups, fuse_silu, eps, scale, bias)
         return y.reshape(shape)
-    return _groupnorm_vjp(x.reshape(B, n, C), groups, fuse_silu, eps).reshape(shape)
+    affine = scale is not None
+    s = jnp.ones((C,), jnp.float32) if scale is None else scale
+    b = jnp.zeros((C,), jnp.float32) if bias is None else bias
+    return _groupnorm_vjp(x.reshape(B, n, C), s, b, groups, fuse_silu, eps, affine).reshape(shape)

@@ -875,6 +875,41 @@ def test_groupnorm_kernel_matches_eager(dtype, fuse_silu, shape, groups) -> None
     np.testing.assert_allclose(np.asarray(fused, np.float32), np.asarray(eager, np.float32), atol=atol)
 
 
+def test_groupnorm_kernel_affine_fused() -> None:
+    "Learned scale/bias apply in f32 inside the kernel, before the SiLU."
+    from skrample_tpu.ops.groupnorm import groupnorm_forward, groupnorm_reference
+
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 64, 128))
+    scale = jax.random.normal(jax.random.PRNGKey(9), (128,)) * 0.5 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(10), (128,)) * 0.2
+    for fuse_silu in (False, True):
+        fused = groupnorm_forward(
+            x, 16, fuse_silu, interpret=jax.default_backend() != "tpu", scale=scale, bias=bias
+        )
+        eager = groupnorm_reference(x, 16, fuse_silu, scale=scale, bias=bias)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(eager), atol=2e-5)
+
+
+def test_groupnorm_affine_gradients() -> None:
+    "d/dscale and d/dbias flow through the custom vjp (the affine trains)."
+    from skrample_tpu.ops.groupnorm import groupnorm_cl, groupnorm_reference
+
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 8, 8, 128))
+    scale = jnp.ones((128,)) * 1.3
+    bias = jnp.zeros((128,)) + 0.1
+
+    def fused_loss(xx, ss, bb):
+        return jnp.sum(groupnorm_cl(xx, 16, fuse_silu=True, scale=ss, bias=bb) ** 2)
+
+    def eager_loss(xx, ss, bb):
+        return jnp.sum(groupnorm_reference(xx.reshape(2, 64, 128), 16, True, scale=ss, bias=bb) ** 2)
+
+    gf = jax.grad(fused_loss, argnums=(0, 1, 2))(x, scale, bias)
+    ge = jax.grad(eager_loss, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(gf, ge):
+        np.testing.assert_allclose(np.asarray(a).ravel(), np.asarray(b).ravel(), rtol=2e-5, atol=2e-6)
+
+
 def test_groupnorm_kernel_eps_variant() -> None:
     "The conditional UNet's eps 1e-5 threads through the kernel exactly."
     from skrample_tpu.ops.groupnorm import groupnorm_forward, groupnorm_reference
