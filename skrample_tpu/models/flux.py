@@ -380,11 +380,11 @@ class Flux:
         guidance-distilled: ``guidance`` is an EMBEDDED input, not a CFG
         doubling — one forward per step."""
 
+        from .conditioning import per_item
+
         def model_fn(x, t, s, a):
             B = x.shape[0]
-            ctx = jnp.broadcast_to(context, (B, *context.shape[-2:]))
-            pool = jnp.broadcast_to(pooled, (B, pooled.shape[-1]))
-            return self.apply(params, x, t, ctx, pool, guidance=guidance)
+            return self.apply(params, x, t, per_item(context, B, 2), per_item(pooled, B, 1), guidance=guidance)
 
         return model_fn
 

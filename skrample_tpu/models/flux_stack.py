@@ -117,30 +117,19 @@ class FluxStack:
         if negative is None:
             raise ValueError("true_cfg_scale != 1 needs negative=(context, pooled)")
 
+        from .conditioning import doubled_t, guided_mix, per_item
+
         def guided_fn(x, t, s, a):
             B = x.shape[0]
-            ctx = jnp.concatenate(
-                [
-                    jnp.broadcast_to(context, (B, *context.shape[-2:])),
-                    jnp.broadcast_to(negative[0], (B, *negative[0].shape[-2:])),
-                ]
-            )
-            pool = jnp.concatenate(
-                [
-                    jnp.broadcast_to(pooled, (B, pooled.shape[-1])),
-                    jnp.broadcast_to(negative[1], (B, negative[1].shape[-1])),
-                ]
-            )
             both = self.flux.apply(
                 self.flux_params,
                 jnp.concatenate([x, x]),
-                jnp.broadcast_to(t, (2 * B,)) if jnp.ndim(t) == 0 else jnp.concatenate([t, t]),
-                ctx,
-                pool,
+                doubled_t(t, B),
+                jnp.concatenate([per_item(context, B, 2), per_item(negative[0], B, 2)]),
+                jnp.concatenate([per_item(pooled, B, 1), per_item(negative[1], B, 1)]),
                 guidance=g,
             )
-            pos, neg = both[:B], both[B:]
-            return neg + true_cfg_scale * (pos - neg)
+            return guided_mix(both[:B], both[B:], true_cfg_scale)
 
         return guided_fn
 

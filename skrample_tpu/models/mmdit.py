@@ -492,14 +492,14 @@ class MMDiT:
         (the encoded empty prompt, the SD3 pipelines' convention)."""
         sd3 = self.config.sd3_wiring
 
+        from .conditioning import doubled_t, guided_mix, per_item
+
         if context is None or guidance_scale == 1.0:
 
             def model_fn(x, t, s, a):
-                ctx, pool = context, pooled
-                if ctx is not None:  # single-prompt conditioning serves any batch
-                    ctx = jnp.broadcast_to(ctx, (x.shape[0], *ctx.shape[-2:]))
-                if pool is not None:
-                    pool = jnp.broadcast_to(pool, (x.shape[0], pool.shape[-1]))
+                B = x.shape[0]  # single-prompt conditioning serves any batch
+                ctx = None if context is None else per_item(context, B, 2)
+                pool = None if pooled is None else per_item(pooled, B, 1)
                 return self.apply(params, x, t, ctx, pooled=pool)
 
             return model_fn
@@ -510,14 +510,9 @@ class MMDiT:
         def guided_fn(x, t, s, a):
             B = x.shape[0]
             if sd3:
-                ctx_c = jnp.broadcast_to(context, (B, *context.shape[-2:]))
-                ctx_u = jnp.broadcast_to(uncond_context, (B, *uncond_context.shape[-2:]))
-                pool = jnp.concatenate(
-                    [
-                        jnp.broadcast_to(pooled, (B, pooled.shape[-1])),
-                        jnp.broadcast_to(uncond_pooled, (B, uncond_pooled.shape[-1])),
-                    ]
-                )
+                ctx_c = per_item(context, B, 2)
+                ctx_u = per_item(uncond_context, B, 2)
+                pool = jnp.concatenate([per_item(pooled, B, 1), per_item(uncond_pooled, B, 1)])
             else:
                 ctx_c = self.embed_context(params, context, B)
                 ctx_u = self.embed_context(params, None, B)
@@ -525,12 +520,11 @@ class MMDiT:
             both = self.apply(
                 params,
                 jnp.concatenate([x, x]),
-                jnp.broadcast_to(t, (2 * B,)) if jnp.ndim(t) == 0 else jnp.concatenate([t, t]),
+                doubled_t(t, B),
                 jnp.concatenate([ctx_c, ctx_u]),
                 pooled=pool,
             )
-            c_out, u_out = both[:B], both[B:]
-            return u_out + guidance_scale * (c_out - u_out)
+            return guided_mix(both[:B], both[B:], guidance_scale)
 
         return guided_fn
 

@@ -179,6 +179,8 @@ class SD3Stack:
         if guidance_scale != 1.0 and uncond is None:
             raise ValueError("guidance_scale != 1 needs uncond=(context, pooled) — the encoded empty prompt")
 
+        from .conditioning import doubled_t, guided_mix, per_item
+
         def model_fn(x, t, sigma, alpha, cond=None):
             if cond is None:
                 raise ValueError("SD3 serving requires context=(context, pooled) per request")
@@ -186,17 +188,14 @@ class SD3Stack:
             if guidance_scale == 1.0:
                 return self.mmdit.apply(self.mmdit_params, x, t, context, pooled=pooled)
             B = x.shape[0]
-            ctx_u = jnp.broadcast_to(uncond[0], (B, *uncond[0].shape[-2:]))
-            pool_u = jnp.broadcast_to(uncond[1], (B, uncond[1].shape[-1]))
             both = self.mmdit.apply(
                 self.mmdit_params,
                 jnp.concatenate([x, x]),
-                jnp.broadcast_to(t, (2 * B,)) if jnp.ndim(t) == 0 else jnp.concatenate([t, t]),
-                jnp.concatenate([context, ctx_u]),
-                pooled=jnp.concatenate([pooled, pool_u]),
+                doubled_t(t, B),
+                jnp.concatenate([context, per_item(uncond[0], B, 2)]),
+                pooled=jnp.concatenate([pooled, per_item(uncond[1], B, 1)]),
             )
-            c_out, u_out = both[:B], both[B:]
-            return u_out + guidance_scale * (c_out - u_out)
+            return guided_mix(both[:B], both[B:], guidance_scale)
 
         return model_fn
 

@@ -132,6 +132,8 @@ class SDXLStack:
         if guidance_scale != 1.0 and uncond is None:
             raise ValueError("guidance_scale != 1 needs uncond= — the encoded empty prompt")
 
+        from .conditioning import doubled_t, guided_mix, per_item
+
         def model_fn(x, t, sigma, alpha, cond=None):
             if cond is None:
                 raise ValueError("conditioned serving requires context= per request")
@@ -141,24 +143,22 @@ class SDXLStack:
                 context = cond[0] if isinstance(cond, tuple) else cond
                 pooled = None
             B = x.shape[0]
-            tid = None if not sdxl else jnp.broadcast_to(time_ids, (B, time_ids.shape[-1]))
+            tid = None if not sdxl else per_item(time_ids, B, 1)
             if guidance_scale == 1.0:
                 return self.unet.apply(self.unet_params, x, t, context, pooled, tid)
-            ctx_u = jnp.broadcast_to(uncond[0], (B, *uncond[0].shape[-2:]))
             pool = tid2 = None
             if sdxl:
-                pool = jnp.concatenate([pooled, jnp.broadcast_to(uncond[1], (B, uncond[1].shape[-1]))])
+                pool = jnp.concatenate([pooled, per_item(uncond[1], B, 1)])
                 tid2 = jnp.concatenate([tid, tid])
             both = self.unet.apply(
                 self.unet_params,
                 jnp.concatenate([x, x]),
-                jnp.broadcast_to(t, (2 * B,)) if jnp.ndim(t) == 0 else jnp.concatenate([t, t]),
-                jnp.concatenate([context, ctx_u]),
+                doubled_t(t, B),
+                jnp.concatenate([context, per_item(uncond[0], B, 2)]),
                 pool,
                 tid2,
             )
-            c_out, u_out = both[:B], both[B:]
-            return u_out + guidance_scale * (c_out - u_out)
+            return guided_mix(both[:B], both[B:], guidance_scale)
 
         return model_fn
 

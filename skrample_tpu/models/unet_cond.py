@@ -514,14 +514,15 @@ class CondUNet:
         """Sampling closure.  ``guidance_scale != 1`` runs classifier-free
         guidance against ``uncond_context`` (the encoded empty prompt),
         both branches in one doubled-batch forward."""
+        from .conditioning import doubled_t, guided_mix, per_item
+
         if guidance_scale == 1.0:
 
             def model_fn(x, t, s, a):
                 B = x.shape[0]  # single-prompt conditioning serves any batch
-                ctx = jnp.broadcast_to(context, (B, *context.shape[-2:]))
-                pool = None if pooled is None else jnp.broadcast_to(pooled, (B, pooled.shape[-1]))
-                tid = None if time_ids is None else jnp.broadcast_to(time_ids, (B, time_ids.shape[-1]))
-                return self.apply(params, x, t, ctx, pool, tid)
+                pool = None if pooled is None else per_item(pooled, B, 1)
+                tid = None if time_ids is None else per_item(time_ids, B, 1)
+                return self.apply(params, x, t, per_item(context, B, 2), pool, tid)
 
             return model_fn
 
@@ -530,30 +531,12 @@ class CondUNet:
 
         def guided_fn(x, t, s, a):
             B = x.shape[0]
-            ctx = jnp.concatenate(
-                [
-                    jnp.broadcast_to(context, (B, *context.shape[-2:])),
-                    jnp.broadcast_to(uncond_context, (B, *uncond_context.shape[-2:])),
-                ]
-            )
+            ctx = jnp.concatenate([per_item(context, B, 2), per_item(uncond_context, B, 2)])
             pool = ids = None
             if pooled is not None:
-                pool = jnp.concatenate(
-                    [
-                        jnp.broadcast_to(pooled, (B, pooled.shape[-1])),
-                        jnp.broadcast_to(uncond_pooled, (B, uncond_pooled.shape[-1])),
-                    ]
-                )
-                ids = jnp.concatenate([jnp.broadcast_to(time_ids, (B, time_ids.shape[-1]))] * 2)
-            both = self.apply(
-                params,
-                jnp.concatenate([x, x]),
-                jnp.broadcast_to(t, (2 * B,)) if jnp.ndim(t) == 0 else jnp.concatenate([t, t]),
-                ctx,
-                pool,
-                ids,
-            )
-            c_out, u_out = both[:B], both[B:]
-            return u_out + guidance_scale * (c_out - u_out)
+                pool = jnp.concatenate([per_item(pooled, B, 1), per_item(uncond_pooled, B, 1)])
+                ids = jnp.concatenate([per_item(time_ids, B, 1)] * 2)
+            both = self.apply(params, jnp.concatenate([x, x]), doubled_t(t, B), ctx, pool, ids)
+            return guided_mix(both[:B], both[B:], guidance_scale)
 
         return guided_fn
