@@ -15,6 +15,7 @@ from .import_weights import (
     diffusers_unet,
     diffusers_vae,
     flux_transformer,
+    merge_lora,
     sd3_mmdit,
 )
 from .mmdit import MMDiT, MMDiTConfig
@@ -63,5 +64,6 @@ __all__ = [
     "ema_init",
     "ema_update",
     "load_params",
+    "merge_lora",
     "save_params",
 ]

@@ -86,6 +86,69 @@ def _fused(sd: Mapping[str, Any], prefixes: tuple[str, ...]) -> dict:
     }
 
 
+def merge_lora(
+    state_dict: Mapping[str, Any],
+    lora_sd: Mapping[str, Any],
+    scale: float = 1.0,
+    prefix: str | None = None,
+) -> dict[str, np.ndarray]:
+    """Merge diffusers/PEFT-format LoRA weights into a base state dict
+    BEFORE import: ``W' = W + scale * (alpha / r) * B @ A``.
+
+    Working on the raw state dict makes this architecture-agnostic — the
+    merged dict feeds any importer (``sd3_mmdit``, ``flux_transformer``,
+    ``diffusers_unet``, ``diffusers_vae``, ...) unchanged, and the fused
+    qkv/kv layouts never need LoRA-aware slicing.
+
+    Conventions handled: ``{base}.lora_A.weight`` / ``{base}.lora_B.weight``
+    (PEFT) and ``{base}.lora.down.weight`` / ``{base}.lora.up.weight``
+    (diffusers legacy); optional ``{base}.alpha`` scalars (kohya-style —
+    defaults to the rank, i.e. a factor of 1); 1x1-conv adapters stored
+    4-D.  ``prefix`` strips a leading component (e.g. ``"transformer"`` or
+    ``"unet"``) when the LoRA file namespaces its keys and the base dict
+    does not.  Unmatched LoRA pairs raise — a typo'd key silently doing
+    nothing is how wrong images happen."""
+    merged = {k: _np(v) for k, v in state_dict.items()}
+    pairs: dict[str, dict[str, np.ndarray]] = {}
+    alphas: dict[str, float] = {}
+    for key, value in lora_sd.items():
+        name = key
+        if prefix and name.startswith(prefix + "."):
+            name = name[len(prefix) + 1 :]
+        if name.endswith(".alpha"):
+            alphas[name[: -len(".alpha")]] = float(_np(value))
+            continue
+        for marker, role in (
+            (".lora_A.weight", "down"),
+            (".lora_B.weight", "up"),
+            (".lora.down.weight", "down"),
+            (".lora.up.weight", "up"),
+        ):
+            if name.endswith(marker):
+                pairs.setdefault(name[: -len(marker)], {})[role] = _np(value)
+                break
+        else:
+            raise ValueError(f"unrecognized LoRA key {key!r}")
+
+    for base, pair in pairs.items():
+        if set(pair) != {"down", "up"}:
+            raise ValueError(f"LoRA pair for {base!r} is incomplete ({sorted(pair)})")
+        target = f"{base}.weight"
+        if target not in merged:
+            raise ValueError(f"LoRA targets {target!r}, which the base state dict doesn't have")
+        down, up = pair["down"], pair["up"]
+        conv = down.ndim == 4
+        if conv:  # 1x1-conv adapters: (r, in, 1, 1) x (out, r, 1, 1)
+            down = down.reshape(down.shape[0], down.shape[1])
+            up = up.reshape(up.shape[0], up.shape[1])
+        rank = down.shape[0]
+        factor = scale * alphas.get(base, float(rank)) / rank
+        delta = (up @ down) * factor
+        w = merged[target]
+        merged[target] = w + (delta.reshape(w.shape) if conv else delta.astype(w.dtype))
+    return merged
+
+
 def clip_text_config(hf_config: Any) -> TextEncoderConfig:
     "``transformers.CLIPTextConfig`` -> :class:`TextEncoderConfig`."
     dim = hf_config.hidden_size

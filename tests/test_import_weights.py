@@ -1329,6 +1329,89 @@ class TestFlux:
             flux_config({**self.CFG, "axes_dims_rope": (4, 4, 4)})
 
 
+class TestLoRA:
+    """State-dict-level LoRA merging: architecture-agnostic because it runs
+    BEFORE import (W' = W + scale * (alpha/r) * B @ A on diffusers keys),
+    so fused qkv layouts never need LoRA-aware slicing."""
+
+    def _lora_pair(self, rng, out_dim, in_dim, r=4):
+        return rng.normal(size=(r, in_dim)).astype(np.float32), rng.normal(size=(out_dim, r)).astype(
+            np.float32
+        )
+
+    def test_merge_then_import_equals_manual_merge(self) -> None:
+        from skrample_tpu.models.import_weights import flux_transformer, merge_lora
+
+        torch.manual_seed(70)
+        ref = TestFlux._torch_flux().eval()
+        base = {k: v.numpy().copy() for k, v in ref.state_dict().items()}
+        rng = np.random.default_rng(0)
+
+        d = 64
+        a_q, b_q = self._lora_pair(rng, d, d)
+        a_m, b_m = self._lora_pair(rng, 4 * d, d)
+        lora = {
+            # PEFT naming, with a namespacing prefix
+            "transformer.transformer_blocks.0.attn.to_q.lora_A.weight": torch.as_tensor(a_q),
+            "transformer.transformer_blocks.0.attn.to_q.lora_B.weight": torch.as_tensor(b_q),
+            # legacy naming + kohya alpha on a single-stream mlp
+            "transformer.single_transformer_blocks.1.proj_mlp.lora.down.weight": torch.as_tensor(a_m),
+            "transformer.single_transformer_blocks.1.proj_mlp.lora.up.weight": torch.as_tensor(b_m),
+            "transformer.single_transformer_blocks.1.proj_mlp.alpha": torch.tensor(2.0),
+        }
+        scale = 0.7
+        merged = merge_lora(base, lora, scale=scale, prefix="transformer")
+
+        manual = {k: v.copy() for k, v in base.items()}
+        manual["transformer_blocks.0.attn.to_q.weight"] += scale * (b_q @ a_q)  # alpha defaults to r
+        manual["single_transformer_blocks.1.proj_mlp.weight"] += scale * (2.0 / 4.0) * (b_m @ a_m)
+
+        _, p_merged = flux_transformer((merged, TestFlux.CFG))
+        _, p_manual = flux_transformer((manual, TestFlux.CFG))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6),
+            p_merged,
+            p_manual,
+        )
+        # and the adapter actually changed the imported weights
+        _, p_base = flux_transformer((base, TestFlux.CFG))
+        q_slice = np.asarray(p_merged["double"][0]["img"]["qkv"]["w"][:, :d])
+        assert not np.allclose(q_slice, np.asarray(p_base["double"][0]["img"]["qkv"]["w"][:, :d]))
+
+    def test_conv_1x1_adapter(self) -> None:
+        from skrample_tpu.models.import_weights import merge_lora
+
+        torch.manual_seed(71)
+        base = {"proj.weight": np.zeros((8, 6, 1, 1), np.float32)}
+        rng = np.random.default_rng(1)
+        a, b = self._lora_pair(rng, 8, 6, r=2)
+        merged = merge_lora(
+            base,
+            {
+                "proj.lora_A.weight": torch.as_tensor(a[:, :, None, None]),
+                "proj.lora_B.weight": torch.as_tensor(b[:, :, None, None]),
+            },
+        )
+        np.testing.assert_allclose(merged["proj.weight"][:, :, 0, 0], b @ a, atol=1e-6)
+
+    def test_rejects_bad_lora(self) -> None:
+        from skrample_tpu.models.import_weights import merge_lora
+
+        base = {"lin.weight": np.zeros((4, 4), np.float32)}
+        with pytest.raises(ValueError, match="unrecognized"):
+            merge_lora(base, {"lin.mystery.weight": np.zeros((2, 4), np.float32)})
+        with pytest.raises(ValueError, match="incomplete"):
+            merge_lora(base, {"lin.lora_A.weight": np.zeros((2, 4), np.float32)})
+        with pytest.raises(ValueError, match="doesn't have"):
+            merge_lora(
+                base,
+                {
+                    "other.lora_A.weight": np.zeros((2, 4), np.float32),
+                    "other.lora_B.weight": np.zeros((4, 2), np.float32),
+                },
+            )
+
+
 class TestT5:
     T5_CFG = dict(
         vocab_size=120,
