@@ -58,12 +58,12 @@ __all__ = [
     "clip_text_encoder",
     "diffusers_unet",
     "diffusers_vae",
-    "flux_transformer",
-    "sd3_mmdit",
     "ema_decay_schedule",
     "ema_init",
     "ema_update",
+    "flux_transformer",
     "load_params",
     "merge_lora",
     "save_params",
+    "sd3_mmdit",
 ]
