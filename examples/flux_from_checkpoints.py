@@ -58,3 +58,33 @@ again = stack.decode(pipe.generate(jax.random.PRNGKey(42)))
 assert np.array_equal(np.asarray(pixels), np.asarray(again)), "same key, same image"
 assert bool(jnp.isfinite(pixels).all())
 print("deterministic in the key; pixels finite — FLUX.1 checkpoint path OK")
+
+# -- community LoRA adapters merge BEFORE import (architecture-agnostic) ------
+from skrample_tpu.models import merge_lora  # noqa: E402
+
+torch.manual_seed(1)
+base_sd = {k: v.numpy().copy() for k, v in oracles.TestFlux._torch_flux().state_dict().items()}
+rng = np.random.default_rng(2)
+lora_sd = {  # stand-in for a downloaded LoRA safetensors file
+    "transformer.transformer_blocks.0.attn.to_q.lora_A.weight": rng.normal(size=(4, 64)).astype(np.float32),
+    "transformer.transformer_blocks.0.attn.to_q.lora_B.weight": rng.normal(size=(64, 4)).astype(np.float32),
+}
+def build(transformer_sd):
+    torch.manual_seed(2)
+    return FluxStack.from_checkpoints(
+        (transformer_sd, oracles.TestFlux.CFG),
+        (oracles.TestVAE._torch_vae(quant=False).state_dict(), fixtures.VAE_CFG),
+        CLIPTextModel(CLIPTextConfig(**fixtures.CLIP_CFG)),
+        T5EncoderModel(T5Config(**fixtures.T5_CFG)),
+    )
+
+
+def render(s):
+    p = s.pipeline(*s.encode_prompt(clip_ids, t5_ids), height=16, width=16, steps=8, guidance=3.5)
+    return np.asarray(s.decode(p.generate(jax.random.PRNGKey(42))))
+
+
+plain = render(build(base_sd))
+adapted = render(build(merge_lora(base_sd, lora_sd, scale=0.8, prefix="transformer")))
+assert not np.array_equal(plain, adapted), "the adapter changed the image"
+print("LoRA merge path OK — same base + adapter alters the output")
