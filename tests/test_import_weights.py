@@ -989,6 +989,64 @@ class TestCondUNet:
         got = unet.apply(params, jnp.asarray(x.numpy()), 500.0, jnp.asarray(ctx.numpy()))
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
 
+    @pytest.mark.parametrize(
+        "variant",
+        [
+            # 4-level SDXL-ish with a trailing plain level (skip bookkeeping stress)
+            dict(
+                block_out_channels=(16, 32, 32, 64),
+                down_block_types=(
+                    "CrossAttnDownBlock2D",
+                    "CrossAttnDownBlock2D",
+                    "DownBlock2D",
+                    "CrossAttnDownBlock2D",
+                ),
+                transformer_layers_per_block=[1, 2, 1, 1],
+                attention_head_dim=[2, 4, 2, 4],
+            ),
+            # 3 resnets per level, repeated widths
+            dict(
+                block_out_channels=(16, 16, 32),
+                down_block_types=("DownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D"),
+                layers_per_block=3,
+                transformer_layers_per_block=2,
+                attention_head_dim=2,
+            ),
+        ],
+    )
+    def test_parity_shape_variants(self, variant: dict) -> None:
+        "Mirror parity across skip-bookkeeping edge shapes (4-level, 3-layer)."
+        from skrample_tpu.models.import_weights import diffusers_unet
+
+        cfg = {
+            **self.SDXL_CFG,
+            "cross_attention_dim": 24,
+            "projection_class_embeddings_input_dim": 40 + 6 * 8,
+            "norm_num_groups": 8,
+            **variant,
+        }
+        torch.manual_seed(sum(cfg["block_out_channels"]))
+        ref = self._torch_unet(cfg).eval()
+        unet, params = diffusers_unet((ref.state_dict(), cfg))
+
+        gen = torch.Generator().manual_seed(45)
+        hw = 16 if len(cfg["block_out_channels"]) < 4 else 32
+        x = torch.randn(1, 4, hw, hw, generator=gen)
+        ctx = torch.randn(1, 6, 24, generator=gen)
+        pooled = torch.randn(1, 40, generator=gen)
+        tids = torch.tensor([[float(hw)] * 2 + [0.0, 0.0] + [float(hw)] * 2])
+        with torch.no_grad():
+            want = ref(x, torch.tensor([321.0]), ctx, pooled, tids).numpy()
+        got = unet.apply(
+            params,
+            jnp.asarray(x.numpy()),
+            321.0,
+            jnp.asarray(ctx.numpy()),
+            jnp.asarray(pooled.numpy()),
+            jnp.asarray(tids.numpy()),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
     def test_rejects_unmapped_keys(self) -> None:
         from skrample_tpu.models.import_weights import diffusers_unet
 
