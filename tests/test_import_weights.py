@@ -123,16 +123,17 @@ class TestVAE:
     )
 
     @classmethod
-    def _torch_vae(cls, quant: bool = True):
+    def _torch_vae(cls, quant: bool = True, cfg: dict | None = None):
         import math as _math
 
         import torch.nn as nn
         import torch.nn.functional as F
 
-        groups = cls.CFG["norm_num_groups"]
-        widths = cls.CFG["block_out_channels"]
-        layers = cls.CFG["layers_per_block"]
-        latent = cls.CFG["latent_channels"]
+        cfg = cfg or cls.CFG
+        groups = cfg["norm_num_groups"]
+        widths = cfg["block_out_channels"]
+        layers = cfg["layers_per_block"]
+        latent = cfg["latent_channels"]
 
         class Resnet(nn.Module):
             def __init__(self, c_in, c_out):
@@ -308,6 +309,30 @@ class TestVAE:
         # our decode takes the SCALED latent (divides by scaling_factor first)
         pix_j = vae.decode(params, jnp.asarray(z.numpy()) * vae.config.scaling_factor)
         np.testing.assert_allclose(np.asarray(pix_j), pix_t.numpy(), atol=5e-5)
+
+    def test_parity_four_level_ladder(self) -> None:
+        "The real SD shape scaled down: 4 levels with the capped 4x width."
+        from skrample_tpu.models.import_weights import diffusers_vae
+
+        cfg = {
+            **self.CFG,
+            "block_out_channels": (16, 32, 64, 64),
+            "down_block_types": ("DownEncoderBlock2D",) * 4,
+            "up_block_types": ("UpDecoderBlock2D",) * 4,
+        }
+        torch.manual_seed(12)
+        ref = self._torch_vae(cfg=cfg).eval()
+        vae, params = diffusers_vae((ref.state_dict(), cfg))
+        assert vae.config.widths() == [16, 32, 64, 64]
+
+        x = torch.randn(1, 3, 32, 32, generator=torch.Generator().manual_seed(13))
+        with torch.no_grad():
+            mean_t, _ = ref.moments(x)
+            want = ref.decode(mean_t).numpy()
+        mean_j, _ = vae.posterior(params, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(), atol=1e-4)
+        got = vae.decode(params, (mean_j - vae.config.shift_factor) * vae.config.scaling_factor)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
 
     def test_rejects_unmapped_keys(self) -> None:
         from skrample_tpu.models.import_weights import diffusers_vae
