@@ -1129,18 +1129,19 @@ class TestFlux:
     )
 
     @classmethod
-    def _torch_flux(cls, guidance: bool = True):
+    def _torch_flux(cls, guidance: bool = True, cfg: dict | None = None):
         import math as _math
 
         import torch.nn as nn
         import torch.nn.functional as F
 
-        heads = cls.CFG["num_attention_heads"]
-        hd = cls.CFG["attention_head_dim"]
+        cfg = cfg or cls.CFG
+        heads = cfg["num_attention_heads"]
+        hd = cfg["attention_head_dim"]
         d = heads * hd
-        axes = cls.CFG["axes_dims_rope"]
-        ctx_d = cls.CFG["joint_attention_dim"]
-        pool_d = cls.CFG["pooled_projection_dim"]
+        axes = cfg["axes_dims_rope"]
+        ctx_d = cfg["joint_attention_dim"]
+        pool_d = cfg["pooled_projection_dim"]
 
         def ln(x):
             return F.layer_norm(x, (d,), eps=1e-6)
@@ -1297,8 +1298,10 @@ class TestFlux:
                 self.x_embedder = nn.Linear(16, d)
                 self.context_embedder = nn.Linear(ctx_d, d)
                 self.time_text_embed = TimeText()
-                self.transformer_blocks = nn.ModuleList([DoubleBlock() for _ in range(2)])
-                self.single_transformer_blocks = nn.ModuleList([SingleBlock() for _ in range(2)])
+                self.transformer_blocks = nn.ModuleList([DoubleBlock() for _ in range(cfg["num_layers"])])
+                self.single_transformer_blocks = nn.ModuleList(
+                    [SingleBlock() for _ in range(cfg["num_single_layers"])]
+                )
                 self.norm_out = AdaLinear(2)
                 self.proj_out = nn.Linear(d, 16)
 
@@ -1404,6 +1407,31 @@ class TestFlux:
         sd["single_transformer_blocks.0.mystery.weight"] = torch.zeros(1)
         with pytest.raises(ValueError, match="unmapped"):
             flux_transformer((sd, self.CFG))
+
+    def test_parity_depth_variant(self) -> None:
+        "Asymmetric double/single depths exercise the block-list mapping."
+        from skrample_tpu.models.import_weights import flux_transformer
+
+        cfg = {**self.CFG, "num_layers": 3, "num_single_layers": 1}
+        torch.manual_seed(28)
+        ref = self._torch_flux(cfg=cfg).eval()
+        flux, params = flux_transformer((ref.state_dict(), cfg))
+        assert flux.config.depth == 3 and flux.config.single_depth == 1
+
+        gen = torch.Generator().manual_seed(29)
+        x = torch.randn(1, 4, 8, 8, generator=gen)
+        ctx = torch.randn(1, 12, 32, generator=gen)
+        pooled = torch.randn(1, 24, generator=gen)
+        img_ids = torch.zeros(16, 3)
+        img_ids[:, 1] = torch.arange(4).repeat_interleave(4)
+        img_ids[:, 2] = torch.arange(4).repeat(4)
+        with torch.no_grad():
+            out = ref(self._pack(x), ctx, pooled, torch.tensor([250.0]), torch.full((1,), 2.0), torch.zeros(12, 3), img_ids)
+            want = self._unpack(out, 4, 8, 8).numpy()
+        got = flux.apply(
+            params, jnp.asarray(x.numpy()), 250.0, jnp.asarray(ctx.numpy()), jnp.asarray(pooled.numpy()), guidance=2.0
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=3e-5)
 
     def test_rejects_bad_rope_axes(self) -> None:
         from skrample_tpu.models.import_weights import flux_config
