@@ -395,21 +395,22 @@ class TestSD3:
     )
 
     @classmethod
-    def _torch_sd3(cls, qk_norm: bool = False, dual_layers: tuple = ()):
+    def _torch_sd3(cls, qk_norm: bool = False, dual_layers: tuple = (), cfg: dict | None = None):
         import math as _math
 
         import torch.nn as nn
         import torch.nn.functional as F
 
-        heads = cls.CFG["num_attention_heads"]
-        hd = cls.CFG["attention_head_dim"]
+        cfg = cfg or cls.CFG
+        heads = cfg["num_attention_heads"]
+        hd = cfg["attention_head_dim"]
         d = heads * hd
-        depth = cls.CFG["num_layers"]
-        patch = cls.CFG["patch_size"]
-        chans = cls.CFG["in_channels"]
-        ctx_d = cls.CFG["joint_attention_dim"]
-        pool_d = cls.CFG["pooled_projection_dim"]
-        pmax = cls.CFG["pos_embed_max_size"]
+        depth = cfg["num_layers"]
+        patch = cfg["patch_size"]
+        chans = cfg["in_channels"]
+        ctx_d = cfg["joint_attention_dim"]
+        pool_d = cfg["pooled_projection_dim"]
+        pmax = cfg["pos_embed_max_size"]
 
         def ln(x):
             return F.layer_norm(x, (d,), eps=1e-6)
@@ -638,6 +639,15 @@ class TestSD3:
         torch.manual_seed(13)
         ref = self._torch_sd3().eval()
         self._parity_at(ref, H=12, W=12, batch=1, seed=14)
+
+    def test_parity_depth_variant(self) -> None:
+        "Depth 3 exercises the pre-only LAST block indexing off the default."
+        from skrample_tpu.models.import_weights import sd3_mmdit
+
+        cfg = {**self.CFG, "num_layers": 3}
+        torch.manual_seed(30)
+        ref = self._torch_sd3(cfg=cfg).eval()
+        self._parity_at(ref, H=8, W=8, batch=1, seed=31, cfg=cfg)
 
     def test_parity_sd35_qk_norm(self) -> None:
         "SD3.5-large's per-head RMS qk-norm, with random (non-unit) scales."
