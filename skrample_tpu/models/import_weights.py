@@ -101,31 +101,46 @@ def merge_lora(
     qkv/kv layouts never need LoRA-aware slicing.
 
     Conventions handled: ``{base}.lora_A.weight`` / ``{base}.lora_B.weight``
-    (PEFT) and ``{base}.lora.down.weight`` / ``{base}.lora.up.weight``
-    (diffusers legacy); optional ``{base}.alpha`` scalars (kohya-style —
-    defaults to the rank, i.e. a factor of 1); 1x1-conv adapters stored
-    4-D.  ``prefix`` strips a leading component (e.g. ``"transformer"`` or
-    ``"unet"``) when the LoRA file namespaces its keys and the base dict
-    does not.  Unmatched LoRA pairs raise — a typo'd key silently doing
-    nothing is how wrong images happen."""
+    (PEFT), ``{base}.lora.down.weight`` / ``{base}.lora.up.weight``
+    (diffusers legacy), and kohya/civitai files — ``lora_down``/``lora_up``
+    markers with UNDERSCORED module paths (``lora_unet_down_blocks_0_...``),
+    resolved unambiguously by matching against the base dict's own keys;
+    optional ``{base}.alpha`` scalars (defaults to the rank, i.e. a factor
+    of 1); 1x1-conv adapters stored 4-D.  ``prefix`` strips a leading
+    namespace (e.g. ``"transformer"``, ``"unet"``, or kohya's
+    ``"lora_unet"``).  Unmatched LoRA pairs raise — a typo'd key silently
+    doing nothing is how wrong images happen."""
     merged = {k: _np(v) for k, v in state_dict.items()}
+    # kohya writes module paths with "_" where the checkpoint has "." —
+    # exact-match the underscored form of every real key to invert it
+    underscored = {
+        k[: -len(".weight")].replace(".", "_"): k[: -len(".weight")]
+        for k in merged
+        if k.endswith(".weight")
+    }
     pairs: dict[str, dict[str, np.ndarray]] = {}
     alphas: dict[str, float] = {}
     for key, value in lora_sd.items():
         name = key
-        if prefix and name.startswith(prefix + "."):
-            name = name[len(prefix) + 1 :]
+        if prefix:
+            for sep in (".", "_"):
+                if name.startswith(prefix + sep):
+                    name = name[len(prefix) + 1 :]
+                    break
         if name.endswith(".alpha"):
-            alphas[name[: -len(".alpha")]] = float(_np(value))
+            alphas[underscored.get(n := name[: -len(".alpha")], n)] = float(_np(value))
             continue
         for marker, role in (
             (".lora_A.weight", "down"),
             (".lora_B.weight", "up"),
             (".lora.down.weight", "down"),
             (".lora.up.weight", "up"),
+            (".lora_down.weight", "down"),  # kohya
+            (".lora_up.weight", "up"),
         ):
             if name.endswith(marker):
-                pairs.setdefault(name[: -len(marker)], {})[role] = _np(value)
+                base = name[: -len(marker)]
+                pairs.setdefault(underscored.get(base, base), {})[role] = _np(value)
                 break
         else:
             raise ValueError(f"unrecognized LoRA key {key!r}")

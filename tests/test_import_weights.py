@@ -1515,6 +1515,27 @@ class TestLoRA:
         )
         np.testing.assert_allclose(merged["proj.weight"][:, :, 0, 0], b @ a, atol=1e-6)
 
+    def test_kohya_underscored_paths(self) -> None:
+        "civitai-style keys: underscored module paths resolve against the base."
+        from skrample_tpu.models.import_weights import merge_lora
+
+        base = {"down_blocks.0.attentions.0.to_q.weight": np.zeros((8, 8), np.float32)}
+        rng = np.random.default_rng(2)
+        a, b = self._lora_pair(rng, 8, 8, r=2)
+        merged = merge_lora(
+            base,
+            {
+                "lora_unet_down_blocks_0_attentions_0_to_q.lora_down.weight": torch.as_tensor(a),
+                "lora_unet_down_blocks_0_attentions_0_to_q.lora_up.weight": torch.as_tensor(b),
+                "lora_unet_down_blocks_0_attentions_0_to_q.alpha": torch.tensor(1.0),
+            },
+            scale=2.0,
+            prefix="lora_unet",
+        )
+        np.testing.assert_allclose(
+            merged["down_blocks.0.attentions.0.to_q.weight"], 2.0 * (1.0 / 2.0) * (b @ a), atol=1e-6
+        )
+
     def test_rejects_bad_lora(self) -> None:
         from skrample_tpu.models.import_weights import merge_lora
 
