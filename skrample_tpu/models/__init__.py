@@ -3,6 +3,7 @@ multi-chip dry runs.  The sampling framework itself is model-agnostic — any
 ``(x, t, sigma, alpha) -> prediction`` closure works."""
 
 from .checkpoint import TrainCheckpointer, load_params, save_params
+from .controlnet import ControlNet, ControlNetConfig
 from .dit import DiT, DiTConfig
 from .ema import ema_decay_schedule, ema_init, ema_update
 from .flux import Flux, FluxConfig
@@ -12,6 +13,7 @@ from .flux_stack import FluxStack
 from .import_weights import (
     clip_text_config,
     clip_text_encoder,
+    diffusers_controlnet,
     diffusers_unet,
     diffusers_vae,
     flux_transformer,
@@ -34,6 +36,8 @@ __all__ = [
     "CLIPBPETokenizer",
     "CondUNet",
     "CondUNetConfig",
+    "ControlNet",
+    "ControlNetConfig",
     "DiT",
     "DiTConfig",
     "Flux",
@@ -56,6 +60,7 @@ __all__ = [
     "VideoDiTConfig",
     "clip_text_config",
     "clip_text_encoder",
+    "diffusers_controlnet",
     "diffusers_unet",
     "diffusers_vae",
     "ema_decay_schedule",

@@ -586,23 +586,8 @@ def unet_config(hf_config: Any, time_ids: int = 6) -> CondUNetConfig:
     )
 
 
-def diffusers_unet(source: Any, time_ids: int = 6) -> tuple[CondUNet, dict]:
-    """Import a ``diffusers.UNet2DConditionModel`` (SD1.5 / SDXL families)
-    into ``(CondUNet, params)``.  ``time_ids``: see :func:`unet_config`
-    (pass 5 for SDXL-refiner-class checkpoints).
-
-    Verified against an independently written torch mirror of the published
-    architecture in ``tests/test_import_weights.py``: SDXL shape (added
-    text_time conditioning, linear token projections) and SD1.5 shape
-    (conv 1x1 projections — folded into the dense layout, order-equivalent
-    for 1x1).  Self-attention q/k/v fuse into one matmul; cross-attention
-    k/v fuse into one.  Every state-dict tensor must be consumed."""
-    if isinstance(source, tuple):
-        raw_sd, hf_config = source
-    else:
-        raw_sd, hf_config = source.state_dict(), source.config
-    config = unet_config(hf_config, time_ids=time_ids)
-    sd = _TrackedSD(raw_sd)
+def _unet_mappers(sd: "_TrackedSD"):
+    "State-dict -> param-dict closures shared by the UNet and ControlNet importers."
 
     def conv(prefix: str) -> dict:
         return _conv_params(sd, prefix)
@@ -643,6 +628,12 @@ def diffusers_unet(source: Any, time_ids: int = 6) -> tuple[CondUNet, dict]:
             "proj_out": lin(f"{prefix}.proj_out"),
         }
 
+    return conv, lin, resnet, transformer
+
+
+def _unet_encoder_params(sd: "_TrackedSD", config: CondUNetConfig) -> dict:
+    "conv_in + time/text_time conditioning + down path + mid — shared with ControlNet."
+    conv, lin, resnet, transformer = _unet_mappers(sd)
     down = []
     for i in range(config.levels):
         blk = f"down_blocks.{i}"
@@ -658,13 +649,45 @@ def diffusers_unet(source: Any, time_ids: int = 6) -> tuple[CondUNet, dict]:
                 "downsample": conv(ds) if f"{ds}.weight" in sd else None,
             }
         )
-
     mid_depth = config.resolved_mid_layers
     mid = {
         "res1": resnet("mid_block.resnets.0"),
         "attn": transformer("mid_block.attentions.0", mid_depth) if mid_depth else None,
         "res2": resnet("mid_block.resnets.1"),
     }
+    params = {
+        "conv_in": conv("conv_in"),
+        "t_mlp1": lin("time_embedding.linear_1"),
+        "t_mlp2": lin("time_embedding.linear_2"),
+        "down": down,
+        "mid": mid,
+    }
+    if config.pooled_dim:
+        params["add_mlp1"] = lin("add_embedding.linear_1")
+        params["add_mlp2"] = lin("add_embedding.linear_2")
+    return params
+
+
+def diffusers_unet(source: Any, time_ids: int = 6) -> tuple[CondUNet, dict]:
+    """Import a ``diffusers.UNet2DConditionModel`` (SD1.5 / SDXL families)
+    into ``(CondUNet, params)``.  ``time_ids``: see :func:`unet_config`
+    (pass 5 for SDXL-refiner-class checkpoints).
+
+    Verified against an independently written torch mirror of the published
+    architecture in ``tests/test_import_weights.py``: SDXL shape (added
+    text_time conditioning, linear token projections) and SD1.5 shape
+    (conv 1x1 projections — folded into the dense layout, order-equivalent
+    for 1x1).  Self-attention q/k/v fuse into one matmul; cross-attention
+    k/v fuse into one.  Every state-dict tensor must be consumed."""
+    if isinstance(source, tuple):
+        raw_sd, hf_config = source
+    else:
+        raw_sd, hf_config = source.state_dict(), source.config
+    config = unet_config(hf_config, time_ids=time_ids)
+    sd = _TrackedSD(raw_sd)
+
+    params = _unet_encoder_params(sd, config)
+    conv, lin, resnet, transformer = _unet_mappers(sd)
 
     up = []
     for idx in range(config.levels):
@@ -683,23 +706,65 @@ def diffusers_unet(source: Any, time_ids: int = 6) -> tuple[CondUNet, dict]:
             }
         )
 
-    params = {
-        "conv_in": conv("conv_in"),
-        "t_mlp1": lin("time_embedding.linear_1"),
-        "t_mlp2": lin("time_embedding.linear_2"),
-        "down": down,
-        "mid": mid,
-        "up": up,
-        "norm_out": _ln(sd, "conv_norm_out"),
-        "conv_out": conv("conv_out"),
-    }
-    if config.pooled_dim:
-        params["add_mlp1"] = lin("add_embedding.linear_1")
-        params["add_mlp2"] = lin("add_embedding.linear_2")
+    params["up"] = up
+    params["norm_out"] = _ln(sd, "conv_norm_out")
+    params["conv_out"] = conv("conv_out")
 
     if leftover := sd.leftovers():
         raise ValueError(f"unmapped state-dict keys (first 10): {leftover[:10]}")
     return CondUNet(config), params
+
+
+def controlnet_config(hf_config: Any, time_ids: int = 6) -> "ControlNetConfig":
+    """``diffusers.ControlNetModel`` config -> :class:`ControlNetConfig`.
+    The encoder shape reuses :func:`unet_config` (a ControlNet is a copy of
+    its base UNet's encoder), plus the conditioning-embedding ladder."""
+    from .controlnet import ControlNetConfig
+
+    get = _getter(hf_config)
+    return ControlNetConfig(
+        unet=unet_config(hf_config, time_ids=time_ids),
+        cond_channels=get("conditioning_channels", 3),
+        cond_embed_channels=tuple(get("conditioning_embedding_out_channels", (16, 32, 96, 256))),
+    )
+
+
+def diffusers_controlnet(source: Any, time_ids: int = 6) -> tuple["ControlNet", dict]:
+    """Import a ``diffusers.ControlNetModel`` (SD1.x/SD2.x/SDXL families)
+    into ``(ControlNet, params)``.
+
+    The encoder mapping is :func:`diffusers_unet`'s (shared helper); on top
+    come the conditioning-embedding conv ladder
+    (``controlnet_cond_embedding``) and the zero 1x1 convs
+    (``controlnet_down_blocks``/``controlnet_mid_block``).  Verified against
+    an independently written torch mirror, including residual injection into
+    the base UNet, in ``tests/test_import_weights.py``.  Every state-dict
+    tensor must be consumed."""
+    from .controlnet import ControlNet
+
+    if isinstance(source, tuple):
+        raw_sd, hf_config = source
+    else:
+        raw_sd, hf_config = source.state_dict(), source.config
+    config = controlnet_config(hf_config, time_ids=time_ids)
+    sd = _TrackedSD(raw_sd)
+
+    params = _unet_encoder_params(sd, config.unet)
+    ladder = config.cond_embed_channels
+    params["cond_embed"] = {
+        "conv_in": _conv_params(sd, "controlnet_cond_embedding.conv_in"),
+        "blocks": [
+            _conv_params(sd, f"controlnet_cond_embedding.blocks.{j}") for j in range(2 * (len(ladder) - 1))
+        ],
+        "conv_out": _conv_params(sd, "controlnet_cond_embedding.conv_out"),
+    }
+    n_skips = 1 + config.unet.levels * config.unet.layers_per_block + (config.unet.levels - 1)
+    params["zero_down"] = [_conv_params(sd, f"controlnet_down_blocks.{i}") for i in range(n_skips)]
+    params["zero_mid"] = _conv_params(sd, "controlnet_mid_block")
+
+    if leftover := sd.leftovers():
+        raise ValueError(f"unmapped state-dict keys (first 10): {leftover[:10]}")
+    return ControlNet(config), params
 
 
 def flux_config(hf_config: Any) -> FluxConfig:

@@ -409,22 +409,17 @@ class CondUNet:
 
     # -- forward ------------------------------------------------------------
 
-    def apply(
+    def _cond_vector(
         self,
         params: dict,
-        x: jax.Array,
         t: jax.Array,
-        context: jax.Array,
-        pooled: jax.Array | None = None,
-        time_ids: jax.Array | None = None,
+        pooled: jax.Array | None,
+        time_ids: jax.Array | None,
+        batch: int,
+        dtype: Any,
     ) -> jax.Array:
-        """(B, C, H, W), (B,) timestep, (B, L, context_dim) text features
-        [, (B, pooled_dim), (B, time_ids)] -> same-shape prediction."""
+        "silu(time embedding [+ SDXL text_time added conditioning]) — shared with the ControlNet."
         c = self.config
-        dtype = c.compute_dtype
-        cl = c.resolved_layout == "nhwc"
-        B = x.shape[0]
-        in_dtype = x.dtype
         if (pooled is not None) != bool(c.pooled_dim):
             raise ValueError("pooled= goes with CondUNetConfig(pooled_dim > 0), and is required there")
         if c.pooled_dim and time_ids is None:
@@ -434,9 +429,6 @@ class CondUNet:
                 "SDXL conditioning needs time_ids= (orig_h, orig_w, crop_top, crop_left, "
                 "target_h, target_w) — see SDXLStack.time_ids"
             )
-        if jnp.ndim(t) == 0:
-            t = jnp.broadcast_to(t, (B,))
-
         temb = _dense(
             params["t_mlp2"],
             jax.nn.silu(_dense(params["t_mlp1"], _timestep_embedding(t, c.widths[0]).astype(dtype), dtype)),
@@ -444,14 +436,17 @@ class CondUNet:
         )
         if c.pooled_dim:
             ids_emb = _timestep_embedding(time_ids.reshape(-1), c.add_time_embed_dim)
-            add = jnp.concatenate([pooled.astype(jnp.float32), ids_emb.reshape(B, -1)], axis=-1)
+            add = jnp.concatenate([pooled.astype(jnp.float32), ids_emb.reshape(batch, -1)], axis=-1)
             temb = temb + _dense(
                 params["add_mlp2"], jax.nn.silu(_dense(params["add_mlp1"], add.astype(dtype), dtype)), dtype
             )
-        cond = jax.nn.silu(temb)  # every resnet consumes time_emb_proj(silu(emb))
-        context = context.astype(dtype)
+        return jax.nn.silu(temb)  # every resnet consumes time_emb_proj(silu(emb))
 
-        h = x.astype(dtype).transpose(0, 2, 3, 1) if cl else x.astype(dtype)
+    def _encode(
+        self, params: dict, h: jax.Array, cond: jax.Array, context: jax.Array, dtype: Any, cl: bool
+    ) -> tuple[jax.Array, list[jax.Array]]:
+        "conv_in -> down path -> mid; returns (mid output, skip stack) — shared with the ControlNet."
+        c = self.config
         h = _conv(params["conv_in"], h, dtype, cl=cl)
         skips = [h]
         for i, level in enumerate(params["down"]):
@@ -469,6 +464,45 @@ class CondUNet:
         if mid["attn"] is not None:
             h = self._transformer(mid["attn"], h, context, c.heads[-1], dtype, cl)
         h = self._resnet(mid["res2"], h, cond, dtype, cl)
+        return h, skips
+
+    def apply(
+        self,
+        params: dict,
+        x: jax.Array,
+        t: jax.Array,
+        context: jax.Array,
+        pooled: jax.Array | None = None,
+        time_ids: jax.Array | None = None,
+        control: tuple[list[jax.Array], jax.Array] | None = None,
+    ) -> jax.Array:
+        """(B, C, H, W), (B,) timestep, (B, L, context_dim) text features
+        [, (B, pooled_dim), (B, time_ids)] -> same-shape prediction.
+
+        ``control``: a ``(down_residuals, mid_residual)`` pair from
+        :meth:`ControlNet.apply` (NCHW) — the published injection points:
+        each down residual adds to the matching skip entry, the mid
+        residual adds after the mid block."""
+        c = self.config
+        dtype = c.compute_dtype
+        cl = c.resolved_layout == "nhwc"
+        B = x.shape[0]
+        in_dtype = x.dtype
+        if jnp.ndim(t) == 0:
+            t = jnp.broadcast_to(t, (B,))
+        cond = self._cond_vector(params, t, pooled, time_ids, B, dtype)
+        context = context.astype(dtype)
+
+        h = x.astype(dtype).transpose(0, 2, 3, 1) if cl else x.astype(dtype)
+        h, skips = self._encode(params, h, cond, context, dtype, cl)
+
+        if control is not None:
+            down_res, mid_res = control
+            if len(down_res) != len(skips):
+                raise ValueError(f"control carries {len(down_res)} down residuals, the UNet has {len(skips)} skips")
+            to_layout = (lambda r: r.transpose(0, 2, 3, 1)) if cl else (lambda r: r)
+            skips = [s + to_layout(r).astype(s.dtype) for s, r in zip(skips, down_res)]
+            h = h + to_layout(mid_res).astype(h.dtype)
 
         for idx, level in enumerate(params["up"]):
             i = c.levels - 1 - idx

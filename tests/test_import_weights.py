@@ -952,35 +952,73 @@ class TestCondUNet:
             def forward(self, x):
                 return self.linear_2(F.silu(self.linear_1(x)))
 
-        class UNetMini(nn.Module):
+        ladder = cfg.get("conditioning_embedding_out_channels")
+
+        class CondEmbed(nn.Module):  # the published ControlNet conv ladder
             def __init__(self):
                 super().__init__()
+                self.conv_in = nn.Conv2d(cfg.get("conditioning_channels", 3), ladder[0], 3, padding=1)
+                blocks = []
+                for a, b in zip(ladder[:-1], ladder[1:]):
+                    blocks.append(nn.Conv2d(a, a, 3, padding=1))
+                    blocks.append(nn.Conv2d(a, b, 3, padding=1, stride=2))
+                self.blocks = nn.ModuleList(blocks)
+                self.conv_out = nn.Conv2d(ladder[-1], widths[0], 3, padding=1)
+
+            def forward(self, x):
+                h = F.silu(self.conv_in(x))
+                for blk in self.blocks:
+                    h = F.silu(blk(h))
+                return self.conv_out(h)
+
+        class UNetMini(nn.Module):
+            def __init__(self, controlnet: bool = False):
+                super().__init__()
+                self.controlnet = controlnet
                 self.conv_in = nn.Conv2d(cfg["in_channels"], widths[0], 3, padding=1)
                 self.time_embedding = TwoLayer(widths[0])
                 if sdxl:
                     self.add_embedding = TwoLayer(cfg["projection_class_embeddings_input_dim"])
                 self.down_blocks = nn.ModuleList([DownBlock(i) for i in range(levels)])
                 self.mid_block = Mid()
-                self.up_blocks = nn.ModuleList([UpBlock(levels - 1 - k) for k in range(levels)])
-                self.conv_norm_out = nn.GroupNorm(groups, widths[0], eps=1e-5)
-                self.conv_out = nn.Conv2d(widths[0], cfg["in_channels"], 3, padding=1)
+                if controlnet:
+                    self.controlnet_cond_embedding = CondEmbed()
+                    n_skips = 1 + levels * layers + (levels - 1)
+                    self.controlnet_down_blocks = nn.ModuleList(
+                        [nn.Conv2d(w, w, 1) for w in [widths[0]] + sum(([widths[i]] * (layers + (1 if i < levels - 1 else 0)) for i in range(levels)), [])]
+                    )
+                    assert len(self.controlnet_down_blocks) == n_skips
+                    self.controlnet_mid_block = nn.Conv2d(widths[-1], widths[-1], 1)
+                else:
+                    self.up_blocks = nn.ModuleList([UpBlock(levels - 1 - k) for k in range(levels)])
+                    self.conv_norm_out = nn.GroupNorm(groups, widths[0], eps=1e-5)
+                    self.conv_out = nn.Conv2d(widths[0], cfg["in_channels"], 3, padding=1)
 
-            def forward(self, x, t, ctx, pooled=None, time_ids=None):
+            def forward(self, x, t, ctx, pooled=None, time_ids=None, cond_img=None, control=None, scale=1.0):
                 emb = self.time_embedding(sin_emb(t, widths[0]))
                 if sdxl:
                     ids = sin_emb(time_ids.reshape(-1), cfg["addition_time_embed_dim"])
                     add = torch.cat([pooled, ids.reshape(x.shape[0], -1)], dim=-1)
                     emb = emb + self.add_embedding(add)
                 h = self.conv_in(x)
+                if self.controlnet:
+                    h = h + self.controlnet_cond_embedding(cond_img)
                 skips = [h]
                 for blk in self.down_blocks:
                     h = blk(h, emb, ctx, skips)
                 h = self.mid_block(h, emb, ctx)
+                if self.controlnet:
+                    down = [z(s) * scale for z, s in zip(self.controlnet_down_blocks, skips)]
+                    return down, self.controlnet_mid_block(h) * scale
+                if control is not None:  # the published residual injection points
+                    down_res, mid_res = control
+                    skips = [s + r for s, r in zip(skips, down_res)]
+                    h = h + mid_res
                 for blk in self.up_blocks:
                     h = blk(h, emb, ctx, skips)
                 return self.conv_out(F.silu(self.conv_norm_out(h)))
 
-        return UNetMini()
+        return UNetMini(controlnet=ladder is not None)
 
     def test_parity_sdxl_shape(self) -> None:
         from skrample_tpu.models.import_weights import diffusers_unet
@@ -1111,6 +1149,97 @@ class TestCondUNet:
         assert unet_config(cfg, time_ids=5).pooled_dim == 56
         # the default 6-id split would land at the wrong boundary
         assert unet_config(cfg).pooled_dim != 56
+
+
+class TestControlNet:
+    """ControlNetModel import oracle: the UNet-encoder copy + conditioning
+    conv ladder + per-skip 1x1 convs (randomly initialized in the mirror so
+    mapping bugs can't hide behind published zero-init), and the residual
+    injection points into the base UNet."""
+
+    CFG = {
+        **TestCondUNet.SDXL_CFG,
+        "conditioning_channels": 3,
+        "conditioning_embedding_out_channels": (4, 8),  # one stride-2: pixels at 2x the latent
+    }
+
+    def test_parity_and_injection(self) -> None:
+        from skrample_tpu.models.import_weights import diffusers_controlnet, diffusers_unet
+
+        torch.manual_seed(80)
+        ctrl_ref = TestCondUNet._torch_unet(self.CFG).eval()
+        unet_ref = TestCondUNet._torch_unet(TestCondUNet.SDXL_CFG).eval()
+        ctrl, ctrl_params = diffusers_controlnet((ctrl_ref.state_dict(), self.CFG))
+        unet, unet_params = diffusers_unet((unet_ref.state_dict(), TestCondUNet.SDXL_CFG))
+
+        gen = torch.Generator().manual_seed(81)
+        x = torch.randn(2, 4, 16, 16, generator=gen)
+        cond_img = torch.randn(2, 3, 32, 32, generator=gen)
+        t = torch.rand(2, generator=gen) * 1000.0
+        ctx = torch.randn(2, 10, 48, generator=gen)
+        pooled = torch.randn(2, 56, generator=gen)
+        tids = torch.tensor([[512.0, 512.0, 0.0, 0.0, 512.0, 512.0]] * 2)
+        scale = 0.8
+
+        with torch.no_grad():
+            want_down, want_mid = ctrl_ref(x, t, ctx, pooled, tids, cond_img=cond_img, scale=scale)
+            want_out = unet_ref(x, t, ctx, pooled, tids, control=(want_down, want_mid)).numpy()
+
+        got_down, got_mid = ctrl.apply(
+            ctrl_params,
+            jnp.asarray(x.numpy()),
+            jnp.asarray(t.numpy()),
+            jnp.asarray(ctx.numpy()),
+            jnp.asarray(cond_img.numpy()),
+            jnp.asarray(pooled.numpy()),
+            jnp.asarray(tids.numpy()),
+            scale=scale,
+        )
+        assert len(got_down) == len(want_down)
+        for got_r, want_r in zip(got_down, want_down):
+            np.testing.assert_allclose(np.asarray(got_r), want_r.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_mid), want_mid.numpy(), atol=1e-4)
+
+        got_out = unet.apply(
+            unet_params,
+            jnp.asarray(x.numpy()),
+            jnp.asarray(t.numpy()),
+            jnp.asarray(ctx.numpy()),
+            jnp.asarray(pooled.numpy()),
+            jnp.asarray(tids.numpy()),
+            control=(got_down, got_mid),
+        )
+        np.testing.assert_allclose(np.asarray(got_out), want_out, atol=2e-4)
+
+    def test_rejects_unmapped_keys(self) -> None:
+        from skrample_tpu.models.import_weights import diffusers_controlnet
+
+        torch.manual_seed(82)
+        sd = dict(TestCondUNet._torch_unet(self.CFG).state_dict())
+        sd["controlnet_cond_embedding.mystery.weight"] = torch.zeros(1)
+        with pytest.raises(ValueError, match="unmapped"):
+            diffusers_controlnet((sd, self.CFG))
+
+    def test_wrong_residual_count_rejected(self) -> None:
+        from skrample_tpu.models import CondUNet, CondUNetConfig
+
+        model = CondUNet(
+            CondUNetConfig(
+                widths=(16, 32),
+                layers_per_block=1,
+                transformer_layers=(0, 1),
+                heads=(2, 2),
+                context_dim=24,
+                pooled_dim=0,
+                groups=8,
+                compute_dtype=jnp.float32,
+                layout="nchw",
+            )
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 4, 16, 16))
+        with pytest.raises(ValueError, match="residuals"):
+            model.apply(params, x, 500.0, jnp.zeros((1, 6, 24)), control=([jnp.zeros((1, 16, 16, 16))], jnp.zeros((1, 32, 8, 8))))
 
 
 class TestFlux:
