@@ -98,21 +98,59 @@ class SDXLStack:
         time_ids: jax.Array | None = None,
         guidance_scale: float = 1.0,
         uncond: tuple[jax.Array, jax.Array | None] | None = None,
+        controlnet: tuple[Any, dict] | None = None,
+        control_image: jax.Array | None = None,
+        control_scale: float = 1.0,
     ):
-        "(x, t, sigma, alpha) -> prediction closure; CFG against the encoded empty prompt."
-        if guidance_scale == 1.0:
-            return self.unet.as_sampleable(self.unet_params, context, pooled, time_ids)
-        if uncond is None:
+        """(x, t, sigma, alpha) -> prediction closure; CFG against the
+        encoded empty prompt.
+
+        ``controlnet=(model, params)`` + ``control_image`` (pixel-resolution,
+        (1-or-B, channels, H, W)) runs the ControlNet every step on the
+        current latents — the published composition: both CFG branches see
+        the same control residuals scaled by ``control_scale``."""
+        if (controlnet is None) != (control_image is None):
+            raise ValueError("controlnet= and control_image= go together")
+        if guidance_scale != 1.0 and uncond is None:
             raise ValueError("guidance_scale != 1 needs uncond=(context, pooled) — the encoded empty prompt")
-        return self.unet.as_sampleable(
-            self.unet_params,
-            context,
-            pooled,
-            time_ids,
-            guidance_scale=guidance_scale,
-            uncond_context=uncond[0],
-            uncond_pooled=uncond[1],
-        )
+        if controlnet is None:
+            if guidance_scale == 1.0:
+                return self.unet.as_sampleable(self.unet_params, context, pooled, time_ids)
+            return self.unet.as_sampleable(
+                self.unet_params,
+                context,
+                pooled,
+                time_ids,
+                guidance_scale=guidance_scale,
+                uncond_context=uncond[0],
+                uncond_pooled=uncond[1],
+            )
+
+        from .conditioning import doubled_t, guided_mix, per_item
+
+        cn, cn_params = controlnet
+        sdxl = bool(self.unet.config.pooled_dim)
+
+        def controlled_fn(x, t, s, a):
+            B = x.shape[0]
+            guided = guidance_scale != 1.0
+            if guided:
+                xx = jnp.concatenate([x, x])
+                tt = doubled_t(t, B)
+                ctx = jnp.concatenate([per_item(context, B, 2), per_item(uncond[0], B, 2)])
+                pool = jnp.concatenate([per_item(pooled, B, 1), per_item(uncond[1], B, 1)]) if sdxl else None
+                tid = jnp.concatenate([per_item(time_ids, B, 1)] * 2) if sdxl else None
+            else:
+                xx, tt = x, jnp.broadcast_to(t, (B,)) if jnp.ndim(t) == 0 else t
+                ctx = per_item(context, B, 2)
+                pool = per_item(pooled, B, 1) if sdxl else None
+                tid = per_item(time_ids, B, 1) if sdxl else None
+            img = per_item(control_image, xx.shape[0], 3)
+            control = cn.apply(cn_params, xx, tt, ctx, img, pool, tid, scale=control_scale)
+            out = self.unet.apply(self.unet_params, xx, tt, ctx, pool, tid, control=control)
+            return guided_mix(out[:B], out[B:], guidance_scale) if guided else out
+
+        return controlled_fn
 
     def as_served(
         self,
@@ -173,10 +211,15 @@ class SDXLStack:
         guidance_scale: float = 1.0,
         uncond: tuple[jax.Array, jax.Array | None] | None = None,
         batch: int = 1,
+        controlnet: tuple[Any, dict] | None = None,
+        control_image: jax.Array | None = None,
+        control_scale: float = 1.0,
         **kwargs: Any,
     ):
         """A :class:`GenerationPipeline` with the SDXL defaults:
-        epsilon prediction on Karras(Scaled) — the VP regime, not flow."""
+        epsilon prediction on Karras(Scaled) — the VP regime, not flow.
+        ``controlnet``/``control_image``/``control_scale``: see
+        :meth:`model_fn`."""
         from .. import scheduling
         from ..pipeline import GenerationPipeline
         from ..sampling import models, structured
@@ -193,7 +236,16 @@ class SDXLStack:
             "model_transform": models.NoiseModel(),
         }
         return GenerationPipeline(
-            model_fn=self.model_fn(context, pooled, time_ids, guidance_scale, uncond),
+            model_fn=self.model_fn(
+                context,
+                pooled,
+                time_ids,
+                guidance_scale,
+                uncond,
+                controlnet=controlnet,
+                control_image=control_image,
+                control_scale=control_scale,
+            ),
             steps=steps,
             latent_shape=latent_shape,
             **{**defaults, **kwargs},

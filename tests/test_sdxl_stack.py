@@ -219,6 +219,47 @@ def test_tower_mismatch_rejected() -> None:
         )
 
 
+def test_controlnet_guided_sampling() -> None:
+    """ControlNet composition through the stack: scale 0 reproduces the
+    plain run EXACTLY (residual math truly off), the control image steers
+    it otherwise, and CFG composes."""
+    from skrample_tpu.models.import_weights import diffusers_controlnet
+
+    stack = build_sdxl()
+    torch.manual_seed(54)
+    cn_cfg = {
+        **oracles.TestCondUNet.SDXL_CFG,
+        "conditioning_channels": 3,
+        "conditioning_embedding_out_channels": (4, 8),
+    }
+    cn, cn_params = diffusers_controlnet(
+        (oracles.TestCondUNet._torch_unet(cn_cfg).state_dict(), cn_cfg)
+    )
+
+    ids = jnp.asarray(token_ids(), jnp.int32)
+    cond = stack.encode_prompt(ids, ids)
+    uncond = stack.encode_prompt(jnp.asarray(token_ids(fill=9), jnp.int32), jnp.asarray(token_ids(fill=9), jnp.int32))
+    tids = stack.time_ids((16, 16), (0, 0), (16, 16))
+    # latent is 8x8 (16px through the 2x mirror VAE); the (4, 8) ladder has
+    # ONE stride-2, so the control image sits at 2x the latent grid
+    img = jax.random.normal(jax.random.PRNGKey(7), (1, 3, 16, 16))
+
+    def run(**kw):
+        pipe = stack.pipeline(
+            *cond, height=16, width=16, steps=3, time_ids=tids,
+            guidance_scale=4.0, uncond=uncond, donate=False, **kw,
+        )
+        return np.asarray(pipe.generate(jax.random.PRNGKey(0)))
+
+    plain = run()
+    zeroed = run(controlnet=(cn, cn_params), control_image=img, control_scale=0.0)
+    np.testing.assert_array_equal(plain, zeroed)
+    steered = run(controlnet=(cn, cn_params), control_image=img, control_scale=1.0)
+    assert not np.allclose(plain, steered, atol=1e-4)
+    other = run(controlnet=(cn, cn_params), control_image=img * -1.0, control_scale=1.0)
+    assert not np.allclose(steered, other, atol=1e-4)
+
+
 class TestEndToEnd:
     def test_ids_to_pixels_cfg(self) -> None:
         "SDXL: both towers, micro-conditioning, CFG, epsilon on Scaled."
