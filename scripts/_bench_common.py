@@ -21,24 +21,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope_time(fn: Callable, x, lengths: tuple[int, int] = (2, 6), repeats: int = 3) -> float:
-    "Marginal seconds per ``fn(carry, t)`` step, slope-timed over two scan lengths."
+def slope_time(fn: Callable, x, lengths: tuple[int, int] = (2, 6), repeats: int = 3, args: tuple = ()) -> float:
+    """Marginal seconds per ``fn(carry, t, *args)`` step, slope-timed over two
+    scan lengths.
 
-    def loop_body(y, n):
+    ``args`` (e.g. a multi-GB params pytree) are threaded through ``jax.jit``
+    as ARGUMENTS so they stay device buffers — closing over them instead would
+    lower them as captured constants, which bloats the executable by the full
+    tree size and makes billion-parameter benches uncompilable in practice."""
+
+    def loop_body(y, n, *a):
         def body(carry, i):
-            return fn(carry, i.astype(jnp.float32) * 40.0), None
+            return fn(carry, i.astype(jnp.float32) * 40.0, *a), None
 
         out, _ = jax.lax.scan(body, y, jnp.arange(n))
         return jnp.float32(out.astype(jnp.float32).sum())
 
-    jl = {n: jax.jit(lambda y, n=n: loop_body(y, n)) for n in lengths}
+    jl = {n: jax.jit(lambda y, *a, n=n: loop_body(y, n, *a)) for n in lengths}
+    args = jax.device_put(args)
     for n in lengths:
-        np.asarray(jl[n](x))  # compile + forced-transfer warm-up
+        np.asarray(jl[n](x, *args))  # compile + forced-transfer warm-up
     best = {n: float("inf") for n in lengths}
     for _ in range(repeats):
         for n in lengths:
             t0 = time.perf_counter()
-            np.asarray(jl[n](x))
+            np.asarray(jl[n](x, *args))
             best[n] = min(best[n], time.perf_counter() - t0)
     lo, hi = lengths
     return (best[hi] - best[lo]) / (hi - lo)

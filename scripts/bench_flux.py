@@ -53,6 +53,7 @@ def main(steps: int = 25) -> None:
     params = jax.tree.map(
         lambda leaf: leaf + 0.02 * jax.random.normal(jax.random.PRNGKey(7), leaf.shape, leaf.dtype), params
     )
+    params = jax.tree.map(lambda w: w.astype(jnp.bfloat16), params)  # serving storage, as bench_sdxl.py
     ctx = jax.random.normal(jax.random.PRNGKey(2), (BATCH, TXT, config.context_dim), jnp.float32)
     pooled = jax.random.normal(jax.random.PRNGKey(3), (BATCH, config.pooled_dim), jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 16, HW, HW), jnp.float32)
@@ -67,16 +68,19 @@ def main(steps: int = 25) -> None:
         flush=True,
     )
 
-    fn = model.as_sampleable(params, ctx, pooled, guidance=3.5)
-    sec = slope_time(lambda y, t: y - 0.02 * fn(y, t, 1.0, 0.0), x)
+    # Params ride through jit as ARGUMENTS (slope_time args=): closed over,
+    # 2.6 GB of bf16 weights would lower as captured constants.
+    def step(y, t, p):
+        return y - 0.02 * model.as_sampleable(p, ctx, pooled, guidance=3.5)(y, t, 1.0, 0.0)
+
+    sec = slope_time(step, x, args=(params,))
     print(
         f"{'guidance-embedded forward':32s} {sec * 1e6:9.1f} us/step   eff {fwd / sec / 1e12:6.1f} TF/s  "
         f"mfu {fwd / sec / PEAK_BF16:.3f}   {BATCH / (sec * steps):5.2f} img/s marginal @ {steps} steps",
         flush=True,
     )
 
-    qfn = model.as_sampleable(model.quantize_params(params), ctx, pooled, guidance=3.5)
-    sec = slope_time(lambda y, t: y - 0.02 * qfn(y, t, 1.0, 0.0), x)
+    sec = slope_time(step, x, args=(model.quantize_params(params),))
     print(
         f"{'forward int8 (W8A8 blocks)':32s} {sec * 1e6:9.1f} us/step   "
         f"eff {fwd / sec / 1e12:6.1f} TF/s (bf16-equiv)   "

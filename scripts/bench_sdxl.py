@@ -86,18 +86,25 @@ def main(steps: int = 25) -> None:
         flush=True,
     )
 
-    uncond = model.as_sampleable(params, ctx, pooled, tids)
-    cfg = model.as_sampleable(
-        params,
-        ctx,
-        pooled,
-        tids,
-        guidance_scale=5.0,
-        uncond_context=jnp.zeros_like(ctx),
-        uncond_pooled=jnp.zeros_like(pooled),
-    )
+    # Params ride through jit as ARGUMENTS (slope_time args=): closed over,
+    # 5.2 GB of bf16 weights would lower as captured constants.
+    def uncond(y, t, p):
+        return y - 0.02 * model.as_sampleable(p, ctx, pooled, tids)(y, t, 1.0, 0.0)
+
+    def cfg(y, t, p):
+        f = model.as_sampleable(
+            p,
+            ctx,
+            pooled,
+            tids,
+            guidance_scale=5.0,
+            uncond_context=jnp.zeros_like(ctx),
+            uncond_pooled=jnp.zeros_like(pooled),
+        )
+        return y - 0.02 * f(y, t, 1.0, 0.0)
+
     for label, fn, flops in (("forward", uncond, fwd), ("CFG forward (doubled batch)", cfg, 2 * fwd)):
-        sec = slope_time(lambda y, t, f=fn: y - 0.02 * f(y, t, 1.0, 0.0), x)
+        sec = slope_time(fn, x, args=(params,))
         print(
             f"{label:28s} {sec * 1e6:9.1f} us/step   eff {flops / sec / 1e12:6.1f} TF/s  "
             f"mfu {flops / sec / PEAK_BF16:.3f}   {BATCH / (sec * steps):5.2f} img/s marginal @ {steps} steps",

@@ -105,7 +105,13 @@ def quantize_rows(x2: jax.Array, block_r: int = 256, interpret: bool = False) ->
 def _quant_rows_local(x2: jax.Array, interpret: bool) -> tuple[jax.Array, jax.Array]:
     "Kernel on one shard: adapt block_r to the (possibly shard-local) R."
     R, D = x2.shape
-    block_r = next((b for b in (256, 128, 64, 32, 16, 8) if R % b == 0), None)
+    # VMEM cap: the kernel's scoped allocation holds the input block, its f32
+    # cast, and the int8 output (double-buffered), ~7 bytes/element.  Keep
+    # block_r * D under 1M elements so wide matrices (Flux's 12288-wide fused
+    # qkv/mlp at dim 3072) stay under the 16MB scoped-VMEM limit; at DiT
+    # widths the cap leaves the original 256-row blocks untouched.
+    cap = (1 << 20) // max(D, 1)
+    block_r = next((b for b in (256, 128, 64, 32, 16, 8) if b <= cap and R % b == 0), None)
     if D % _LANE or block_r is None:
         q, s = quantize_activation(x2)
         return q, s

@@ -202,3 +202,22 @@ def test_dit_int8_forward_jits(dit_pair) -> None:
     eager = model.apply(qparams, x, t)
     jitted = jax.jit(model.apply)(qparams, x, t)
     np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager), rtol=1e-5, atol=1e-6)
+
+
+def test_quant_rows_local_caps_block_for_wide_rows(monkeypatch) -> None:
+    """Flux-width matrices (D=12288 fused qkv/mlp at dim 3072) must pick a
+    block_r that keeps block_r * D under ~1M elements — block_r=256 there
+    allocates an 18MB scoped-VMEM block, over the chip's 16MB limit."""
+    from skrample_tpu.ops import quant
+
+    picked: dict[tuple[int, int], int] = {}
+
+    def spy(x2, block_r=256, interpret=False):
+        picked[x2.shape] = block_r
+        return quantize_activation(x2)  # skip the kernel; selection is what's under test
+
+    monkeypatch.setattr(quant, "quantize_rows", spy)
+    quant._quant_rows_local(jnp.zeros((4096, 12288), jnp.bfloat16), interpret=True)
+    assert picked[(4096, 12288)] * 12288 <= 1 << 20, picked
+    quant._quant_rows_local(jnp.zeros((4096, 2048), jnp.bfloat16), interpret=True)
+    assert picked[(4096, 2048)] == 256, picked  # DiT widths keep the original block
