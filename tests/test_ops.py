@@ -946,3 +946,111 @@ def test_groupnorm_envelope_gating() -> None:
         np.asarray(groupnorm_cl(x, 12)),
         np.asarray(groupnorm_reference(x.reshape(1, 64, 96), 12).reshape(x.shape)),
     )
+
+
+# --- fused qk-norm + RoPE (ops/rope.py) --------------------------------------
+
+
+def _rope_case(B=2, N=256, heads=3, d=128, seed=0, dtype=jnp.bfloat16):
+    rng = np.random.default_rng(seed)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * heads * d)), jnp.float32).astype(dtype)
+    gq = jnp.asarray(rng.normal(size=(d,)) * 0.1 + 1, jnp.float32)
+    gk = jnp.asarray(rng.normal(size=(d,)) * 0.1 + 1, jnp.float32)
+    ang = jnp.asarray(rng.uniform(0, 6.28, size=(N, d // 2)), jnp.float32)
+    return qkv, gq, gk, jnp.cos(ang), jnp.sin(ang)
+
+
+def test_rope_reference_matches_f64_truth() -> None:
+    "The jnp reference equals an independently written f64 numpy computation."
+    from skrample_tpu.ops.rope import rope_qk_norm_reference
+
+    B, N, heads, d = 1, 64, 2, 128
+    qkv, gq, gk, cos, sin = _rope_case(B, N, heads, d, seed=3, dtype=jnp.float32)
+    x = np.asarray(qkv, np.float64).reshape(B, N, 3, heads, d)
+    co, si = np.asarray(cos, np.float64), np.asarray(sin, np.float64)
+    truth = x.copy()
+    for third, g in ((0, np.asarray(gq, np.float64)), (1, np.asarray(gk, np.float64))):
+        y = x[:, :, third] / np.sqrt((x[:, :, third] ** 2).mean(-1, keepdims=True) + 1e-6) * g
+        out = np.empty_like(y)
+        out[..., 0::2] = y[..., 0::2] * co[None, :, None] - y[..., 1::2] * si[None, :, None]
+        out[..., 1::2] = y[..., 0::2] * si[None, :, None] + y[..., 1::2] * co[None, :, None]
+        truth[:, :, third] = out
+    got = np.asarray(rope_qk_norm_reference(qkv, gq, gk, cos, sin, heads), np.float64)
+    np.testing.assert_allclose(got, truth.reshape(B, N, 3 * heads * d), atol=1e-5)
+
+
+@pytest.mark.parametrize(("dtype", "B", "N", "heads"), [("bfloat16", 2, 256, 3), ("float32", 1, 512, 2)])
+def test_rope_kernel_matches_reference(dtype, B, N, heads) -> None:
+    from skrample_tpu.ops.rope import rope_qk_norm_forward, rope_qk_norm_reference
+
+    qkv, gq, gk, cos, sin = _rope_case(B, N, heads, dtype=jnp.dtype(dtype), seed=B + N)
+    ref = rope_qk_norm_reference(qkv, gq, gk, cos, sin, heads)
+    got = rope_qk_norm_forward(qkv, gq, gk, cos, sin, heads, interpret=jax.default_backend() != "tpu")
+    atol = 5e-3 if dtype == "bfloat16" else 1e-6
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=atol
+    )
+
+
+def test_rope_kernel_v_third_bit_identical() -> None:
+    "The v feature blocks are never addressed: aliased input bits pass through."
+    from skrample_tpu.ops.rope import rope_qk_norm_forward
+
+    heads = 3
+    qkv, gq, gk, cos, sin = _rope_case(heads=heads, seed=7)
+    got = rope_qk_norm_forward(qkv, gq, gk, cos, sin, heads, interpret=jax.default_backend() != "tpu")
+    D = heads * 128
+    np.testing.assert_array_equal(np.asarray(got[..., 2 * D :]), np.asarray(qkv[..., 2 * D :]))
+    assert not np.array_equal(np.asarray(got[..., : 2 * D]), np.asarray(qkv[..., : 2 * D]))
+
+
+def test_rope_gradients_match_reference() -> None:
+    "The custom vjp (kernel forward) returns the reference's exact gradients."
+    from skrample_tpu.ops.rope import _rope_vjp, rope_qk_norm_reference
+
+    heads = 2
+    qkv, gq, gk, cos, sin = _rope_case(B=1, N=128, heads=heads, dtype=jnp.float32, seed=11)
+    g = jnp.asarray(np.random.default_rng(12).normal(size=qkv.shape), jnp.float32)
+
+    out, vjp = jax.vjp(lambda a, q, k: _rope_vjp(a, q, k, cos, sin, heads, 1e-6), qkv, gq, gk)
+    ref_out, vjp_ref = jax.vjp(lambda a, q, k: rope_qk_norm_reference(a, q, k, cos, sin, heads), qkv, gq, gk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-5)
+    for mine, ref in zip(vjp(g), vjp_ref(g), strict=True):
+        np.testing.assert_allclose(np.asarray(mine), np.asarray(ref), atol=1e-5)
+
+
+def test_rope_fused_fallback_off_kernel_envelope() -> None:
+    "Non-128-multiple N or head_dim takes the reference path exactly."
+    from skrample_tpu.ops.rope import fused_rope_qk_norm, rope_qk_norm_reference
+
+    heads, d, N = 2, 64, 77  # CLIP-ish: neither N nor d tiles
+    rng = np.random.default_rng(5)
+    qkv = jnp.asarray(rng.normal(size=(1, N, 3 * heads * d)), jnp.float32)
+    gq = jnp.ones((d,), jnp.float32)
+    gk = jnp.ones((d,), jnp.float32)
+    ang = jnp.asarray(rng.uniform(size=(N, d // 2)), jnp.float32)
+    got = fused_rope_qk_norm(qkv, gq, gk, jnp.cos(ang), jnp.sin(ang), heads)
+    ref = rope_qk_norm_reference(qkv, gq, gk, jnp.cos(ang), jnp.sin(ang), heads)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_rope_spmd_shards_batch() -> None:
+    "Batch sharding is carried through the custom call; tables replicate."
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from skrample_tpu.ops.rope import _rope_spmd, rope_qk_norm_reference
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    heads = 2
+    qkv, gq, gk, cos, sin = _rope_case(B=8, N=128, heads=heads, dtype=jnp.float32, seed=21)
+    single = rope_qk_norm_reference(qkv, gq, gk, cos, sin, heads)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("dp",))
+    xs = jax.device_put(qkv, NamedSharding(mesh, P("dp")))
+    with mesh:
+        out = jax.jit(_rope_spmd(heads, 1e-6, True))(xs, gq, gk, cos, sin)
+        out.block_until_ready()
+    assert "dp" in str(out.sharding.spec), out.sharding
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single), atol=1e-5)
