@@ -392,18 +392,21 @@ class MMDiT:
         return out[:, :N], out[:, N:]
 
     def _qk_norm(self, qkv: jax.Array, q_scale: jax.Array, k_scale: jax.Array) -> jax.Array:
-        "Per-head RMS-normalize the q and k thirds of a fused qkv tensor."
+        """Per-head RMS-normalize the q and k thirds of a fused qkv tensor.
+
+        Routed through the fused RoPE kernel (``ops/rope.py``) with an
+        identity rotation (cos=1, sin=0 — exact): on TPU that is one read +
+        one write of the q/k thirds instead of XLA's multi-pass schedule,
+        with the v third aliased through untouched; off TPU the jnp
+        reference runs, whose identity-rotation arithmetic reduces bitwise
+        to plain RMS-norm."""
+        from ..ops.rope import fused_rope_qk_norm
+
         c = self.config
-        B, N, _ = qkv.shape
-        h = qkv.reshape(B, N, 3, c.heads, c.head_dim)
-
-        def rms(x, g):
-            x32 = x.astype(jnp.float32)
-            y = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + 1e-6)
-            return (y * g).astype(x.dtype)
-
-        h = jnp.stack([rms(h[:, :, 0], q_scale), rms(h[:, :, 1], k_scale), h[:, :, 2]], axis=2)
-        return h.reshape(B, N, 3 * c.dim)
+        N = qkv.shape[1]
+        cos = jnp.ones((N, c.head_dim // 2), jnp.float32)
+        sin = jnp.zeros((N, c.head_dim // 2), jnp.float32)
+        return fused_rope_qk_norm(qkv, q_scale, k_scale, cos, sin, c.heads)
 
     def _self_attention(self, qkv: jax.Array) -> jax.Array:
         "Single-stream attention on a fused qkv tensor (SD3.5 dual attn)."

@@ -65,6 +65,33 @@ def _fit_block(n: int, target: int) -> int:
 
 
 _FULL_KV_ROW_MAX = 2048
+_FULL_ROW_N_MAX = 5120
+_SCORE_TILE_BUDGET = 6 << 20  # f32 score-tile bytes for the one-pass path
+
+
+def _pick_blocks(n: int, block_q: int, block_k: int | None) -> tuple[int, int]:
+    """Resolve ``(block_q, block_k)`` for token count ``n``.
+
+    ``block_k=None`` (the auto default) prefers the one-pass full-row
+    softmax whenever the f32 score tile fits VMEM comfortably, shrinking
+    ``block_q`` to keep ``block_q * n * 4`` under the budget — measured at
+    the Flux joint shape (N=4608, d=128, bf16): bq256/full-row 1804 us
+    (0.73 of peak) vs the divisor-fit online path's bq512/bk1536 2238 us
+    (0.59); bq1024/bk1536 2098, bq512/bk2304 2438, bq512/full-row 2019.
+    The online recurrence pays per-tile max/alpha corrections on the VPU
+    while the MXU idles, so one pass wins wherever it fits.  Explicit
+    ``block_k`` requests keep the historical divisor-fit behavior so both
+    kernel paths stay reachable (tests, tuning)."""
+    bq = _fit_block(n, block_q)
+    if block_k is None:
+        if n <= _FULL_ROW_N_MAX and n % _LANE == 0:
+            full_bq = bq  # largest divisor block whose score tile fits the budget
+            while full_bq > _LANE and full_bq * n * 4 > _SCORE_TILE_BUDGET:
+                full_bq = _fit_block(n, full_bq - _LANE)
+            if full_bq * n * 4 <= _SCORE_TILE_BUDGET:
+                return full_bq, n
+        block_k = 1024
+    return bq, _fit_kv_block(n, block_k)
 
 
 def _fit_kv_block(n: int, target: int) -> int:
@@ -90,6 +117,13 @@ def _fit_kv_block(n: int, target: int) -> int:
 
 
 _NEG_INF = float("-inf")
+_LOG2E = 1.4426950408889634  # scores are computed in the log2 domain: folding
+_LN2 = 0.6931471805599453  # log2(e) into the score scale turns every exp into
+# a native exp2 — one fewer VPU pass over each (block_q, block_k) tile (exp
+# lowers as exp2(x * log2e), and the softmax shift makes the fold exact:
+# exp2((s - m) in log2 units) equals exp(s - m) in natural units, so p, l and
+# the outputs are the same values; only the saved max changes units, and the
+# logsumexp converts back with one per-row multiply).
 
 
 def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
@@ -115,14 +149,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: f
     k = k_ref[0]  # (block_k, d)
     # scores tile, f32 on the MXU: (block_q, block_k)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    s = s * scale
+    s = s * (scale * _LOG2E)  # log2-domain scores (see _LOG2E note)
 
     m_prev = m_ref[:, :1]  # (block_q, 1): lane 0 holds the running max
     l_prev = l_ref[:, :1]
     m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
     m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_next)  # correction for prior tiles
-    p = jnp.exp(s - m_next)  # (block_q, block_k)
+    alpha = jnp.exp2(m_prev - m_next)  # correction for prior tiles
+    p = jnp.exp2(s - m_next)  # (block_q, block_k)
     l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
     m_ref[:, :1] = m_next
     l_ref[:, :1] = l_next
@@ -142,16 +176,17 @@ def _softmax_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0]
     k = k_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    s = s * scale
-    p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
-    p = p / jnp.sum(p, axis=1, keepdims=True)
+    s = s * (scale * _LOG2E)
+    p = jnp.exp2(s - jnp.max(s, axis=1, keepdims=True))
     v = v_ref[0]
-    o_ref[0] = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # lazy normalization: divide the (block_q, d) output, not the (block_q, N) tile
+    o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (o / jnp.sum(p, axis=1, keepdims=True)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention_forward(
-    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 512, block_k: int = 1024, interpret: bool = False
+    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 512, block_k: int | None = None, interpret: bool = False
 ) -> jax.Array:
     """(B, H, N, d) x3 -> (B, H, N, d) without materializing (N, N) scores.
 
@@ -168,8 +203,7 @@ def flash_attention_forward(
     *slower* than einsum (857) because 1024 tiny grid cells paid more in
     grid stepping than they saved in HBM traffic."""
     B, H, N, d = q.shape
-    block_q = _fit_block(N, block_q)
-    block_k = _fit_kv_block(N, block_k)
+    block_q, block_k = _pick_blocks(N, block_q, block_k)
     if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
         raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k} (multiples of 128)")
 
@@ -213,7 +247,7 @@ def flash_attention_packed_forward(
     v: jax.Array,
     heads: int,
     block_q: int = 512,
-    block_k: int = 1024,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention on the **packed** ``(B, N, heads*d)`` layout.
@@ -235,8 +269,7 @@ def flash_attention_packed_forward(
     d = D // heads
     if D % heads or d % _LANE:
         raise ValueError(f"packed layout needs head_dim {d} to be a multiple of {_LANE} (dim {D}, heads {heads})")
-    block_q = _fit_block(N, block_q)
-    block_k = _fit_kv_block(N, block_k)
+    block_q, block_k = _pick_blocks(N, block_q, block_k)
     if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
         raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k} (multiples of 128)")
 
@@ -272,7 +305,7 @@ def flash_attention_qkv_forward(
     qkv: jax.Array,
     heads: int,
     block_q: int = 512,
-    block_k: int = 1024,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Packed flash attention straight off the fused qkv projection.
@@ -290,8 +323,7 @@ def flash_attention_qkv_forward(
     d = D // heads
     if D3 % 3 or D % heads or d % _LANE:
         raise ValueError(f"qkv layout needs head_dim {d} to be a multiple of {_LANE} (packed dim {D3}, heads {heads})")
-    block_q = _fit_block(N, block_q)
-    block_k = _fit_kv_block(N, block_k)
+    block_q, block_k = _pick_blocks(N, block_q, block_k)
     if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
         raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k} (multiples of 128)")
 
@@ -355,13 +387,14 @@ def _softmax_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
     q = q_ref[0]
     k = k_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    s = s * scale
+    s = s * (scale * _LOG2E)
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     v = v_ref[0]
-    o_ref[0] = jax.lax.dot((p / l).astype(v.dtype), v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
-    lse_ref[0, 0] = m + jnp.log(l)
+    o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = m * _LN2 + jnp.log(l)  # back to natural-log units
 
 
 def _flash_lse_kernel(
@@ -372,7 +405,7 @@ def _flash_lse_kernel(
 
     @pl.when(pl.program_id(kv_dim) == kv_blocks - 1)
     def _store_lse():
-        lse_ref[0, 0] = m_ref[:, :1] + jnp.log(l_ref[:, :1])
+        lse_ref[0, 0] = m_ref[:, :1] * _LN2 + jnp.log(l_ref[:, :1])  # max is in log2 units
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "block_q", "block_k", "interpret"))
@@ -380,7 +413,7 @@ def flash_attention_qkv_forward_lse(
     qkv: jax.Array,
     heads: int,
     block_q: int = 512,
-    block_k: int = 1024,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     "Like :func:`flash_attention_qkv_forward` but also returns lse (B, H, N, 1) f32."
@@ -389,8 +422,7 @@ def flash_attention_qkv_forward_lse(
     d = D // heads
     if D3 % 3 or D % heads or d % _LANE:
         raise ValueError(f"qkv layout needs head_dim {d} to be a multiple of {_LANE}")
-    block_q = _fit_block(N, block_q)
-    block_k = _fit_kv_block(N, block_k)
+    block_q, block_k = _pick_blocks(N, block_q, block_k)
     if N % block_q or N % block_k or block_q % _LANE or block_k % _LANE:
         raise ValueError(f"token count {N} must divide by block_q={block_q} and block_k={block_k}")
 
@@ -438,8 +470,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse_ref[0, 0])  # (bq, bk), rows already normalized
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    p = jnp.exp2(s - lse_ref[0, 0] * _LOG2E)  # (bq, bk), rows already normalized
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     ds = p * (dp - delta_ref[0, 0])
     acc_ref[:] += jax.lax.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
@@ -463,8 +495,8 @@ def _flash_bwd_dkv_kernel(
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse_ref[0, 0])
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * (scale * _LOG2E)
+    p = jnp.exp2(s - lse_ref[0, 0] * _LOG2E)
     # dV_j += P^T dO  and  dK_j += dS^T Q: contract over the q-block axis
     dv_acc[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
