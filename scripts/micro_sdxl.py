@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Microbench the SDXL transformer-stage constituents at their exact shapes.
+
+profile_sdxl.py attributed the 62 ms SDXL forward as: 31.5 ms dense/LN/proj
+residue, 17.2 ms attention math, 13.4 ms conv backbone, 3.1 ms GroupNorm.
+This script times the isolated pieces at the real shapes to see which runs
+furthest from peak:
+
+* a basic-block dense chain (qkv/out/q/kv/out/GEGLU) at (4096, 640) and
+  (1024, 1280)
+* the packed flash kernel at B=1 x heads=10 x N=4096 x d=64->128 and
+  B=1 x heads=20 x N=1024 x d=64->128
+* bare square-ish matmuls at the same M/K/N as a sanity ceiling
+
+Usage: python scripts/micro_sdxl.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from skrample_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache("/tmp/skrample_tpu_xla_cache")
+
+from _bench_common import slope_time  # noqa: E402
+
+PEAK = 197e12
+CTX_N, CTX_D = 77, 2048
+LENGTHS = (32, 160)  # sub-ms kernels need long scans to beat tunnel jitter
+
+
+def tick(h, t):
+    "Cheap dtype-preserving perturbation so the scan carry stays live."
+    return h * (1 + 1e-6 * t).astype(h.dtype)
+
+
+def report(label: str, sec: float, flops: float) -> None:
+    print(f"{label:58s} {sec * 1e6:9.1f} us   {flops / sec / 1e12:6.1f} TF/s  mfu {flops / sec / PEAK:.3f}", flush=True)
+
+
+def bench_dense_chain(N: int, C: int) -> None:
+    """One Transformer2D basic block with attention math replaced by identity."""
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    dt = jnp.bfloat16
+    p = {
+        "qkv": jax.random.normal(ks[0], (C, 3 * C), dt) * 0.02,
+        "out1": jax.random.normal(ks[1], (C, C), dt) * 0.02,
+        "q2": jax.random.normal(ks[2], (C, C), dt) * 0.02,
+        "kv2": jax.random.normal(ks[3], (CTX_D, 2 * C), dt) * 0.02,
+        "out2": jax.random.normal(ks[4], (C, C), dt) * 0.02,
+        "ffi": jax.random.normal(ks[5], (C, 8 * C), dt) * 0.02,
+        "ffo": jax.random.normal(ks[6], (4 * C, C), dt) * 0.02,
+        "g": jnp.ones((C,), jnp.float32),
+        "b": jnp.zeros((C,), jnp.float32),
+    }
+    ctx = jax.random.normal(ks[7], (1, CTX_N, CTX_D), dt)
+
+    def ln(x):
+        x32 = x.astype(jnp.float32)
+        mu = x32.mean(-1, keepdims=True)
+        var = x32.var(-1, keepdims=True)
+        return ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]).astype(x.dtype)
+
+    def mm(x, w):
+        return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+    def step(h, t):
+        qkv = mm(ln(h), p["qkv"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        h = h + mm(q, p["out1"])
+        q = mm(ln(h), p["q2"])
+        kv = mm(ctx, p["kv2"])
+        h = h + mm(q, p["out2"]) + kv.sum(1).mean() * 0
+        ff = mm(ln(h), p["ffi"])
+        gate, act = jnp.split(ff, 2, axis=-1)
+        h = h + mm(gate * jax.nn.gelu(act, approximate=False), p["ffo"])
+        return tick(h, t)
+
+    x = jax.random.normal(key, (1, N, C), dt)
+    sec = slope_time(step, x, lengths=LENGTHS)
+    flops = 2 * N * C * C * 18 + 2 * CTX_N * CTX_D * 2 * C
+    report(f"dense chain N={N} C={C}", sec, flops)
+
+
+def bench_flash(N: int, heads: int, d: int = 64) -> None:
+    from skrample_tpu.ops.flash_attention import flash_attention_packed
+
+    key = jax.random.PRNGKey(1)
+    dt = jnp.bfloat16
+    D = heads * 128
+    qkv = [jax.random.normal(k, (1, N, D), dt) for k in jax.random.split(key, 3)]
+
+    def step(q, t):
+        return flash_attention_packed(tick(q, t), qkv[1], qkv[2], heads)
+
+    sec = slope_time(step, qkv[0], lengths=LENGTHS)
+    useful = 2 * 2 * N * N * heads * d  # unpadded
+    padded = 2 * 2 * N * N * heads * 128
+    print(
+        f"{'flash packed N=%d h=%d dpad=128' % (N, heads):58s} {sec * 1e6:9.1f} us   "
+        f"useful {useful / sec / 1e12:6.1f} TF/s  padded-cycles {padded / sec / 1e12:6.1f} TF/s "
+        f"(mfu_pad {padded / sec / PEAK:.3f})",
+        flush=True,
+    )
+
+
+def bench_einsum_attn(N: int, heads: int, d: int = 64) -> None:
+    """The pre-flash einsum path at the same shape (scores land in HBM)."""
+    key = jax.random.PRNGKey(2)
+    dt = jnp.bfloat16
+    qkv = [jax.random.normal(k, (1, heads, N, d), dt) for k in jax.random.split(key, 3)]
+
+    def step(q, t):
+        a = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", tick(q, t), qkv[1], preferred_element_type=jnp.float32)
+            / math.sqrt(d),
+            axis=-1,
+        ).astype(dt)
+        return jnp.einsum("bhqk,bhkd->bhqd", a, qkv[2], preferred_element_type=jnp.float32).astype(dt)
+
+    sec = slope_time(step, qkv[0], lengths=LENGTHS)
+    useful = 2 * 2 * N * N * heads * d
+    report(f"einsum attn N={N} h={heads} d={d}", sec, useful)
+
+
+def bench_matmul(M: int, K: int, N: int) -> None:
+    key = jax.random.PRNGKey(3)
+    dt = jnp.bfloat16
+    w = jax.random.normal(key, (K, N), dt)
+    x = jax.random.normal(key, (M, K), dt)
+
+    def step(h, t):
+        y = jnp.dot(tick(h, t), w, preferred_element_type=jnp.float32).astype(dt)
+        return y[:, :K] if N >= K else jnp.pad(y, ((0, 0), (0, K - N)))
+
+    sec = slope_time(step, x, lengths=LENGTHS)
+    report(f"bare matmul {M}x{K}x{N}", sec, 2 * M * K * N)
+
+
+def main() -> None:
+    print("=== bare matmul ceilings ===", flush=True)
+    bench_matmul(4096, 640, 1920)
+    bench_matmul(1024, 1280, 3840)
+    bench_matmul(4096, 640, 5120)
+    bench_matmul(1024, 1280, 10240)
+    print("=== dense chains (attention -> identity) ===", flush=True)
+    bench_dense_chain(4096, 640)
+    bench_dense_chain(1024, 1280)
+    print("=== attention at SDXL shapes ===", flush=True)
+    bench_flash(4096, 10)
+    bench_flash(1024, 20)
+    bench_einsum_attn(4096, 10)
+    bench_einsum_attn(1024, 20)
+
+
+if __name__ == "__main__":
+    main()
