@@ -33,7 +33,7 @@ from skrample_tpu.models import Flux, FluxConfig
 from skrample_tpu.models.flux import flux_forward_flops
 
 BATCH, HW, TXT = 1, 128, 512
-from _bench_common import slope_time  # noqa: E402 — (2, 6) default lengths
+from _bench_common import cast_bf16, slope_time  # noqa: E402 — (2, 6) default lengths
 
 PEAK_BF16 = 197e12
 
@@ -53,7 +53,7 @@ def main(steps: int = 25) -> None:
     params = jax.tree.map(
         lambda leaf: leaf + 0.02 * jax.random.normal(jax.random.PRNGKey(7), leaf.shape, leaf.dtype), params
     )
-    params = jax.tree.map(lambda w: w.astype(jnp.bfloat16), params)  # serving storage, as bench_sdxl.py
+    params = cast_bf16(params)  # serving storage; leaf-by-leaf, the f32 tree would OOM alongside
     ctx = jax.random.normal(jax.random.PRNGKey(2), (BATCH, TXT, config.context_dim), jnp.float32)
     pooled = jax.random.normal(jax.random.PRNGKey(3), (BATCH, config.pooled_dim), jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 16, HW, HW), jnp.float32)

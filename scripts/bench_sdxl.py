@@ -30,7 +30,7 @@ from skrample_tpu.models import CondUNet, CondUNetConfig
 from skrample_tpu.models import unet_cond as unet_mod
 
 BATCH, HW, TXT = 1, 128, 77
-from _bench_common import slope_time  # noqa: E402 — (2, 6) default lengths
+from _bench_common import cast_bf16, slope_time  # noqa: E402 — (2, 6) default lengths
 
 PEAK_BF16 = 197e12
 
@@ -70,7 +70,7 @@ def main(steps: int = 25) -> None:
     config = CondUNetConfig(compute_dtype=jnp.bfloat16)  # the SDXL base shape
     model = CondUNet(config)
     params = model.init(jax.random.PRNGKey(0))
-    params = jax.tree.map(lambda w: w.astype(jnp.bfloat16), params)
+    params = cast_bf16(params)  # leaf-by-leaf: f32 + bf16 trees together would OOM the v5e
     n_params = sum(leaf.size for leaf in jax.tree.leaves(params))
 
     x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 4, HW, HW), jnp.float32)
@@ -108,6 +108,19 @@ def main(steps: int = 25) -> None:
         print(
             f"{label:28s} {sec * 1e6:9.1f} us/step   eff {flops / sec / 1e12:6.1f} TF/s  "
             f"mfu {flops / sec / PEAK_BF16:.3f}   {BATCH / (sec * steps):5.2f} img/s marginal @ {steps} steps",
+            flush=True,
+        )
+
+    # Int8 serving tree: the Transformer2D matmuls (the 31.5 ms dense/proj
+    # residue in the profile_sdxl.py ablation) go W8A8; convs + the
+    # conditioning pathway stay bf16/f32 (see CondUNet.quantize_params).
+    qparams = jax.jit(model.quantize_params, donate_argnums=0)(params)
+    del params
+    for label, fn, flops in (("int8 forward", uncond, fwd), ("int8 CFG (doubled batch)", cfg, 2 * fwd)):
+        sec = slope_time(fn, x, args=(qparams,))
+        print(
+            f"{label:28s} {sec * 1e6:9.1f} us/step   bf16-equiv {flops / sec / 1e12:6.1f} TF/s  "
+            f"({flops / sec / PEAK_BF16:.2f}x bf16 peak)   {BATCH / (sec * steps):5.2f} img/s marginal @ {steps} steps",
             flush=True,
         )
 

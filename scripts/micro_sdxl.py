@@ -146,6 +146,78 @@ def bench_matmul(M: int, K: int, N: int) -> None:
     report(f"bare matmul {M}x{K}x{N}", sec, 2 * M * K * N)
 
 
+def bench_int8_matmul(M: int, K: int, N: int) -> None:
+    """dense_int8 (incl. its dynamic-quant epilogue) vs the bf16 dense at a
+    stage shape.  In isolation int8 wins most SDXL shapes 1.2-1.8x; in model
+    context it LOSES (78.2 vs 60.3 ms/fwd) — the epilogue runs ~450 times
+    per forward (~7 ms, see bench_quantizer) and the conv-interleaved NHWC
+    graph loses fusion around every quantize boundary.  The negative result
+    is recorded in BASELINE.md; SDXL serving default stays bf16."""
+    from skrample_tpu.ops.quant import quantize_weight, dense_int8
+
+    key = jax.random.PRNGKey(3)
+    w = jax.random.normal(key, (K, N), jnp.float32) * 0.02
+    b = jnp.zeros((N,), jnp.float32)
+    x = jax.random.normal(key, (M, K), jnp.bfloat16)
+    wq = {"w_q": quantize_weight(w), "b": b}
+    wb = {"w": w.astype(jnp.bfloat16), "b": b}
+    fl = 2.0 * M * K * N
+
+    def crop(y):
+        return y[:, :K] if N >= K else jnp.pad(y, ((0, 0), (0, K - N)))
+
+    def bf16_step(h, t):
+        return crop((jnp.dot(tick(h, t), wb["w"], preferred_element_type=jnp.float32) + wb["b"]).astype(jnp.bfloat16))
+
+    def int8_step(h, t):
+        return crop(dense_int8(wq, tick(h, t), jnp.bfloat16))
+
+    s_bf = slope_time(bf16_step, x, lengths=LENGTHS)
+    s_i8 = slope_time(int8_step, x, lengths=LENGTHS)
+    print(
+        f"{'%dx%dx%d' % (M, K, N):58s} bf16 {s_bf * 1e6:7.1f}us ({fl / s_bf / PEAK:.2f} mfu) | "
+        f"int8 {s_i8 * 1e6:7.1f}us ({fl / s_i8 / (2 * PEAK):.2f} of int8 peak) | ratio {s_bf / s_i8:.2f}x",
+        flush=True,
+    )
+
+
+def bench_quantizer(R: int, D: int) -> None:
+    "The per-matmul dynamic-quant epilogue cost, both paths."
+    from skrample_tpu.ops.quant import quantize_activation, quantize_rows
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (R, D), jnp.bfloat16)
+
+    def consume(h, q, s):
+        return h + q.astype(jnp.bfloat16) * 1e-6 + s.astype(jnp.bfloat16) * 1e-6
+
+    def pallas_step(h, t):
+        return consume(h, *quantize_rows(tick(h, t)))
+
+    def eager_step(h, t):
+        return consume(h, *quantize_activation(tick(h, t)))
+
+    # 10-20us kernels need much longer scans than the matmuls before the
+    # slope rises above tunnel jitter (short scans read negative)
+    lengths = (64, 1024)
+    sp = slope_time(pallas_step, x, lengths=lengths) if R % 8 == 0 else float("nan")
+    se = slope_time(eager_step, x, lengths=lengths)
+    print(f"{'quantize (%d, %d)' % (R, D):58s} pallas {sp * 1e6:7.2f}us  eager {se * 1e6:7.2f}us", flush=True)
+
+
+def main_int8() -> None:
+    print("=== int8 vs bf16 dense at the stage shapes (epilogue included) ===", flush=True)
+    bench_int8_matmul(4096, 640, 1920)
+    bench_int8_matmul(4096, 640, 5120)
+    bench_int8_matmul(4096, 2560, 640)
+    bench_int8_matmul(1024, 1280, 3840)
+    bench_int8_matmul(1024, 1280, 10240)
+    bench_int8_matmul(1024, 5120, 1280)
+    print("=== dynamic-quant epilogue cost at the activation shapes ===", flush=True)
+    bench_quantizer(77, 2048)
+    bench_quantizer(1024, 1280)
+    bench_quantizer(4096, 640)
+
+
 def main() -> None:
     print("=== bare matmul ceilings ===", flush=True)
     bench_matmul(4096, 640, 1920)
@@ -163,4 +235,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main_int8() if "--int8" in sys.argv else main()

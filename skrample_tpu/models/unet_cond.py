@@ -528,7 +528,16 @@ class CondUNet:
         """Int8 serving tree: the Transformer2D matmuls (the FLOPs bulk at
         SDXL's 10-deep mid stages) go W8A8; convs are untouched (4-D
         weights) and the conditioning pathway stays f32 — its outputs feed
-        every resnet's time injection."""
+        every resnet's time injection.
+
+        Measured caveat (`scripts/bench_sdxl.py`, v5e): at the SDXL base
+        shape this tree serves SLOWER than bf16 (78.2 vs 60.3 ms/fwd)
+        even though int8 wins 5/6 stage matmul shapes in isolation
+        (`scripts/micro_sdxl.py --int8`) and the quantize epilogue itself
+        totals only ~2 ms — the loss is the conv-interleaved graph giving
+        up fusion/layout around ~450 int8 dot boundaries.  The transformer-only
+        families (DiT/MMDiT/Flux) keep their int8 wins; for SDXL prefer
+        bf16 or restrict via ``quantize_params(min_size=...)``."""
         from ..ops.quant import quantize_params
 
         return quantize_params(
