@@ -84,6 +84,13 @@ def _pick_blocks(n: int, block_q: int, block_k: int | None) -> tuple[int, int]:
     kernel paths stay reachable (tests, tuning)."""
     bq = _fit_block(n, block_q)
     if block_k is None:
+        # Single (N, N) tile beats every multi-tile split when it fits: one
+        # grid step per (batch, head) removes all tile-stepping overhead.
+        # Measured (v5e bf16, slope-timed): h=20 N=1024 d=128 84 -> 57 us
+        # (0.68 -> 0.96 padded MFU); DiT-serve B4 h4 N1024 73 -> 58 us;
+        # MMDiT joint N=1152 a wash within noise — no regression observed.
+        if n % _LANE == 0 and n * n * 4 <= _SCORE_TILE_BUDGET:
+            return n, n
         if n <= _FULL_ROW_N_MAX and n % _LANE == 0:
             full_bq = bq  # largest divisor block whose score tile fits the budget
             while full_bq > _LANE and full_bq * n * 4 > _SCORE_TILE_BUDGET:
