@@ -482,6 +482,7 @@ def test_flash_attention_rejects_ragged_tokens() -> None:
         ((2, 256, 256), 2, {}),  # head_dim 128, single KV block
         ((1, 512, 128), 1, {"block_q": 128, "block_k": 128}),  # online-softmax path (4 KV blocks)
         ((1, 256, 384), 3, {}),  # 3 heads of 128
+        ((1, 640, 128), 1, {}),  # auto single (N, N) tile: N > the 512 bq default
     ],
 )
 def test_flash_attention_packed_matches_truth(dtype, shape, heads, blocks) -> None:
