@@ -64,6 +64,7 @@ def main() -> None:
     ap.add_argument("--checkpoint", type=str, default="")
     ap.add_argument("--orbax", type=str, default="", help="orbax checkpoint dir (async, full train state)")
     ap.add_argument("--ema-decay", type=float, default=0.9999)
+    ap.add_argument("--opt8", action="store_true", help="int8 block-quantized AdamW moments (~2 vs 8 bytes/param of optimizer state; skrample_tpu.optim.adamw8bit)")
     args = ap.parse_args()
 
     config = DiTConfig(
@@ -93,7 +94,12 @@ def main() -> None:
             is_leaf=lambda v: isinstance(v, jax.Array | np.ndarray),
         )
 
-    opt = optax.adamw(1e-4)
+    if args.opt8:
+        from skrample_tpu.optim import adamw8bit
+
+        opt = adamw8bit(1e-4)
+    else:
+        opt = optax.adamw(1e-4)
     opt_state = opt.init(params)
     ema = ema_init(params)
     start_step = 0

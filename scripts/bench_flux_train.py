@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Flux-scale single-chip fine-tune step: bf16 params + stochastic rounding
++ int8 Adam moments (`skrample_tpu.optim`).
+
+The memory story this demonstrates (1.31B-param tree: full Flux width,
+2 double + 4 single blocks — per-block cost transfers to depth):
+
+    f32 params + f32 Adam        5.25 + 5.25 (grads) + 10.5 = 21.0 GB  OOM on 16 GB
+    bf16 params + SR + adamw8bit 2.62 + 2.62 (grads) +  2.7 =  7.9 GB  fits
+
+so the quantized-state path is not a speed trade, it is the difference
+between the fine-tune running on one v5e at all or not.  Activations ride
+remat (FluxConfig(remat=True)); the update is `adamw8bit(cast_updates=False)`
+feeding `apply_updates_sr` so sub-ULP late-training updates still integrate
+(tests/test_optim8.py pins the numerics).
+
+Flow-matching objective at the real serving shape: 4096 image + 512 text
+joint tokens, velocity target.  Slope-timed over two scan lengths per the
+timing discipline in docs/ROUND3.md (dispatch constants cancel, np.asarray
+forces the wait).  Train MFU uses the standard fwd+bwd ~= 3x fwd FLOPs.
+
+Usage: python scripts/bench_flux_train.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from skrample_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache("/tmp/skrample_tpu_xla_cache")
+
+from _bench_common import cast_bf16  # noqa: E402
+
+from skrample_tpu import optim  # noqa: E402
+from skrample_tpu.models import Flux, FluxConfig  # noqa: E402
+from skrample_tpu.models.flux import flux_forward_flops  # noqa: E402
+
+BATCH, HW, TXT = 1, 128, 512
+PEAK_BF16 = 197e12
+
+
+def main() -> None:
+    config = FluxConfig(
+        dim=3072,
+        depth=2,
+        single_depth=4,
+        heads=24,
+        context_dim=4096,
+        pooled_dim=768,
+        compute_dtype=jnp.bfloat16,
+        remat=True,
+    )
+    model = Flux(config)
+    params = cast_bf16(model.init(jax.random.PRNGKey(0)))
+    n_params = sum(leaf.size for leaf in jax.tree.leaves(params))
+
+    tx = optim.adamw8bit(1e-5, cast_updates=False)
+    opt_state = jax.jit(tx.init)(params)
+
+    param_b = optim.optimizer_state_bytes(params)
+    opt_b = optim.optimizer_state_bytes(opt_state)
+    fwd = flux_forward_flops(config, BATCH, HW, HW, TXT)
+    train_flops = 3 * fwd
+    print(
+        f"Flux-scale fine-tune: {n_params / 1e9:.2f}B params bf16 ({param_b / 2**30:.2f} GiB) "
+        f"+ int8 moments ({opt_b / 2**30:.2f} GiB = {opt_b / n_params:.2f} B/param); "
+        f"f32 Adam state alone would be {12 * n_params / 2**30:.1f} GiB (params+grads+moments). "
+        f"Analytic {train_flops / 1e9:.0f} GFLOP/train step (3x fwd).",
+        flush=True,
+    )
+
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (BATCH, TXT, config.context_dim), jnp.bfloat16)
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (BATCH, config.pooled_dim), jnp.bfloat16)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 16, HW, HW), jnp.float32)
+
+    def loss_fn(p, x0, noise, sigma):
+        s = sigma[:, None, None, None]
+        xt = ((1.0 - s) * x0 + s * noise).astype(jnp.bfloat16)
+        pred = model.apply(p, xt, sigma * 1000.0, ctx, pooled, guidance=1.0)
+        return jnp.mean((pred.astype(jnp.float32) - (noise - x0)) ** 2)
+
+    def one_step(carry, i, x0):
+        p, s = carry
+        key = jax.random.fold_in(jax.random.PRNGKey(42), i.astype(jnp.int32))
+        kn, kt, kr = jax.random.split(key, 3)
+        noise = jax.random.normal(kn, x0.shape, jnp.float32)
+        sigma = jax.random.uniform(kt, (BATCH,), minval=1e-3, maxval=1.0)
+        loss, grads = jax.value_and_grad(loss_fn)(p, x0, noise, sigma)
+        updates, s = tx.update(grads, s, p)
+        return (optim.apply_updates_sr(p, updates, kr), s), loss
+
+    def loop(p, s, x0, n):
+        (p, s), losses = jax.lax.scan(lambda c, i: one_step(c, i, x0), (p, s), jnp.arange(n))
+        return p, s, losses
+
+    lengths = (2, 6)
+    jl = {
+        n: jax.jit(lambda p, s, x0, n=n: loop(p, s, x0, n), donate_argnums=(0, 1)) for n in lengths
+    }
+
+    best = {n: float("inf") for n in lengths}
+    losses = None
+    for rep in range(4):  # rep 0 is the compile+warm-up pass
+        for n in lengths:
+            t0 = time.perf_counter()
+            params, opt_state, losses = jl[n](params, opt_state, x0)
+            first = float(np.asarray(losses[0]))  # forced transfer = real wait
+            dt = time.perf_counter() - t0
+            if rep:
+                best[n] = min(best[n], dt)
+            assert np.isfinite(first), "loss diverged"
+    lo, hi = lengths
+    sec = (best[hi] - best[lo]) / (hi - lo)
+    print(
+        f"{'train step (8-bit + SR, remat)':32s} {sec * 1e3:9.2f} ms/step   "
+        f"eff {train_flops / sec / 1e12:6.1f} TF/s   mfu {train_flops / sec / PEAK_BF16:.3f}   "
+        f"last-loss {float(np.asarray(losses)[-1]):.4f}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

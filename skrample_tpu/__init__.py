@@ -11,6 +11,8 @@ Layer map:
   parallel    — jax.sharding mesh helpers for batch/spatial sharding
   diffusers   — torch-facing scheduler wrapper for DiffusionPipeline
   models      — reference flax models for end-to-end runs and benchmarks
+  optim       — memory-efficient training: int8 block-quantized AdamW
+                moments + bf16 stochastic-rounding parameter updates
 
 The torch-facing ``diffusers`` module and the jax modules import lazily so
 either half is usable without the other's dependencies.
