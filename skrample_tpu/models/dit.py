@@ -44,8 +44,9 @@ class DiTConfig:
     ``parallel/ulysses.py``).  Ring and ulysses require constructing the
     :class:`DiT` with a mesh that has the ``sp_axis``."""
     sp_axis: str = "sp"
-    remat: bool = False
-    """Rematerialize each transformer block under ``jax.checkpoint``: the
+    remat: bool | str = False
+    """Rematerialize each transformer block under ``jax.checkpoint``
+    (``"dots"`` keeps matmul outputs — see ``_remat_wrap``): the
     backward pass recomputes block activations instead of storing them, so
     training activation memory drops from O(depth) residual streams to
     O(1) at ~1/3 extra FLOPs — the standard memory/compute trade for
@@ -62,6 +63,23 @@ def _dense_init(key: jax.Array, d_in: int, d_out: int, scale: float | None = Non
         "w": jax.random.normal(key, (d_in, d_out), jnp.float32) * scale,
         "b": jnp.zeros((d_out,), jnp.float32),
     }
+
+
+def _remat_wrap(fn, remat: bool | str, static_argnums: tuple[int, ...] = ()):
+    """Wrap a block function per the config's ``remat`` setting: ``True`` is
+    full-block recompute (minimum memory), ``"dots"`` saves matmul outputs
+    and recomputes only the elementwise chain
+    (``dots_with_no_batch_dims_saveable`` — skips re-doing the MXU work at
+    ~2x full-remat's activation memory), ``False`` is a no-op."""
+    if not remat:
+        return fn
+    if remat is True:
+        policy = None
+    elif remat == "dots":
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    else:
+        raise ValueError(f"remat must be bool or 'dots', got {remat!r}")
+    return jax.checkpoint(fn, policy=policy, static_argnums=static_argnums)
 
 
 def _dense(params: dict, x: jax.Array, dtype: Any) -> jax.Array:
@@ -214,9 +232,7 @@ class DiT:
         temb = _dense(params["t_mlp2"], jax.nn.silu(_dense(params["t_mlp1"], temb.astype(dtype), dtype)), dtype)
         temb = jax.nn.silu(temb)
 
-        block_fn = self._block
-        if c.remat:
-            block_fn = jax.checkpoint(block_fn)
+        block_fn = _remat_wrap(self._block, c.remat)
         for block in params["blocks"]:
             tokens = block_fn(block, tokens, temb)
 

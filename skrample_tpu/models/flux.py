@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from .dit import _adaln, _dense, _dense_init, _timestep_embedding
+from .dit import _adaln, _dense, _dense_init, _remat_wrap, _timestep_embedding
 
 
 @dataclass(frozen=True)
@@ -70,7 +70,12 @@ class FluxConfig:
     compute_dtype: Any = jnp.bfloat16
     attention: str = "flash"
     '``"flash"`` (fused Pallas when head_dim % 128 == 0) or ``"full"``.'
-    remat: bool = False
+    remat: bool | str = False
+    """``True`` reruns whole blocks in the backward (minimum memory);
+    ``"dots"`` saves matmul outputs and recomputes only the elementwise
+    chain (``dots_with_no_batch_dims_saveable``) — ~2x the activation
+    memory of full remat but skips re-doing the MXU work, the right trade
+    whenever the saved dots still fit HBM (they do at reduced depth)."""
 
     @property
     def head_dim(self) -> int:
@@ -331,9 +336,8 @@ class Flux:
 
         dbl = self._double_block
         sgl = self._single_block
-        if c.remat:
-            dbl = jax.checkpoint(dbl)
-            sgl = jax.checkpoint(sgl)
+        dbl = _remat_wrap(dbl, c.remat)
+        sgl = _remat_wrap(sgl, c.remat)
         for block in params["double"]:
             img, txt = dbl(block, img, txt, cond, cos, sin)
         h = jnp.concatenate([txt, img], axis=1)

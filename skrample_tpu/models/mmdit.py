@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from .dit import _adaln, _dense, _dense_init, _timestep_embedding
+from .dit import _adaln, _dense, _dense_init, _remat_wrap, _timestep_embedding
 
 
 @dataclass(frozen=True)
@@ -65,7 +65,7 @@ class MMDiTConfig:
     itself touches ICI; see ``parallel/joint_sp.py``).  Ring and ulysses
     require constructing the :class:`MMDiT` with ``mesh=``."""
     sp_axis: str = "sp"
-    remat: bool = False
+    remat: bool | str = False
     "Rematerialize each block under ``jax.checkpoint`` (see DiTConfig.remat)."
     pooled_dim: int = 0
     """> 0 switches to the published SD3 conditioning wiring for imported
@@ -340,9 +340,7 @@ class MMDiT:
             pool = _dense(params["pool_mlp"], context.mean(axis=1), dtype)
             cond = jax.nn.silu(_dense(params["t_mlp2"], jax.nn.silu(temb + pool), dtype))
 
-        block_fn = self._block
-        if c.remat:
-            block_fn = jax.checkpoint(block_fn)
+        block_fn = _remat_wrap(self._block, c.remat)
         for block in params["blocks"]:
             img, txt = block_fn(block, img, txt, cond)
 

@@ -52,7 +52,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from .dit import _adaln, _dense, _dense_init, _timestep_embedding
+from .dit import _adaln, _dense, _dense_init, _remat_wrap, _timestep_embedding
 
 
 @dataclass(frozen=True)
@@ -71,7 +71,7 @@ class VideoDiTConfig:
     """Ulysses-style sp alternation: shard frames during spatial attention,
     spatial sites during temporal attention (requires ``mesh``)."""
     sp_axis: str = "sp"
-    remat: bool = False
+    remat: bool | str = False
     "Rematerialize each block under ``jax.checkpoint`` (see DiTConfig.remat)."
 
     @property
@@ -184,9 +184,7 @@ class VideoDiT:
         temb = _dense(params["t_mlp2"], jax.nn.silu(_dense(params["t_mlp1"], temb.astype(dtype), dtype)), dtype)
         temb = jax.nn.silu(temb)
 
-        block_fn = self._block
-        if c.remat:
-            block_fn = jax.checkpoint(block_fn, static_argnums=(3, 4))
+        block_fn = _remat_wrap(self._block, c.remat, static_argnums=(3, 4))
         for block in params["blocks"]:
             tokens = block_fn(block, tokens, temb, F, N)
 

@@ -211,7 +211,12 @@ def _adaln_fwd(x, shift, scale):
 
 def _adaln_bwd_local(x: jax.Array, g: jax.Array, scale: jax.Array, interpret: bool):
     _B, N, D = x.shape
-    block_n = next((b for b in (256, 128, 64, 32, 16, 8) if N % b == 0), None)
+    # VMEM cap: the kernel holds ~5 f32 temporaries + 3 io tiles per block
+    # (~24 B/elem); at D=3072 an unconditional block of 256 tokens is 16.2 MB
+    # of scoped vmem — past the 16 MB limit (measured: Flux-width adaLN
+    # backward under the "dots" remat policy).  Budget 12 MB.
+    max_block = (12 * 2**20) // (24 * D)
+    block_n = next((b for b in (256, 128, 64, 32, 16, 8) if N % b == 0 and b <= max_block), None)
     if D % _LANE or block_n is None:
         _, vjp = jax.vjp(lambda xx, sc: adaln_reference(xx, jnp.zeros_like(sc), sc), x, scale)
         dx, dsc = vjp(g)

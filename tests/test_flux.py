@@ -5,6 +5,7 @@ stack glue in test_flux_stack.)"""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -144,13 +145,17 @@ def test_remat_grads_equal() -> None:
 
     g1 = jax.grad(loss(plain))(params)
     g2 = jax.grad(loss(remat))(params)
+    g3 = jax.grad(loss(Flux(small_config(remat="dots"))))(params)
     # not bitwise: XLA fuses the rematerialized forward differently inside
     # the backward (reassociated reductions); equality is to f32 roundoff
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
-        g1,
-        g2,
-    )
+    for g in (g2, g3):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+            g1,
+            g,
+        )
+    with pytest.raises(ValueError, match="remat"):
+        Flux(small_config(remat="bogus")).apply(params, x, t, ctx, pooled, guidance=3.5)
 
 
 def test_param_spec_matches_tree() -> None:

@@ -144,7 +144,7 @@ def test_remat_matches_plain() -> None:
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16, 16), jnp.float32)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 77, 192), jnp.float32)
     fwd, grads = {}, {}
-    for remat in (False, True):
+    for remat in (False, True, "dots"):
         model = MMDiT(small_config(remat=remat))
         params = wake_params(model, jax.random.PRNGKey(0))
         fwd[remat] = np.asarray(model.apply(params, x, jnp.float32(500.0), ctx))
@@ -153,9 +153,10 @@ def test_remat_matches_plain() -> None:
             return (m.apply(p, x, jnp.float32(500.0), ctx) ** 2).mean()
 
         grads[remat] = jax.jit(jax.grad(loss))(params)
-    np.testing.assert_array_equal(fwd[False], fwd[True])
-    for a, b in zip(jax.tree.leaves(grads[False]), jax.tree.leaves(grads[True]), strict=True):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for mode in (True, "dots"):
+        np.testing.assert_array_equal(fwd[False], fwd[mode])
+        for a, b in zip(jax.tree.leaves(grads[False]), jax.tree.leaves(grads[mode]), strict=True):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_tp_spec_matches_param_tree() -> None:

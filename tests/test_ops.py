@@ -829,9 +829,10 @@ def test_dit_remat_matches_plain() -> None:
         return jnp.mean(model.apply(p, x, t) ** 2)
 
     g_plain = jax.grad(lambda p: loss(plain, p))(params)
-    g_remat = jax.grad(lambda p: loss(remat, p))(params)
-    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for mode in (True, "dots"):
+        g_remat = jax.grad(lambda p: loss(DiT(DiTConfig(**kwargs, remat=mode)), p))(params)
+        for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_dit_flash_attention_trains() -> None:

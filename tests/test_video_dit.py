@@ -107,7 +107,7 @@ def test_remat_matches_plain() -> None:
     "jax.checkpoint blocks change memory, not math."
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 3, 16, 16), jnp.float32)
     fwd, grads = {}, {}
-    for remat in (False, True):
+    for remat in (False, True, "dots"):
         model = VideoDiT(small_config(remat=remat))
         params = wake_params(model, jax.random.PRNGKey(0))
         fwd[remat] = np.asarray(model.apply(params, x, jnp.float32(500.0)))
@@ -116,9 +116,10 @@ def test_remat_matches_plain() -> None:
             return (m.apply(p, x, jnp.float32(500.0)) ** 2).mean()
 
         grads[remat] = jax.jit(jax.grad(loss))(params)
-    np.testing.assert_array_equal(fwd[False], fwd[True])
-    for a, b in zip(jax.tree.leaves(grads[False]), jax.tree.leaves(grads[True]), strict=True):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for mode in (True, "dots"):
+        np.testing.assert_array_equal(fwd[False], fwd[mode])
+        for a, b in zip(jax.tree.leaves(grads[False]), jax.tree.leaves(grads[mode]), strict=True):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_tp_spec_matches_param_tree() -> None:
