@@ -243,6 +243,41 @@ def test_apply_updates_sr_mixed_tree():
     assert set(vals) <= {1.0, 1.0 + 2.0**-7}  # one of the two bf16 neighbors
 
 
+def test_state_roundtrips_through_orbax_checkpointer(tmp_path):
+    """Checkpoint/resume parity: an interrupted adamw8bit run restored from
+    the orbax TrainCheckpointer continues identically to an uninterrupted
+    one (the int8 codes + f32 scales are plain pytree leaves)."""
+    from skrample_tpu.models.checkpoint import TrainCheckpointer
+
+    tx = optim.adamw8bit(**HYPER, min_quant_size=8)
+    params = {"w": jax.random.normal(jax.random.PRNGKey(0), (16, 256)), "b": jnp.zeros((4,))}
+
+    def run(p, s, start, steps):
+        for i in range(start, start + steps):
+            g = jax.tree.map(lambda x: jnp.cos(x + i) * 0.1, p)
+            u, s = tx.update(g, s, p)
+            p = optax.apply_updates(p, u)
+        return p, s
+
+    s0 = tx.init(params)
+    straight = run(params, s0, 0, 8)
+
+    p, s = run(params, s0, 0, 4)
+    with TrainCheckpointer(tmp_path / "opt8") as ckpt:
+        ckpt.save(4, {"params": p, "opt_state": s})
+        ckpt.wait()
+        got = ckpt.restore(like={"params": p, "opt_state": s})
+    m8 = [
+        x
+        for x in jax.tree.leaves(got["opt_state"].moments, is_leaf=lambda x: isinstance(x, optim.Moment8))
+        if isinstance(x, optim.Moment8)
+    ]
+    assert m8 and m8[0].mq.dtype == jnp.int8  # the codes restored as int8, not upcast
+    resumed = run(got["params"], optim.AdamW8State(*got["opt_state"]), 4, 4)
+    for a, b in zip(jax.tree.leaves(straight), jax.tree.leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_adamw8bit_sr_loop_converges_bf16():
     "End-to-end: bf16 params + cast_updates=False + apply_updates_sr."
     target = jax.random.normal(jax.random.PRNGKey(4), (32, 256))
