@@ -290,6 +290,63 @@ class DiT:
         tokens = tokens + g_mlp[:, None] * h
         return tokens
 
+    def apply_pipelined(
+        self,
+        params: dict,
+        x: jax.Array,
+        t: jax.Array,
+        mesh: Any,
+        microbatch: int,
+        axis: str = "pp",
+    ) -> jax.Array:
+        """Pipeline-parallel forward: blocks split into ``mesh.shape[axis]``
+        consecutive stages, microbatches streamed through with the GPipe-lite
+        ring (``parallel/pipeline_stages.py``) — each device materializes
+        only ``depth / stages`` blocks, so depth scales past one chip's HBM.
+
+        The carry through the stages is ``(tokens, temb)``: every block needs
+        the conditioning vector for its adaLN modulations, so it rides along
+        (a (mb, dim) vector — negligible next to the token activations).
+        Patchify/temb/final layers are replicated compute (a few %% of the
+        FLOPs).  Bit-matches :meth:`apply` up to reduction order; the S-1
+        fill/drain bubble amortizes as ``batch / microbatch`` grows."""
+        from ..parallel.pipeline_stages import pipeline_apply, stack_stages
+
+        c = self.config
+        dtype = c.compute_dtype
+        B, _C, H, W = x.shape
+        in_dtype = x.dtype
+        stages = mesh.shape[axis]
+        if B % microbatch:
+            raise ValueError(f"batch {B} not divisible into microbatches of {microbatch}")
+
+        if jnp.ndim(t) == 0:
+            t = jnp.broadcast_to(t, (B,))
+
+        tokens = _dense(params["patch_in"], self.patchify(x).astype(dtype), dtype)
+        temb = _timestep_embedding(t, 256)
+        temb = _dense(params["t_mlp2"], jax.nn.silu(_dense(params["t_mlp1"], temb.astype(dtype), dtype)), dtype)
+        temb = jax.nn.silu(temb)
+
+        staged = stack_stages(params["blocks"], stages)
+        per = c.depth // stages
+
+        def stage_fn(local: dict, carry: tuple[jax.Array, jax.Array]) -> tuple[jax.Array, jax.Array]:
+            toks, te = carry
+            for i in range(per):
+                toks = self._block(jax.tree.map(lambda leaf: leaf[i], local), toks, te)
+            return toks, te
+
+        count = B // microbatch
+        as_mb = lambda a: a.reshape(count, microbatch, *a.shape[1:])  # noqa: E731
+        toks, _ = pipeline_apply(stage_fn, staged, (as_mb(tokens), as_mb(temb)), mesh, axis)
+        tokens = toks.reshape(B, *toks.shape[2:])
+
+        shift, scale = jnp.split(_dense(params["final_mod"], temb, dtype), 2, axis=-1)
+        tokens = _adaln(tokens, shift, scale)
+        out = _dense(params["final_out"], tokens, dtype)
+        return self.unpatchify(out, H, W).astype(in_dtype)
+
     def quantize_params(self, params: dict) -> dict:
         """Int8 serving tree: block qkv/proj/mlp weights become per-channel
         int8 (+ scale vectors) and ``apply`` runs those matmuls on the MXU's

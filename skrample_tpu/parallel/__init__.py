@@ -25,14 +25,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from .experts import expert_capacity, init_moe_ffn, moe_ffn, moe_ffn_capacity, moe_ffn_spec  # noqa: E402
+from .fsdp import (  # noqa: E402
+    constrain,
+    fsdp_leaf_spec,
+    fsdp_param_specs,
+    opt_state_specs,
+    per_device_bytes,
+    shard_tree,
+)
 from .joint_sp import joint_sp_attention  # noqa: E402
-from .pipeline_stages import pipeline_apply  # noqa: E402
+from .pipeline_stages import pipeline_apply, stack_stages  # noqa: E402
 from .ring_attention import ring_attention  # noqa: E402
 from .ulysses import ulysses_attention  # noqa: E402
 
 __all__ = [
     "batch_keys",
+    "constrain",
     "expert_capacity",
+    "fsdp_leaf_spec",
+    "fsdp_param_specs",
     "init_moe_ffn",
     "joint_sp_attention",
     "latent_sharding",
@@ -40,10 +51,14 @@ __all__ = [
     "moe_ffn",
     "moe_ffn_capacity",
     "moe_ffn_spec",
+    "opt_state_specs",
+    "per_device_bytes",
     "pipeline_apply",
     "replicated",
     "ring_attention",
     "shard_batch",
+    "shard_tree",
+    "stack_stages",
     "ulysses_attention",
 ]
 

@@ -30,18 +30,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def pipeline_apply(
-    stage_fn: Callable[[Any, jax.Array], jax.Array],
+    stage_fn: Callable[[Any, Any], Any],
     stage_params: Any,
-    microbatches: jax.Array,
+    microbatches: Any,
     mesh: Mesh,
     axis: str = "pp",
-) -> jax.Array:
-    """Run ``microbatches`` (M, mb, ...) through S pipeline stages.
+) -> Any:
+    """Run ``microbatches`` through S pipeline stages.
 
     ``stage_params`` leaves must have a leading stage axis of size S (the
-    ``pp`` mesh size), sharded over ``axis``.  ``stage_fn(params, x)`` maps
-    one microbatch through one stage, shape-preserving.  Returns the
-    (M, mb, ...) outputs of the final stage."""
+    ``pp`` mesh size), sharded over ``axis``.  ``microbatches`` is a pytree
+    whose leaves are (M, mb, ...) — a bare array, or e.g. a
+    ``(tokens, conditioning)`` pair when every stage needs the conditioning
+    vector alongside the residual stream.  ``stage_fn(params, x)`` maps one
+    microbatch pytree through one stage, structure- and shape-preserving.
+    Returns the (M, mb, ...) outputs of the final stage."""
     stages = mesh.shape[axis]
 
     def per_device(params, mb_in):
@@ -50,32 +53,42 @@ def pipeline_apply(
         stage = jax.lax.axis_index(axis)
         # the microbatch stream is replicated input; mark it device-varying so
         # the carry keeps one consistent vma type throughout the loop
-        mb_in = jax.lax.pvary(mb_in, (axis,))
-        count = mb_in.shape[0]
+        mb_in = jax.tree.map(lambda leaf: jax.lax.pvary(leaf, (axis,)), mb_in)
+        count = jax.tree.leaves(mb_in)[0].shape[0]
         ticks = count + stages - 1
 
         def tick(t, carry):
             active, outputs = carry
             # stage 0 ingests microbatch t (garbage when t >= count; masked later)
-            feed = mb_in[jnp.minimum(t, count - 1)]
-            active = jnp.where(stage == 0, feed, active)
+            feed = jax.tree.map(lambda leaf: leaf[jnp.minimum(t, count - 1)], mb_in)
+            active = jax.tree.map(lambda f, a: jnp.where(stage == 0, f, a), feed, active)
             active = stage_fn(local, active)
             # collect on the last stage: tick t completed microbatch t - (S-1)
             slot = t - (stages - 1)
-            updated = jax.lax.dynamic_update_index_in_dim(outputs, active, jnp.maximum(slot, 0), 0)
-            outputs = jnp.where((stage == stages - 1) & (slot >= 0), updated, outputs)
+            outputs = jax.tree.map(
+                lambda out, act: jnp.where(
+                    (stage == stages - 1) & (slot >= 0),
+                    jax.lax.dynamic_update_index_in_dim(out, act, jnp.maximum(slot, 0), 0),
+                    out,
+                ),
+                outputs,
+                active,
+            )
             # hand activations to the next stage (ring; the wraparound value
             # reaching stage 0 is overwritten by the next feed)
-            active = jax.lax.ppermute(
-                active, axis, [(i, (i + 1) % stages) for i in range(stages)]
+            active = jax.tree.map(
+                lambda act: jax.lax.ppermute(act, axis, [(i, (i + 1) % stages) for i in range(stages)]),
+                active,
             )
             return active, outputs
 
-        active0 = jax.lax.pvary(jnp.zeros_like(mb_in[0]), ())
-        outputs0 = jnp.zeros_like(mb_in)
+        active0 = jax.tree.map(lambda leaf: jnp.zeros_like(leaf[0]), mb_in)
+        outputs0 = jax.tree.map(jnp.zeros_like, mb_in)
         _, outputs = jax.lax.fori_loop(0, ticks, tick, (active0, outputs0))
         # only the last stage holds real outputs; psum broadcasts them
-        outputs = jnp.where(stage == stages - 1, outputs, jnp.zeros_like(outputs))
+        outputs = jax.tree.map(
+            lambda out: jnp.where(stage == stages - 1, out, jnp.zeros_like(out)), outputs
+        )
         return jax.lax.psum(outputs, axis)
 
     spec_params = jax.tree.map(lambda _: P(axis), stage_params)
@@ -85,3 +98,19 @@ def pipeline_apply(
         in_specs=(spec_params, P()),
         out_specs=P(),
     )(stage_params, microbatches)
+
+
+def stack_stages(block_params: list, stages: int) -> Any:
+    """Stack a depth-list of per-block param trees into stage-major leaves.
+
+    ``depth`` per-block trees become one tree whose leaves carry a leading
+    ``(stages, depth // stages)`` pair of axes: stage s holds the consecutive
+    blocks ``[s * depth/stages, (s+1) * depth/stages)``.  Shard the leading
+    axis over ``pp`` (``pipeline_apply`` does) and each device materializes
+    only its own stage's blocks."""
+    depth = len(block_params)
+    if depth % stages:
+        raise ValueError(f"depth {depth} not divisible into {stages} pipeline stages")
+    per = depth // stages
+    stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *block_params)
+    return jax.tree.map(lambda leaf: leaf.reshape(stages, per, *leaf.shape[1:]), stacked)

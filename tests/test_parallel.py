@@ -154,6 +154,60 @@ def test_pipeline_parallel_matches_sequential(stages, count):
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize(("stages", "microbatch"), [(2, 2), (4, 1), (4, 2)])
+def test_dit_pipelined_matches_apply(stages, microbatch):
+    "DiT.apply_pipelined (GPipe-lite over real transformer blocks) == apply."
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from skrample_tpu.models import DiT, DiTConfig
+
+    mesh = Mesh(np.asarray(jax.devices()[:stages]), ("pp",))
+    model = DiT(DiTConfig(patch=2, channels=4, dim=64, depth=4, heads=4, compute_dtype=jnp.float32))
+    params = model.init(jax.random.PRNGKey(0))
+
+    B = 4
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 4, 8, 8), jnp.float32)
+    t = jnp.linspace(10.0, 900.0, B)
+
+    expected = np.asarray(model.apply(params, x, t))
+    with mesh:
+        piped = jax.jit(lambda p, x, t: model.apply_pipelined(p, x, t, mesh, microbatch))(params, x, t)
+    np.testing.assert_allclose(np.asarray(piped), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_pytree_carry():
+    "pipeline_apply carries pytrees (tokens + conditioning) through stages."
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from skrample_tpu.parallel.pipeline_stages import pipeline_apply, stack_stages
+
+    stages = 4
+    mesh = Mesh(np.asarray(jax.devices()[:stages]), ("pp",))
+    key = jax.random.PRNGKey(7)
+    dim = 8
+    blocks = [
+        {"w": jax.random.normal(jax.random.fold_in(key, i), (dim, dim)) * 0.3} for i in range(stages)
+    ]
+    staged = stack_stages(blocks, stages)
+
+    def stage_fn(local, carry):
+        x, cond = carry
+        x = jnp.tanh(x @ local["w"][0] + cond)
+        return x, cond
+
+    xs = jax.random.normal(jax.random.fold_in(key, 100), (3, 2, dim))
+    conds = jax.random.normal(jax.random.fold_in(key, 101), (3, 2, dim)) * 0.1
+    out, cond_out = pipeline_apply(stage_fn, staged, (xs, conds), mesh)
+
+    expected = xs
+    for blk in blocks:
+        expected = jnp.tanh(expected @ blk["w"] + conds)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cond_out), np.asarray(conds), rtol=1e-6)
+
+
 @pytest.mark.parametrize("experts", [2, 4, 8])
 def test_expert_parallel_matches_single_device(experts):
     "The ep-sharded MoE FFN must equal its unsharded evaluation."
