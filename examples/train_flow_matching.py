@@ -10,6 +10,10 @@ production knobs:
   --dp/--tp      shard over a (dp, tp) mesh: data-parallel batch,
                  megatron col/row tensor-parallel params (DiT.param_spec);
                  XLA inserts the all-reduces from the shardings alone
+  --fsdp         ZeRO-3 layout on top of dp x tp: params, Adam moments, and
+                 the EMA shadow shard over dp (parallel/fsdp.py) — weights
+                 all-gather on use, grads reduce-scatter, updates stay
+                 local; removes the one-chip cap on trainable size
   --checkpoint   save/restore the param tree (models/checkpoint.py)
   --orbax DIR    production checkpointing instead: async orbax saves of the
                  FULL train state (params + opt state + EMA + step) with
@@ -61,6 +65,7 @@ def main() -> None:
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--dp", type=int, default=1)
     ap.add_argument("--tp", type=int, default=1)
+    ap.add_argument("--fsdp", action="store_true", help="shard params/moments/EMA over dp (ZeRO-3 layout; needs --dp > 1)")
     ap.add_argument("--checkpoint", type=str, default="")
     ap.add_argument("--orbax", type=str, default="", help="orbax checkpoint dir (async, full train state)")
     ap.add_argument("--ema-decay", type=float, default=0.9999)
@@ -82,17 +87,19 @@ def main() -> None:
         print(f"resumed from {args.checkpoint}")
 
     mesh = None
+    param_specs = None
+    if args.fsdp and args.dp < 2:
+        raise SystemExit("--fsdp shards over the dp axis; pass --dp > 1")
     if args.dp * args.tp > 1:
-        from jax.sharding import Mesh, NamedSharding
-        from jax.sharding import PartitionSpec as P
+        from jax.sharding import Mesh
+
+        from skrample_tpu.parallel import fsdp_param_specs, shard_tree
 
         mesh = Mesh(np.asarray(jax.devices()[: args.dp * args.tp]).reshape(args.dp, args.tp), ("dp", "tp"))
-        params = jax.tree.map(
-            lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
-            params,
-            model.param_spec(),
-            is_leaf=lambda v: isinstance(v, jax.Array | np.ndarray),
-        )
+        param_specs = model.param_spec()
+        if args.fsdp:
+            param_specs = fsdp_param_specs(params, args.dp, base_specs=param_specs, min_size=1024)
+        params = shard_tree(params, mesh, param_specs)
 
     if args.opt8:
         from skrample_tpu.optim import adamw8bit
@@ -102,6 +109,12 @@ def main() -> None:
         opt = optax.adamw(1e-4)
     opt_state = opt.init(params)
     ema = ema_init(params)
+    if args.fsdp and mesh is not None:
+        from skrample_tpu.parallel import opt_state_specs, shard_tree
+
+        # moments + EMA colocate with their param shard: updates stay local
+        opt_state = shard_tree(opt_state, mesh, opt_state_specs(opt_state, params, param_specs, args.dp))
+        ema = shard_tree(ema, mesh, param_specs)
     start_step = 0
 
     ckpt = TrainCheckpointer(args.orbax) if args.orbax else None
@@ -137,6 +150,10 @@ def main() -> None:
         noise = jax.random.normal(kn, x0.shape, jnp.float32)
         sigma = jax.random.uniform(kt, (args.batch,), minval=1e-3, maxval=1.0)
         loss, grads = jax.value_and_grad(loss_fn)(p, x0, noise, sigma)
+        if args.fsdp and mesh is not None:
+            from skrample_tpu.parallel import constrain
+
+            grads = constrain(grads, mesh, param_specs)  # dp all-reduce -> reduce-scatter
         updates, o = opt.update(grads, o, p)
         p = optax.apply_updates(p, updates)
         e = ema_update(e, p, decay=args.ema_decay, step=n)
