@@ -25,6 +25,14 @@ Synthetic data (a fixed random image set) keeps the example hermetic; swap
 `make_batch` for a real loader.  Runs on CPU in seconds at the default toy
 size; scale dims up on a chip.
 
+  --host-loader  the real-dataset pattern: the image set stays HOST-side and
+                 `skrample_tpu.data` feeds the chip — EpochLoader draws
+                 deterministic shuffled batches (resumable: batch n of epoch
+                 e is a pure function of the seed) and prefetch_to_device
+                 keeps 2 batches in flight so the H2D copy overlaps compute.
+                 One jitted step per batch instead of the scanned epoch
+                 (scanning requires the data resident on device).
+
 Run: python examples/train_flow_matching.py [--steps 200] [--remat]
      [--dp 2 --tp 2] [--checkpoint /tmp/dit.npz | --orbax /tmp/dit_ckpt]
 """
@@ -70,6 +78,7 @@ def main() -> None:
     ap.add_argument("--orbax", type=str, default="", help="orbax checkpoint dir (async, full train state)")
     ap.add_argument("--ema-decay", type=float, default=0.9999)
     ap.add_argument("--opt8", action="store_true", help="int8 block-quantized AdamW moments (~2 vs 8 bytes/param of optimizer state; skrample_tpu.optim.adamw8bit)")
+    ap.add_argument("--host-loader", action="store_true", help="feed host-resident data via skrample_tpu.data (EpochLoader + prefetch_to_device) instead of the scanned device-resident epoch")
     args = ap.parse_args()
 
     config = DiTConfig(
@@ -137,11 +146,12 @@ def main() -> None:
         pred = model.apply(p, xt, sigma * 1000.0)
         return jnp.mean((pred - (noise - x0)) ** 2)  # velocity target
 
-    def train_step(carry, inputs):
+    def train_step(carry, inputs, x0=None):
         p, o, e = carry
         key, n = inputs
         kb, kn, kt = jax.random.split(key, 3)
-        x0 = make_batch(kb)
+        if x0 is None:  # scanned mode draws from the device-resident set
+            x0 = make_batch(kb)
         if mesh is not None:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
@@ -164,13 +174,40 @@ def main() -> None:
         keys = jax.random.split(key, args.steps)
         return jax.lax.scan(train_step, (p, o, e), (keys, step0 + jnp.arange(args.steps)))
 
+    @jax.jit
+    def host_step(p, o, e, x0, key, n):
+        (p, o, e), loss = train_step((p, o, e), (key, n), x0=x0)
+        return p, o, e, loss
+
     t0 = time.perf_counter()
     ctx = mesh if mesh is not None else _null()
     with ctx:
-        (params, opt_state, ema), losses = epoch(
-            params, opt_state, ema, jax.random.fold_in(jax.random.PRNGKey(1), start_step), start_step
-        )
-        losses = np.asarray(losses)
+        if args.host_loader:
+            import itertools
+
+            from skrample_tpu.data import EpochLoader, prefetch_to_device
+
+            host_data = np.asarray(data)  # the dataset lives on the host
+            loader = EpochLoader({"x0": host_data}, args.batch, jax.random.PRNGKey(7))
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                place = lambda b: jax.device_put(b, {"x0": NamedSharding(mesh, P("dp"))})  # noqa: E731
+            else:
+                place = None
+            losses = []
+            batches = itertools.islice(prefetch_to_device(iter(loader), place=place), args.steps)
+            for n, batch in enumerate(batches, start=start_step):
+                key = jax.random.fold_in(jax.random.PRNGKey(1), n)
+                params, opt_state, ema, loss = host_step(params, opt_state, ema, batch["x0"], key, n)
+                losses.append(loss)
+            losses = np.asarray(jax.device_get(losses))
+        else:
+            (params, opt_state, ema), losses = epoch(
+                params, opt_state, ema, jax.random.fold_in(jax.random.PRNGKey(1), start_step), start_step
+            )
+            losses = np.asarray(losses)
     dt = time.perf_counter() - t0
     print(f"{args.steps} steps in {dt:.2f}s ({dt / args.steps * 1e3:.2f} ms/step incl. compile)")
     print(f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
