@@ -296,3 +296,29 @@ def test_adamw8bit_sr_loop_converges_bf16():
         params, state = step(params, state, i)
     err = float(jnp.mean(jnp.abs(params["w"].astype(jnp.float32) - target)))
     assert err < 0.02, err  # converged to within ~bf16 resolution of the target
+
+
+def test_gradient_accumulation_via_multisteps():
+    """optax.MultiSteps composes with adamw8bit: k accumulated microbatch
+    grads produce the same update as one k-x-larger batch (mean semantics),
+    and the 8-bit moment state only advances on the boundary step."""
+    k = 4
+    params = {"w": jax.random.normal(jax.random.PRNGKey(3), (64, 32)) * 0.3}
+    inner = optim.adamw8bit(**HYPER)
+    acc = optax.MultiSteps(inner, every_k_schedule=k)
+    ref = optim.adamw8bit(**HYPER)
+
+    s_acc, s_ref = acc.init(params), ref.init(params)
+    p_acc = p_ref = params
+    micro = [jax.tree.map(lambda p, i=i: jnp.cos(p * (i + 1)) * 0.1, params) for i in range(k)]
+    mean_grad = jax.tree.map(lambda *gs: sum(gs) / k, *micro)
+
+    for g in micro:
+        u, s_acc = acc.update(g, s_acc, p_acc)
+        p_acc = optax.apply_updates(p_acc, u)
+    u_ref, s_ref = ref.update(mean_grad, s_ref, p_ref)
+    p_ref = optax.apply_updates(p_ref, u_ref)
+
+    np.testing.assert_allclose(np.asarray(p_acc["w"]), np.asarray(p_ref["w"]), rtol=1e-6, atol=1e-7)
+    # the wrapped 8-bit state stepped exactly once
+    assert int(s_acc.inner_opt_state.count) == 1
