@@ -293,9 +293,29 @@ class MMDiT:
         prediction.  ``pooled`` (B, pooled_dim) is required with the SD3
         wiring (``pooled_dim > 0``) and rejected otherwise."""
         c = self.config
+        _B, _C, H, W = x.shape
+        in_dtype = x.dtype
+
+        img, txt, cond = self._prelude(params, x, t, context, pooled)
+
+        block_fn = _remat_wrap(self._block, c.remat)
+        for block in params["blocks"]:
+            img, txt = block_fn(block, img, txt, cond)
+
+        return self._finalize(params, img, cond, H, W, in_dtype)
+
+    def _prelude(
+        self,
+        params: dict,
+        x: jax.Array,
+        t: jax.Array,
+        context: jax.Array | None,
+        pooled: jax.Array | None,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        "Everything before the block stack: (img tokens, txt tokens, cond)."
+        c = self.config
         dtype = c.compute_dtype
         B, _C, H, W = x.shape
-        in_dtype = x.dtype
 
         if (pooled is not None) != c.sd3_wiring:
             raise ValueError("pooled= goes with MMDiTConfig(pooled_dim > 0), and is required there")
@@ -339,15 +359,61 @@ class MMDiT:
             temb = _dense(params["t_mlp1"], tfeat, dtype)
             pool = _dense(params["pool_mlp"], context.mean(axis=1), dtype)
             cond = jax.nn.silu(_dense(params["t_mlp2"], jax.nn.silu(temb + pool), dtype))
+        return img, txt, cond
 
-        block_fn = _remat_wrap(self._block, c.remat)
-        for block in params["blocks"]:
-            img, txt = block_fn(block, img, txt, cond)
-
+    def _finalize(self, params: dict, img: jax.Array, cond: jax.Array, H: int, W: int, in_dtype: Any) -> jax.Array:
+        "Final modulation + out-projection + unpatchify."
+        dtype = self.config.compute_dtype
         shift, scale = jnp.split(_dense(params["final_mod"], cond, dtype), 2, axis=-1)
         img = _adaln(img, shift, scale)
         out = _dense(params["final_out"], img, dtype)
         return self.unpatchify(out, H, W).astype(in_dtype)
+
+    def apply_pipelined(
+        self,
+        params: dict,
+        x: jax.Array,
+        t: jax.Array,
+        mesh: Any,
+        microbatch: int,
+        context: jax.Array | None = None,
+        pooled: jax.Array | None = None,
+        axis: str = "pp",
+    ) -> jax.Array:
+        """Pipeline-parallel forward (GPipe-lite over the ``pp`` axis).
+
+        The ``(img, txt, cond)`` triple streams through the stage ring —
+        both residual streams plus the conditioning vector every block's
+        modulations read.  Needs uniform blocks: SD3's ``final_txt_pre_only``
+        last block and SD3.5-medium's ``dual_attention_layers`` give blocks
+        different param structure, which cannot stack stage-major.  See
+        :meth:`skrample_tpu.models.DiT.apply_pipelined` for the schedule."""
+        from ..parallel.pipeline_stages import pipeline_apply, stack_stages
+
+        c = self.config
+        if c.final_txt_pre_only or c.dual_attention_layers:
+            raise ValueError("pipeline parallelism needs uniform blocks (no final_txt_pre_only / dual attention)")
+        B, _C, H, W = x.shape
+        in_dtype = x.dtype
+        stages = mesh.shape[axis]
+        if B % microbatch:
+            raise ValueError(f"batch {B} not divisible into microbatches of {microbatch}")
+
+        img, txt, cond = self._prelude(params, x, t, context, pooled)
+        staged = stack_stages(params["blocks"], stages)
+        per = c.depth // stages
+
+        def stage_fn(local: dict, carry: tuple[jax.Array, jax.Array, jax.Array]):
+            im, tx, cd = carry
+            for i in range(per):
+                im, tx = self._block(jax.tree.map(lambda leaf: leaf[i], local), im, tx, cd)
+            return im, tx, cd
+
+        count = B // microbatch
+        as_mb = lambda a: a.reshape(count, microbatch, *a.shape[1:])  # noqa: E731
+        img_out, _txt, _cd = pipeline_apply(stage_fn, staged, (as_mb(img), as_mb(txt), as_mb(cond)), mesh, axis)
+        img = img_out.reshape(B, *img_out.shape[2:])
+        return self._finalize(params, img, cond, H, W, in_dtype)
 
     def _joint_attention(self, qkv_img: jax.Array, qkv_txt: jax.Array) -> tuple[jax.Array, jax.Array]:
         "Concat the streams along tokens, attend jointly, split back."

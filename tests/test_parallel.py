@@ -176,6 +176,41 @@ def test_dit_pipelined_matches_apply(stages, microbatch):
     np.testing.assert_allclose(np.asarray(piped), expected, rtol=1e-5, atol=1e-5)
 
 
+def test_mmdit_pipelined_matches_apply():
+    "MMDiT.apply_pipelined: the (img, txt, cond) triple streams through pp."
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from skrample_tpu.models import MMDiT, MMDiTConfig
+
+    stages = 4
+    mesh = Mesh(np.asarray(jax.devices()[:stages]), ("pp",))
+    model = MMDiT(
+        MMDiTConfig(
+            patch=2, channels=4, dim=64, depth=4, heads=4, context_dim=32, context_tokens=128,
+            attention="full", compute_dtype=jnp.float32,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0))
+
+    B = 4
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 4, 8, 8), jnp.float32)
+    t = jnp.linspace(10.0, 900.0, B)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, 128, 32), jnp.float32)
+
+    expected = np.asarray(model.apply(params, x, t, context=ctx))
+    with mesh:
+        piped = jax.jit(
+            lambda p, x, t, c: model.apply_pipelined(p, x, t, mesh, microbatch=2, context=c)
+        )(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(piped), expected, rtol=1e-5, atol=1e-5)
+
+    # non-uniform block structure is rejected up front
+    bad = MMDiT(MMDiTConfig(dim=64, depth=4, heads=4, dual_attention_layers=(1,), compute_dtype=jnp.float32))
+    with pytest.raises(ValueError, match="uniform blocks"):
+        bad.apply_pipelined(params, x, t, mesh, microbatch=2)
+
+
 def test_pipeline_pytree_carry():
     "pipeline_apply carries pytrees (tokens + conditioning) through stages."
     import numpy as np
