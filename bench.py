@@ -707,11 +707,28 @@ def main() -> None:
     transform = models.FlowModel()
     shape = (1, 4, 128, 128)
 
-    head = headline_section(jax, jnp, sampler, schedule, transform, shape)
-    dispatch = dispatch_section(jax, jnp, sampler, schedule, transform, shape)
-    serving = serving_section(jax, jnp)
-    training = training_section(jax, jnp)
-    mmdit = mmdit_section(jax, jnp)
+    def _transient(exc: Exception) -> bool:
+        # dev-tunnel infrastructure faults (remote compile service hiccups),
+        # not code: retrying is correct, crashing loses the round artifact
+        msg = str(exc)
+        return any(s in msg for s in ("remote_compile", "read body", "UNAVAILABLE", "DEADLINE_EXCEEDED"))
+
+    def run_section(fn, *args, required: bool, attempts: int = 3, **kw):
+        for attempt in range(attempts):
+            try:
+                return fn(*args, **kw)
+            except Exception as exc:  # noqa: BLE001 — filtered below
+                if not _transient(exc) or attempt == attempts - 1:
+                    if required:
+                        raise
+                    return {f"{fn.__name__}_unavailable": str(exc)[:160]}
+        return None  # unreachable
+
+    head = run_section(headline_section, jax, jnp, sampler, schedule, transform, shape, required=True)
+    dispatch = run_section(dispatch_section, jax, jnp, sampler, schedule, transform, shape, required=False)
+    serving = run_section(serving_section, jax, jnp, required=False)
+    training = run_section(training_section, jax, jnp, required=False)
+    mmdit = run_section(mmdit_section, jax, jnp, required=False)
     guards = sigma_guards()
     latent_mse = oracle_guard(jax, jnp, sampler, schedule, transform)
 

@@ -103,3 +103,17 @@ def test_prefetch_trains_end_to_end():
         acc = step(acc, batch)
         host_acc += float(np.sum(np.asarray(batch["x"]))) + float(np.sum(np.asarray(batch["y"])))
     np.testing.assert_allclose(float(acc), host_acc, rtol=1e-6)
+
+
+def test_ragged_tail_kept_when_not_dropping():
+    "drop_remainder=False yields the short final batch of each epoch."
+    loader, _ = _loader(batch=4, count=10)
+    assert loader.per_epoch == 2  # default drops the ragged pair
+
+    data = {"y": np.arange(10, dtype=np.int32)}
+    keep = EpochLoader(data, 4, jax.random.PRNGKey(0), drop_remainder=False)
+    assert keep.per_epoch == 3
+    sizes = [np.asarray(keep.batch_at(n)["y"]).shape[0] for n in range(3)]
+    assert sizes == [4, 4, 2]
+    seen = np.concatenate([np.asarray(keep.batch_at(n)["y"]) for n in range(3)])
+    assert sorted(seen.tolist()) == list(range(10))
