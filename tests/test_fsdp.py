@@ -146,6 +146,40 @@ def test_fsdp_adamw8bit():
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=5e-4, rtol=0)
 
 
+def test_fsdp_generalizes_to_flux_tree():
+    """fsdp_param_specs is model-agnostic: it composes with the Flux
+    double+single-stream param_spec and the fsdp-sharded forward matches
+    the replicated one (weights all-gather on use)."""
+    from skrample_tpu.models import Flux, FluxConfig
+
+    mesh = make_mesh(dp=4, extra_axes={"tp": 2})
+    model = Flux(
+        FluxConfig(
+            patch=1, channels=4, dim=128, heads=1, depth=1, single_depth=1,
+            context_dim=32, pooled_dim=16, guidance=False,
+            rope_axes=(32, 48, 48), compute_dtype=jnp.float32,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    specs = fsdp_param_specs(params, 4, base_specs=model.param_spec(), min_size=1024)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 8, 8), jnp.float32)
+    t = jnp.full((4,), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (4, 8, 32), jnp.float32)
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (4, 16), jnp.float32)
+
+    expected = np.asarray(model.apply(params, x, t, ctx, pooled))
+    with mesh:
+        sharded = shard_tree(params, mesh, specs)
+        got = jax.jit(lambda p: model.apply(p, x, t, ctx, pooled))(sharded)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=2e-4, atol=2e-4)
+
+    # at least one double- and one single-stream weight actually sharded over dp
+    flat = jax.tree.leaves_with_path(specs)
+    assert any("dp" in str(spec) and "double" in str(path) for path, spec in flat)
+    assert any("dp" in str(spec) and "single" in str(path) for path, spec in flat)
+
+
 if __name__ == "__main__":
     import sys
 
