@@ -180,6 +180,35 @@ def test_fsdp_generalizes_to_flux_tree():
     assert any("dp" in str(spec) and "single" in str(path) for path, spec in flat)
 
 
+def test_fsdp_state_roundtrips_through_checkpointer(tmp_path):
+    """Save an FSDP-sharded train state with the orbax TrainCheckpointer,
+    restore it INTO the fsdp shardings (like=), continue one step: identical
+    to uninterrupted training, and the restored leaves land dp-sharded."""
+    from skrample_tpu.models.checkpoint import TrainCheckpointer
+
+    mesh, model, params0 = _model_and_mesh()
+    specs = fsdp_param_specs(params0, 4, base_specs=model.param_spec(), min_size=1024)
+    opt = optax.adamw(1e-3)
+
+    p_straight, o_straight, _ = _run(model, params0, mesh, specs, opt, steps=2)
+
+    p1, o1, _ = _run(model, params0, mesh, specs, opt, steps=1)
+    with TrainCheckpointer(tmp_path / "fsdp") as ckpt:
+        ckpt.save(1, {"params": p1, "opt": o1})
+        ckpt.wait()
+        restored = ckpt.restore(like={"params": p1, "opt": o1})
+    rp, ro = restored["params"], restored["opt"]
+    assert "dp" in str(rp["blocks"][0]["qkv"]["w"].sharding.spec)
+
+    step = _make_step(model, opt, mesh, specs, batch=8)
+    with mesh:
+        p2, _o2, loss = step(rp, ro, jax.random.PRNGKey(101))
+    assert np.isfinite(float(loss))
+    for ref, got in zip(jax.tree.leaves(p_straight), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-6, atol=1e-7)
+
+
+
 if __name__ == "__main__":
     import sys
 
