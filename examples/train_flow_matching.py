@@ -79,6 +79,7 @@ def main() -> None:
     ap.add_argument("--ema-decay", type=float, default=0.9999)
     ap.add_argument("--opt8", action="store_true", help="int8 block-quantized AdamW moments (~2 vs 8 bytes/param of optimizer state; skrample_tpu.optim.adamw8bit)")
     ap.add_argument("--host-loader", action="store_true", help="feed host-resident data via skrample_tpu.data (EpochLoader + prefetch_to_device) instead of the scanned device-resident epoch")
+    ap.add_argument("--lora", type=int, default=0, help="train rank-N LoRA adapters over the frozen base instead of full params (models.lora_init/lora_merge: grads + moments shrink to the adapter tree; the base rides through jit as a frozen argument)")
     args = ap.parse_args()
 
     config = DiTConfig(
@@ -95,17 +96,34 @@ def main() -> None:
         params = load_params(args.checkpoint)
         print(f"resumed from {args.checkpoint}")
 
+    base_params: dict = {}
+    if args.lora:
+        from skrample_tpu.models import lora_init, lora_merge
+
+        base_params = params
+        params = lora_init(jax.random.PRNGKey(2), base_params, rank=args.lora)
+        n_base = sum(int(v.size) for v in jax.tree.leaves(base_params))
+        n_ad = sum(int(v.size) for v in jax.tree.leaves(params))
+        print(f"LoRA rank {args.lora}: training {n_ad} of {n_base} params ({n_ad / n_base:.2%})")
+
     mesh = None
     param_specs = None
     if args.fsdp and args.dp < 2:
         raise SystemExit("--fsdp shards over the dp axis; pass --dp > 1")
     if args.dp * args.tp > 1:
         from jax.sharding import Mesh
+        from jax.sharding import PartitionSpec as P
 
         from skrample_tpu.parallel import fsdp_param_specs, shard_tree
 
         mesh = Mesh(np.asarray(jax.devices()[: args.dp * args.tp]).reshape(args.dp, args.tp), ("dp", "tp"))
-        param_specs = model.param_spec()
+        if args.lora:
+            # the frozen base keeps the megatron tp layout; adapters are tiny
+            # (replicated unless --fsdp shards the larger ones over dp)
+            base_params = shard_tree(base_params, mesh, model.param_spec())
+            param_specs = jax.tree.map(lambda _: P(), params)
+        else:
+            param_specs = model.param_spec()
         if args.fsdp:
             param_specs = fsdp_param_specs(params, args.dp, base_specs=param_specs, min_size=1024)
         params = shard_tree(params, mesh, param_specs)
@@ -140,13 +158,14 @@ def main() -> None:
         idx = jax.random.randint(key, (args.batch,), 0, data.shape[0])
         return data[idx]
 
-    def loss_fn(p, x0, noise, sigma):
+    def loss_fn(p, base, x0, noise, sigma):
+        tree = lora_merge(base, p) if args.lora else p
         s = sigma[:, None, None, None]
         xt = (1 - s) * x0 + s * noise  # linear interpolant: x_t
-        pred = model.apply(p, xt, sigma * 1000.0)
+        pred = model.apply(tree, xt, sigma * 1000.0)
         return jnp.mean((pred - (noise - x0)) ** 2)  # velocity target
 
-    def train_step(carry, inputs, x0=None):
+    def train_step(carry, inputs, base, x0=None):
         p, o, e = carry
         key, n = inputs
         kb, kn, kt = jax.random.split(key, 3)
@@ -159,7 +178,7 @@ def main() -> None:
             x0 = jax.lax.with_sharding_constraint(x0, NamedSharding(mesh, P("dp")))
         noise = jax.random.normal(kn, x0.shape, jnp.float32)
         sigma = jax.random.uniform(kt, (args.batch,), minval=1e-3, maxval=1.0)
-        loss, grads = jax.value_and_grad(loss_fn)(p, x0, noise, sigma)
+        loss, grads = jax.value_and_grad(loss_fn)(p, base, x0, noise, sigma)
         if args.fsdp and mesh is not None:
             from skrample_tpu.parallel import constrain
 
@@ -169,14 +188,17 @@ def main() -> None:
         e = ema_update(e, p, decay=args.ema_decay, step=n)
         return (p, o, e), loss
 
+    # NOTE: the (frozen) base threads through jit as an ARGUMENT — closing
+    # over a multi-GB tree lowers it as captured constants (see BASELINE.md)
     @jax.jit
-    def epoch(p, o, e, key, step0):
+    def epoch(base, p, o, e, key, step0):
         keys = jax.random.split(key, args.steps)
-        return jax.lax.scan(train_step, (p, o, e), (keys, step0 + jnp.arange(args.steps)))
+        body = lambda carry, inp: train_step(carry, inp, base)  # noqa: E731
+        return jax.lax.scan(body, (p, o, e), (keys, step0 + jnp.arange(args.steps)))
 
     @jax.jit
-    def host_step(p, o, e, x0, key, n):
-        (p, o, e), loss = train_step((p, o, e), (key, n), x0=x0)
+    def host_step(base, p, o, e, x0, key, n):
+        (p, o, e), loss = train_step((p, o, e), (key, n), base, x0=x0)
         return p, o, e, loss
 
     t0 = time.perf_counter()
@@ -200,12 +222,12 @@ def main() -> None:
             batches = itertools.islice(prefetch_to_device(iter(loader), place=place), args.steps)
             for n, batch in enumerate(batches, start=start_step):
                 key = jax.random.fold_in(jax.random.PRNGKey(1), n)
-                params, opt_state, ema, loss = host_step(params, opt_state, ema, batch["x0"], key, n)
+                params, opt_state, ema, loss = host_step(base_params, params, opt_state, ema, batch["x0"], key, n)
                 losses.append(loss)
             losses = np.asarray(jax.device_get(losses))
         else:
             (params, opt_state, ema), losses = epoch(
-                params, opt_state, ema, jax.random.fold_in(jax.random.PRNGKey(1), start_step), start_step
+                base_params, params, opt_state, ema, jax.random.fold_in(jax.random.PRNGKey(1), start_step), start_step
             )
             losses = np.asarray(losses)
     dt = time.perf_counter() - t0

@@ -20,6 +20,7 @@ from .import_weights import (
     merge_lora,
     sd3_mmdit,
 )
+from .lora import lora_init, lora_merge, lora_param_count
 from .mmdit import MMDiT, MMDiTConfig
 from .sd3 import SD3Stack
 from .sdxl import SDXLStack
@@ -68,6 +69,9 @@ __all__ = [
     "ema_update",
     "flux_transformer",
     "load_params",
+    "lora_init",
+    "lora_merge",
+    "lora_param_count",
     "merge_lora",
     "save_params",
     "sd3_mmdit",
