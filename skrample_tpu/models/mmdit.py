@@ -595,7 +595,7 @@ class MMDiT:
 
         return guided_fn
 
-    def as_served(self, params: dict, guidance_scale: float = 1.0):
+    def as_served(self, params: dict, guidance_scale: float = 1.0, per_request_scale: bool = False):
         """Conditioned-serving closure: ``(x, t, sigma, alpha, context)``.
 
         Unlike :meth:`as_sampleable` (context bound at closure time, one
@@ -605,11 +605,24 @@ class MMDiT:
         prompt.  ``context=None`` (baked, not traced) is the unconditional
         branch; with ``guidance_scale != 1`` conditioned batches run
         classifier-free guidance against the learned null context, both
-        branches in one doubled-batch forward."""
+        branches in one doubled-batch forward.
+
+        ``per_request_scale=True`` makes the guidance scale a TRACED
+        per-request value too: each request's context becomes the pair
+        ``(context, scale)`` (a scalar; the engine stacks it to ``(B,)``),
+        and the CFG mix uses each item's own scale — one executable serves
+        every (prompt, guidance) combination, the per-request knob the
+        diffusers pipelines expose per call.  ``guidance_scale`` is ignored
+        in this mode."""
 
         def model_fn(x, t, sigma, alpha, context=None):
             B = x.shape[0]
-            if context is None or guidance_scale == 1.0:
+            scale = None
+            if per_request_scale:
+                if context is None:
+                    raise ValueError("per_request_scale serving requires context=(context, scale) per request")
+                context, scale = context
+            if context is None or (scale is None and guidance_scale == 1.0):
                 return self.apply(params, x, t, context)
             both = self.apply(
                 params,
@@ -620,7 +633,10 @@ class MMDiT:
                 ),
             )
             c_out, u_out = both[:B], both[B:]
-            return u_out + guidance_scale * (c_out - u_out)
+            if scale is None:
+                return u_out + guidance_scale * (c_out - u_out)
+            s = jnp.reshape(scale, (B,) + (1,) * (c_out.ndim - 1)).astype(c_out.dtype)
+            return u_out + s * (c_out - u_out)
 
         return model_fn
 

@@ -218,3 +218,47 @@ def test_flops_formula_matches_trace() -> None:
     analytic = mmdit_forward_flops(config, 2, 16, 16)
     # t_mlp1/t_mlp2/patch-dims are the only terms the closed form rounds; keep them within 2%
     assert abs(total - analytic) / total < 0.02, (total, analytic)
+
+
+def test_per_request_guidance_scale() -> None:
+    """as_served(per_request_scale=True): each request carries (context,
+    scale) and the CFG mix uses its own scale — one executable for every
+    (prompt, guidance) combination."""
+    from skrample_tpu.serving import ServingEngine
+
+    model = MMDiT(small_config())
+    params = wake_params(model, jax.random.PRNGKey(0))
+    served = model.as_served(params, per_request_scale=True)
+
+    # closure-level: per-item scales == the scalar formula per item
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16, 16), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 77, 192), jnp.float32)
+    scales = jnp.asarray([1.5, 6.0], jnp.float32)
+    got = served(x, jnp.float32(500.0), 1.0, 0.0, (ctx, scales))
+    c = model.apply(params, x, jnp.float32(500.0), ctx)
+    u = model.apply(params, x, jnp.float32(500.0), None)
+    ref = u + scales[:, None, None, None] * (c - u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    # engine-level: mixed scales batch together, bit-equal to solo runs,
+    # sharing one executable
+    kwargs = dict(
+        sampler=structured.DPM(order=2),
+        schedule=scheduling.FlowShift(scheduling.Linear()),
+        model_transform=models.FlowModel(),
+        item_shape=(4, 16, 16),
+        steps=4,
+        conditioned=True,
+    )
+    ctx1 = jax.random.normal(jax.random.PRNGKey(3), (77, 192), jnp.float32)
+    requests = [(ctx1, jnp.float32(1.0)), (ctx1, jnp.float32(4.0)), (ctx1 * 0.5, jnp.float32(4.0))]
+    with ServingEngine(served, buckets=(1,), **kwargs) as engine:
+        ref_out = [np.asarray(engine.generate(k, context=r)) for k, r in enumerate(requests)]
+    with ServingEngine(served, buckets=(4,), max_delay_ms=50.0, **kwargs) as engine:
+        futs = [engine.submit(k, context=r) for k, r in enumerate(requests)]
+        got_out = [np.asarray(f.result()) for f in futs]
+        assert len(engine._executables) == 1
+    for r, g in zip(ref_out, got_out):
+        np.testing.assert_array_equal(r, g)
+    # the scale knob matters: same prompt, different guidance -> different image
+    assert not np.array_equal(got_out[0], got_out[1])
