@@ -26,7 +26,7 @@ from .sd3 import SD3Stack
 from .sdxl import SDXLStack
 from .t5_encoder import T5Encoder, T5EncoderConfig
 from .text_encoder import ByteTokenizer, TextEncoder, TextEncoderConfig
-from .tokenizers import CLIPBPETokenizer
+from .tokenizers import CLIPBPETokenizer, UnigramTokenizer
 from .unet import UNet, UNetConfig
 from .unet_cond import CondUNet, CondUNetConfig
 from .vae import VAE, VAEConfig
@@ -35,6 +35,7 @@ from .video_dit import VideoDiT, VideoDiTConfig
 __all__ = [
     "ByteTokenizer",
     "CLIPBPETokenizer",
+    "UnigramTokenizer",
     "CondUNet",
     "CondUNetConfig",
     "ControlNet",

@@ -10,8 +10,10 @@ FLUX.1-schnell drops it.  The Flux AutoencoderKL carries a latent
 ``shift_factor`` alongside the scale, both folded into our VAE's
 ``encode``/``decode``.
 
-Tokenization stays outside (the checkpoints' own tokenizers produce ids);
-everything from ids to pixels runs here.
+Callers pass token ids; ``models.CLIPBPETokenizer`` (tokenizer/) and
+``models.UnigramTokenizer.from_tokenizer_json`` (tokenizer_2/) produce
+them from the checkpoint's own vocabulary assets, so everything from text
+to pixels runs here.
 """
 
 from __future__ import annotations

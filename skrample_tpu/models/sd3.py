@@ -22,10 +22,12 @@ The conditioning recipe (the SD3 release / diffusers
 * the unconditional branch is the *encoded empty prompt*, not a learned
   null.
 
-Tokenization stays outside: real CLIP-BPE / SentencePiece vocabularies are
-data artifacts of the checkpoints, so callers pass token ids (from
-``transformers`` tokenizers or any equivalent).  Everything from ids to
-pixels runs here.
+Callers pass token ids; the vocabularies are checkpoint assets, and both
+id producers live in-framework — ``models.CLIPBPETokenizer`` over the
+checkpoint's ``vocab.json``/``merges.txt`` for the CLIP towers and
+``models.UnigramTokenizer.from_tokenizer_json`` for the T5 tower — so
+everything from text to pixels runs here (any equivalent external
+tokenizer works too).
 """
 
 from __future__ import annotations

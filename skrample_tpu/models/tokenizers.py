@@ -15,15 +15,18 @@ HF falls back to a BERT BasicTokenizer that additionally strips accents —
 for ASCII prompts all three agree, and the parity test pins ours to
 transformers on a shared synthetic vocabulary.)
 
-T5 checkpoints use SentencePiece, whose model file is a protobuf — load
-ids with any SentencePiece implementation; this module covers the CLIP
-towers (SD1.5 / SDXL / SD3 / Flux all use CLIP BPE for their CLIP text
-encoders).
+T5 checkpoints (SD3's third tower, Flux's context encoder) use
+SentencePiece Unigram; :class:`UnigramTokenizer` implements it over the
+checkpoint's ``tokenizer.json`` (the HF-format file every diffusers T5
+tokenizer directory ships) — Viterbi segmentation, metaspace word
+marking, unknown-character fusion — so the SD3/Flux stacks produce exact
+ids with no sentencepiece/transformers dependency.
 """
 
 from __future__ import annotations
 
 import json
+import unicodedata
 from pathlib import Path
 
 import numpy as np
@@ -139,4 +142,183 @@ class CLIPBPETokenizer:
         for text in texts:
             ids = [self.bos_id, *self.encode(text)[: length - 2], self.eos_id]
             rows.append(ids + [pad] * (length - len(ids)))
+        return np.asarray(rows, np.int32)
+
+
+_METASPACE = "▁"  # the SentencePiece word-boundary marker
+_UNK_PENALTY = 10.0  # unknown chars score min(vocab) - this (sentencepiece kUnkPenalty)
+
+
+class UnigramTokenizer:
+    """SentencePiece-Unigram tokenizer over a checkpoint's vocabulary —
+    the T5 family (SD3's tokenizer_3, Flux's tokenizer_2).
+
+    ``vocab`` is the scored piece list ``[(piece, log_prob), ...]`` in id
+    order, exactly as ``tokenizer.json``'s ``model.vocab`` carries it
+    (id = list index).  Segmentation is max-sum Viterbi over the pieces,
+    with single-character unknown nodes scored ``min(scores) - 10`` and
+    adjacent unknowns fused into one ``unk_id`` afterwards — matching the
+    HF ``tokenizers`` Unigram model id-for-id (pinned by the parity test
+    on a shared vocabulary).
+
+    Words are marked metaspace-style: every space becomes ``▁`` and the
+    text gets a leading ``▁``; pieces never span word boundaries.
+    Normalization approximates T5's precompiled nmt_nfkc charsmap with
+    NFKC + unicode-space/control mapping + space collapsing — exact for
+    ASCII and typical prompts (the charsmap's long tail is a baked binary
+    the json does not carry).
+
+    ``__call__`` produces the diffusers T5 id layout: ``tokens + eos``,
+    truncated to ``length``, padded with ``pad_id`` (no bos — T5 has
+    none).  SD3 uses length 77 at inference; Flux dev 512 / schnell 256.
+    """
+
+    def __init__(
+        self,
+        vocab: list[tuple[str, float]],
+        unk_id: int = 2,
+        eos_id: int = 1,
+        pad_id: int = 0,
+        specials: dict[str, int] | None = None,
+        max_tokens: int = 512,
+    ):
+        self.pieces = [(str(p), float(s)) for p, s in vocab]
+        self.scores = {p: s for p, s in self.pieces}
+        self.ids = {p: i for i, (p, _) in enumerate(self.pieces)}
+        self.unk_id, self.eos_id, self.pad_id = unk_id, eos_id, pad_id
+        self.max_tokens = max_tokens
+        self._unk_score = min(s for _, s in self.pieces) - _UNK_PENALTY
+        self._max_piece = max(len(p) for p, _ in self.pieces)
+        # atomic special tokens (T5's <extra_id_N> sentinels): matched
+        # verbatim BEFORE normalization/segmentation, longest first
+        self.specials = dict(specials or {})
+        self._special_re = (
+            regex.compile("|".join(regex.escape(t) for t in sorted(self.specials, key=len, reverse=True)))
+            if self.specials
+            else None
+        )
+
+    @classmethod
+    def from_tokenizer_json(cls, path: str | Path, **kw) -> "UnigramTokenizer":
+        """Load from an HF-format ``tokenizer.json`` (Unigram model only).
+
+        Consumes ``model.vocab``/``model.unk_id`` and the added-token
+        table (T5's ``</s>``/``<pad>`` ids and the ``<extra_id_*>``
+        sentinels)."""
+        blob = json.loads(Path(path).read_text(encoding="utf-8"))
+        model = blob["model"]
+        if model.get("type") != "Unigram":
+            raise ValueError(f"not a Unigram tokenizer.json (model.type={model.get('type')!r})")
+        vocab = [(p, float(s)) for p, s in model["vocab"]]
+        lookup = {p: i for i, (p, _) in enumerate(vocab)}
+        specials = {t["content"]: t["id"] for t in blob.get("added_tokens", []) if t["content"] not in lookup}
+        eos = lookup.get("</s>", 1)
+        pad = lookup.get("<pad>", 0)
+        return cls(vocab, unk_id=int(model.get("unk_id", 2)), eos_id=eos, pad_id=pad, specials=specials, **kw)
+
+    @staticmethod
+    def _normalize(text: str) -> str:
+        "NFKC + unicode spaces/controls -> ascii space + run collapsing."
+        text = unicodedata.normalize("NFKC", text)
+        out = []
+        for ch in text:
+            cat = unicodedata.category(ch)
+            if cat == "Zs" or ch in "\t\n\r\x0b\x0c":
+                out.append(" ")
+            elif cat in ("Cc", "Cf"):
+                continue
+            else:
+                out.append(ch)
+        return regex.sub(" {2,}", " ", "".join(out))
+
+    def _viterbi(self, chunk: str) -> list[int]:
+        "Best segmentation of one metaspace-marked word; unknowns fused."
+        n = len(chunk)
+        best = [float("-inf")] * (n + 1)
+        back: list[tuple[int, int]] = [(-1, -1)] * (n + 1)  # (start, id or -1=unk)
+        best[0] = 0.0
+        for end in range(1, n + 1):
+            for start in range(max(0, end - self._max_piece), end):
+                if best[start] == float("-inf"):
+                    continue
+                piece = chunk[start:end]
+                score = self.scores.get(piece)
+                if score is not None and best[start] + score > best[end]:
+                    best[end] = best[start] + score
+                    back[end] = (start, self.ids[piece])
+            # single-char unknown fallback node
+            if best[end - 1] != float("-inf") and best[end - 1] + self._unk_score > best[end]:
+                best[end] = best[end - 1] + self._unk_score
+                back[end] = (end - 1, -1)
+        ids: list[int] = []
+        pos = n
+        while pos > 0:
+            start, tid = back[pos]
+            ids.append(tid)
+            pos = start
+        ids.reverse()
+        out: list[int] = []
+        prev_unk = False
+        for tid in ids:  # fuse adjacent unknowns into one unk id
+            if tid == -1:
+                if not prev_unk:
+                    out.append(self.unk_id)
+                prev_unk = True
+            else:
+                out.append(tid)
+                prev_unk = False
+        return out
+
+    def encode(self, text: str) -> list[int]:
+        "Text -> Unigram ids, no implicit specials."
+        segments: list[str | int] = []
+        if self._special_re is not None:
+            pos = 0
+            for m in self._special_re.finditer(text):
+                if m.start() > pos:
+                    segments.append(text[pos : m.start()])
+                segments.append(self.specials[m.group()])
+                pos = m.end()
+            if pos < len(text):
+                segments.append(text[pos:])
+        else:
+            segments.append(text)
+
+        ids: list[int] = []
+        for seg in segments:
+            if isinstance(seg, int):
+                ids.append(seg)
+                continue
+            norm = self._normalize(seg)
+            if not norm:
+                continue
+            marked = norm.replace(" ", _METASPACE)
+            if not marked.startswith(_METASPACE):
+                marked = _METASPACE + marked
+            # every chunk begins at a word marker; pieces never span chunks
+            for word in regex.findall(f"{_METASPACE}[^{_METASPACE}]*", marked):
+                ids.extend(self._viterbi(word))
+        return ids
+
+    def decode(self, ids) -> str:
+        toks = []
+        rev_special = {i: t for t, i in self.specials.items()}
+        for i in np.asarray(ids).reshape(-1):
+            i = int(i)
+            if i in rev_special:
+                toks.append(rev_special[i])
+            elif i == self.unk_id:
+                toks.append(" ⁇ ")
+            elif 0 <= i < len(self.pieces):
+                toks.append(self.pieces[i][0])
+        return "".join(toks).replace(_METASPACE, " ").strip()
+
+    def __call__(self, texts: str | list[str], length: int | None = None) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        length = length or self.max_tokens
+        rows = []
+        for text in texts:
+            ids = [*self.encode(text)[: length - 1], self.eos_id]
+            rows.append(ids + [self.pad_id] * (length - len(ids)))
         return np.asarray(rows, np.int32)

@@ -79,6 +79,7 @@ class ServingEngine:
         max_delay_ms: float = 2.0,
         postprocess: Callable | None = None,
         conditioned: bool = False,
+        mesh: Any | None = None,
     ):
         """``postprocess`` (optional): a jittable batch -> batch function
         applied to every denoised batch before request slices are handed
@@ -94,7 +95,17 @@ class ServingEngine:
         executable per bucket serves every prompt — prompts never cause
         recompiles (provided the encoder emits a fixed token count).
         Requests without a context run the unconditional branch
-        (``context=None`` baked) and group separately."""
+        (``context=None`` baked) and group separately.
+
+        ``mesh`` (optional): a ``jax.sharding.Mesh`` with a ``dp`` axis —
+        every dispatched batch is sharded over it (batch axis over ``dp``,
+        riding ICI), so one engine drives all data-parallel chips.  The
+        sampler update is pointwise in the latent, so sharding needs zero
+        collectives; model-internal axes (``tp``, ...) belong to the
+        ``model_fn`` closure as usual.  Every bucket must be divisible by
+        the ``dp`` size (static shapes shard evenly), and per-request key
+        fan-out keeps results invariant to the sharding — a mesh engine
+        returns the same latents as a single-device one (tested)."""
         self.model_fn = model_fn
         self.item_shape = tuple(item_shape)
         self.steps = steps
@@ -102,6 +113,12 @@ class ServingEngine:
         self.buckets = tuple(sorted(buckets))
         self.max_delay_s = max_delay_ms / 1e3
         self.conditioned = conditioned
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            bad = [b for b in self.buckets if b % dp]
+            if bad:
+                raise ValueError(f"buckets {bad} not divisible by the mesh's dp={dp} (static shapes shard evenly)")
         self.stats = ServingStats()
 
         self._postprocess = jax.jit(postprocess) if postprocess is not None else None
@@ -196,10 +213,30 @@ class ServingEngine:
                     return lambda x, t, s, a: self.model_fn(x, t, s, a, ctx)
                 return self.model_fn
 
-            if denoiser.requires_noise:
-                run = lambda x0, noises, ctx=None: denoiser.run(model_for(ctx), x0, noises=noises, start=start)  # noqa: E731
-            else:
-                run = lambda x0, noises, ctx=None: denoiser.run(model_for(ctx), x0, start=start)  # noqa: E731
+            def run(x0, noises, ctx=None):
+                if self.mesh is not None:
+                    from .parallel import latent_sharding
+
+                    # constraints INSIDE the jitted program: batch over dp
+                    # for the carry and the per-step noise buffer (axis 1 —
+                    # its leading axis is the scan/step axis); ctx leaves
+                    # shard their batch axis.  The update is pointwise, so
+                    # no collectives appear.
+                    x0 = jax.lax.with_sharding_constraint(x0, latent_sharding(self.mesh, 0, ndim=x0.ndim))
+                    if noises is not None and getattr(noises, "ndim", 0):
+                        noises = jax.lax.with_sharding_constraint(
+                            noises, latent_sharding(self.mesh, 1, ndim=noises.ndim)
+                        )
+                    if ctx is not None:
+                        ctx = jax.tree.map(
+                            lambda leaf: jax.lax.with_sharding_constraint(
+                                leaf, latent_sharding(self.mesh, 0, ndim=leaf.ndim)
+                            ),
+                            ctx,
+                        )
+                if denoiser.requires_noise:
+                    return denoiser.run(model_for(ctx), x0, noises=noises, start=start)
+                return denoiser.run(model_for(ctx), x0, start=start)
             donate = () if jax.default_backend() == "cpu" else (0,)
             fn = self._executables[(start, batch, has_ctx)] = jax.jit(run, donate_argnums=donate)
         return fn

@@ -294,3 +294,51 @@ class TestConditioned:
             assert len(engine._executables) == 1
         for r, g in zip(ref, got):
             np.testing.assert_array_equal(r, g)
+
+
+class TestMesh:
+    "mesh=: batches shard over dp; results stay invariant to the sharding."
+
+    def test_sharded_equals_single_device(self):
+        from skrample_tpu.parallel import make_mesh
+
+        keys = list(range(5))
+        ref = singles(keys)
+        mesh = make_mesh(dp=4)
+        with make_engine(buckets=(4, 8), max_delay_ms=50.0, mesh=mesh) as engine:
+            futs = [engine.submit(k) for k in keys]
+            got = [np.asarray(f.result()) for f in futs]
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(r, g)
+
+    def test_sharded_stochastic_and_conditioned(self):
+        from skrample_tpu.parallel import make_mesh
+
+        sampler = structured.DPM(order=1, stochasticity=1.0)
+        mesh = make_mesh(dp=2)
+        conds = [jnp.full((3, 4), float(i)) for i in (1, 2, 3)]
+        with ServingEngine(
+            conditioned_model, item_shape=(4, 8, 8), steps=6, buckets=(1,), sampler=sampler, conditioned=True
+        ) as solo:
+            ref = [np.asarray(solo.generate(k, context=c)) for k, c in enumerate(conds)]
+        with ServingEngine(
+            conditioned_model,
+            item_shape=(4, 8, 8),
+            steps=6,
+            buckets=(4,),
+            max_delay_ms=50.0,
+            sampler=sampler,
+            conditioned=True,
+            mesh=mesh,
+        ) as engine:
+            futs = [engine.submit(k, context=c) for k, c in enumerate(conds)]
+            got = [np.asarray(f.result()) for f in futs]
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(r, g)
+
+    def test_indivisible_bucket_rejected(self):
+        from skrample_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp=4)
+        with pytest.raises(ValueError, match="divisible"):
+            ServingEngine(toy_model, item_shape=(4, 8, 8), steps=4, buckets=(1, 4), mesh=mesh)
