@@ -68,7 +68,7 @@ def main(requests: int = 64, steps: int = 25) -> None:
 
     # raw floor: the same executable the engine uses, dispatched back to back
     with engine() as e:
-        fn = e._executable(BUCKET)
+        fn = e._executable(0, BUCKET)
         x0 = jax.random.normal(jax.random.PRNGKey(1), (BUCKET, *ITEM), jnp.float32)
         np.asarray(fn(x0, None))  # compile + force transfer (tunnel discipline)
 

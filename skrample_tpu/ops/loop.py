@@ -153,6 +153,52 @@ class CompiledDenoiser:
             ring = (*slot, *ring[: -self.slots])
         return x_new, ring
 
+    def step_batched(
+        self,
+        step_weights: jax.Array,
+        x: jax.Array,
+        o: jax.Array,
+        ring: tuple[jax.Array, ...],
+        noise: jax.Array | None = None,
+    ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
+        """One update with PER-ITEM weights: ``step_weights`` is
+        ``(B, rows, width)`` — each batch row applies its own trajectory
+        position's coefficients (continuous batching runs slots at different
+        step indices in one dispatch; see
+        :class:`skrample_tpu.continuous.ContinuousServingEngine`).
+
+        The math is :meth:`step`'s FMA applied per row — elementwise
+        multiplies against broadcast ``(B, 1, ...)`` scalars, so each row is
+        bit-identical to the scalar-weight path.  Always the XLA chain: the
+        Pallas fused kernel assumes weights shared across the batch, and the
+        model call dominates this path regardless."""
+        basis: list[jax.Array] = [x, o, *ring]
+        if self.requires_noise:
+            assert noise is not None, "sampler requires per-step noise"
+            basis.append(noise)
+
+        w = step_weights.astype(x.dtype)
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 1)
+
+        def fma(r: int) -> jax.Array:
+            acc = basis[0] * w[:, r, 0].reshape(bshape)
+            for k in range(1, len(basis)):
+                acc = acc + basis[k] * w[:, r, k].reshape(bshape)
+            return acc
+
+        x_new = fma(0)
+        if self.rows == 1:
+            store_sample, store_pred = x, o
+        else:
+            store_sample, store_pred = fma(1), fma(2)
+
+        if self.history:
+            slot = [store_sample, store_pred]
+            if self.slots == 3:
+                slot.append(noise if noise is not None else jnp.zeros_like(x))
+            ring = (*slot, *ring[: -self.slots])
+        return x_new, ring
+
     def jitted_step(self) -> Callable:
         """Single-step executable for wrappers: (step_weights, x, o, ring,
         noise?) -> (next x, next ring).  Compiled once, reused every step.

@@ -143,6 +143,41 @@ def test_single_step_equals_scan() -> None:
     np.testing.assert_allclose(np.asarray(x), np.asarray(scan_result), rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.parametrize(
+    "s_name", ["DPM(2)", "UniPC(2,sde)", "Adams(4)", "Euler(sde)", "UniPC(3)"]
+)
+def test_step_batched_matches_per_row_scalar_step(s_name) -> None:
+    """Per-item weights (continuous batching): a (B, rows, width) gather
+    applied by step_batched == B independent scalar-weight steps, per row,
+    bit-exactly — covers trivial (rows=1) and synthesized (rows=3) stores
+    and the ring-noise (slots=3) layout."""
+    sampler = COMPILABLE[s_name]
+    steps, B = 8, 3
+    compiled = ops.compile_sampler(sampler, SCHEDULES["Scaled"], MODEL_TYPES["VelocityModel"], steps)
+    denoiser = ops.CompiledDenoiser.build(compiled, dtype=jnp.float64)
+
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (B, *SHAPE), jnp.float64)
+    o = jax.random.normal(jax.random.fold_in(key, 1), (B, *SHAPE), jnp.float64)
+    ring = tuple(
+        jax.random.normal(jax.random.fold_in(key, 10 + i), (B, *SHAPE), jnp.float64)
+        for i in range(denoiser.history * denoiser.slots)
+    )
+    z = jax.random.normal(jax.random.fold_in(key, 2), (B, *SHAPE), jnp.float64)
+    noise = z if denoiser.requires_noise else None
+    n = jnp.array([1, 4, steps - 1])  # each slot at its own trajectory position
+
+    xb, ringb = denoiser.step_batched(denoiser.weights[n], x, o, ring, noise)
+
+    for i in range(B):
+        ring_i = tuple(r[i] for r in ring)
+        z_i = z[i] if denoiser.requires_noise else None
+        xi, ring_new_i = denoiser.step(denoiser.weights[int(n[i])], x[i], o[i], ring_i, z_i)
+        np.testing.assert_array_equal(np.asarray(xb[i]), np.asarray(xi))
+        for rb, rs in zip(ringb, ring_new_i):
+            np.testing.assert_array_equal(np.asarray(rb[i]), np.asarray(rs))
+
+
 def test_nonlinear_sampler_rejected() -> None:
     with pytest.raises(ops.NonlinearSamplerError):
         ops.compile_sampler(
