@@ -156,8 +156,22 @@ class ContinuousServingEngine:
 
     # -- request side --------------------------------------------------
 
-    def submit(self, key: jax.Array | int, context: Any = None) -> Future:
-        "Enqueue one txt2img request; the future resolves to its latent."
+    def submit(
+        self,
+        key: jax.Array | int,
+        initial: jax.Array | None = None,
+        strength: float = 1.0,
+        context: Any = None,
+    ) -> Future:
+        """Enqueue one txt2img request; the future resolves to its latent.
+
+        ``initial``/``strength`` exist for drop-in use where a
+        :class:`~skrample_tpu.serving.ServingEngine` is expected (e.g.
+        :class:`~skrample_tpu.server.ServingHTTPServer`) but img2img is
+        rejected: entry offsets need per-start compiled tables, which is
+        the batch engine's bucket-per-start design."""
+        if initial is not None:
+            raise ValueError("img2img (initial=) is batch-engine territory: one table per start index")
         if self._closed:
             raise RuntimeError("engine is closed")
         if self.conditioned and context is None:
@@ -171,7 +185,7 @@ class ContinuousServingEngine:
         return fut
 
     def generate(self, key: jax.Array | int, context: Any = None) -> jax.Array:
-        return self.submit(key, context).result()
+        return self.submit(key, context=context).result()
 
     def close(self) -> None:
         if not self._closed:

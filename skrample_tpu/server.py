@@ -158,27 +158,33 @@ class ServingServer:
     def healthz(self) -> dict:
         import jax
 
-        return {
+        out = {
             "ok": True,
             "backend": jax.default_backend(),
             "steps": self.engine.steps,
-            "buckets": list(self.engine.buckets),
             "item_shape": list(self.engine.item_shape),
             "conditioned": self.engine.conditioned,
         }
+        if hasattr(self.engine, "buckets"):  # batch engine
+            out["buckets"] = list(self.engine.buckets)
+        if hasattr(self.engine, "slots"):  # continuous engine
+            out["slots"] = self.engine.slots
+        return out
 
     def stats(self) -> dict:
         s = self.engine.stats
-        return {
+        out = {
             "uptime_s": time.monotonic() - self._started,
             "requests": s.requests,
-            "batches": s.batches,
-            "padded_items": s.padded_items,
-            "padding_fraction": s.padding_fraction,
             "bucket_counts": {str(k): v for k, v in sorted(s.bucket_counts.items())},
             "inflight": self._inflight,
             "cached_prompts": len(self._prompt_cache),
         }
+        # engine-specific gauges: batch (padding) vs continuous (occupancy)
+        for name in ("batches", "padded_items", "padding_fraction", "completed", "ticks", "slot_steps", "occupancy"):
+            if hasattr(s, name):
+                out[name] = getattr(s, name)
+        return out
 
     # -- lifecycle -------------------------------------------------------
 

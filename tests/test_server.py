@@ -143,6 +143,33 @@ class TestRoutes:
         np.testing.assert_array_equal(decode_array(out["latent"]), want)
 
 
+class TestContinuousEngine:
+    "The HTTP boundary is engine-agnostic: the continuous pool drops in."
+
+    def test_server_over_continuous_engine(self):
+        from skrample_tpu.continuous import ContinuousServingEngine
+
+        engine = ContinuousServingEngine(toy_model, ITEM, steps=4, slots=2)
+        server = ServingServer(engine, port=0)
+        with engine, server:
+            code, out = call(server, "/v1/generate", {"seed": 7})
+            assert code == 200
+            got = decode_array(out["latent"])
+            code, stats = call(server, "/stats")
+            assert code == 200
+            assert stats["completed"] >= 1
+            assert 0 < stats["occupancy"] <= 1
+            # img2img is batch-engine territory: clean 400, server survives
+            initial = np.zeros(ITEM, np.float32)
+            code, _ = call(
+                server, "/v1/generate", {"seed": 1, "strength": 0.5, "initial": encode_array(initial)}
+            )
+            assert code == 400
+            assert call(server, "/healthz")[0] == 200
+        with ServingEngine(toy_model, ITEM, steps=4, buckets=(1,)) as ref:
+            np.testing.assert_allclose(got, np.asarray(ref.generate(7)), rtol=1e-5, atol=1e-5)
+
+
 class TestValidation:
     def test_bad_json_400(self):
         engine, server = make_server()
