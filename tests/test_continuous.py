@@ -164,6 +164,29 @@ class TestConditioned:
         assert ok.shape == (4, 8, 8)
 
 
+class TestMesh:
+    "mesh=: the slot axis shards over dp; results stay invariant to it."
+
+    def test_sharded_pool_equals_unsharded(self):
+        from skrample_tpu.parallel import make_mesh
+
+        sampler = structured.DPM(order=2, stochasticity=1.0)
+        keys = [40, 41, 42, 43, 44, 45]
+        with make_engine(slots=4, sampler=sampler) as engine:
+            ref = [np.asarray(f.result()) for f in [engine.submit(k) for k in keys]]
+        mesh = make_mesh(dp=4)
+        with make_engine(slots=4, sampler=sampler, mesh=mesh) as engine:
+            got = [np.asarray(f.result()) for f in [engine.submit(k) for k in keys]]
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(r, g)
+
+    def test_indivisible_slots_rejected(self):
+        from skrample_tpu.parallel import make_mesh
+
+        with pytest.raises(ValueError, match="divisible"):
+            make_engine(slots=3, mesh=make_mesh(dp=4))
+
+
 class TestMechanics:
     def test_constructor_validation(self):
         with pytest.raises(ValueError, match="context_like"):
