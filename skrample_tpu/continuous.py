@@ -295,6 +295,10 @@ class ContinuousServingEngine:
                     draining = True
                     break
                 key, context, fut = item
+                # a cancelled request never occupies a slot; running futures
+                # stay cancellable — mid-flight cancels free the slot below
+                if fut.cancelled():
+                    continue
                 slot = free.pop()
                 try:
                     self._admit_request(slot, key, context)
@@ -315,6 +319,7 @@ class ContinuousServingEngine:
                     self._x, self._ring, self._n, self._noisebuf, self._ctx
                 )
             except Exception as err:  # compile/shape fault: unblock callers, stop the pool
+                self._closed = True  # later submits fail fast instead of queueing forever
                 for fut in pending.values():
                     if not fut.done():
                         fut.set_exception(err)
@@ -325,11 +330,20 @@ class ContinuousServingEngine:
             self.stats.active_slot_steps += len(pending) * k
             self.stats.bucket_counts[len(pending)] = self.stats.bucket_counts.get(len(pending), 0) + 1
 
-            # -- retire finished slots (the read syncs on this tick only)
+            # -- retire finished (and mid-flight-cancelled) slots
+            #    (the (slots,) read syncs on this tick only)
             n_host = np.asarray(self._n)
             for slot, fut in list(pending.items()):
-                if n_host[slot] >= self.steps:
-                    fut.set_result(self._x[slot])
+                if fut.cancelled():
+                    # caller gave up: free the slot now — the masked tick
+                    # keeps computing it until reuse, admission resets it
+                    del pending[slot]
+                    free.append(slot)
+                elif n_host[slot] >= self.steps:
+                    try:
+                        fut.set_result(self._x[slot])
+                    except Exception:  # cancelled in the race window: drop it
+                        pass
                     del pending[slot]
                     free.append(slot)
                     self.stats.completed += 1

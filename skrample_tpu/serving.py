@@ -314,6 +314,10 @@ class ServingEngine:
             groups: dict[tuple[int, bool, bool], list] = {}
             for item in batch:
                 key, initial, start, context, fut = item
+                # a cancelled request never dispatches; set_running_or_notify_cancel
+                # also locks out post-dispatch cancel() per Future protocol
+                if not fut.set_running_or_notify_cancel():
+                    continue
                 groups.setdefault((start, initial is None, context is None), []).append(item)
             for (start, *_), group in groups.items():
                 try:

@@ -217,6 +217,33 @@ class TestMechanics:
             b = np.asarray(engine.generate(jax.random.PRNGKey(42)))
         np.testing.assert_array_equal(a, b)
 
+    def test_cancel_queued_request_never_occupies_a_slot(self):
+        with make_engine(slots=1, steps=16) as engine:
+            a = engine.submit(0)  # occupies the only slot
+            b = engine.submit(1)  # queued behind it
+            cancelled = b.cancel()
+            np.asarray(a.result())
+            c = np.asarray(engine.generate(2))
+        if cancelled:  # admission may have won the race; both outcomes legal
+            with pytest.raises(Exception):
+                b.result(timeout=5)
+        ref = batch_singles([2], steps=16, buckets=(1,))
+        assert_fusion_close(ref[0], c)
+
+    def test_cancel_mid_flight_frees_the_slot(self):
+        with make_engine(slots=1, steps=512) as engine:
+            a = engine.submit(0)
+            time.sleep(0.05)  # a is (very likely) mid-trajectory in the slot
+            cancelled = a.cancel()  # never marked running: cancellable until resolved
+            b = np.asarray(engine.generate(7))  # must reuse the freed slot
+        if cancelled:
+            with pytest.raises(Exception):
+                a.result(timeout=5)
+        else:  # a finished before the cancel landed; still a valid run
+            np.asarray(a.result())
+        ref = batch_singles([7], steps=512, buckets=(1,))
+        assert_fusion_close(ref[0], b)
+
     def test_more_requests_than_slots_all_complete(self):
         with make_engine(slots=2) as engine:
             futs = [engine.submit(k) for k in range(9)]

@@ -160,6 +160,21 @@ class TestMechanics:
         np.testing.assert_array_equal(solo_txt, got_txt)
         np.testing.assert_array_equal(solo_img, got_img)
 
+    def test_cancelled_request_skips_dispatch_and_spares_batchmates(self):
+        "A cancelled future must never poison the batch it was packed with."
+        with make_engine(buckets=(4,), max_delay_ms=100.0) as engine:
+            a = engine.submit(1)
+            b = engine.submit(2)
+            cancelled = b.cancel()  # within the collect window: still queued
+            c = engine.submit(3)
+            got_a, got_c = np.asarray(a.result()), np.asarray(c.result())
+        if cancelled:
+            with pytest.raises(Exception):
+                b.result(timeout=5)
+        ref = singles([1, 3])
+        np.testing.assert_array_equal(ref[0], got_a)
+        np.testing.assert_array_equal(ref[1], got_c)
+
     def test_submit_after_close_raises(self):
         engine = make_engine()
         engine.close()
