@@ -47,6 +47,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# honor JAX_PLATFORMS even under a site hook that pins the backend (the dev
+# host pins axon; env alone does not override once jax picks a platform) —
+# this is what makes `JAX_PLATFORMS=cpu python examples/...` hermetic,
+# which tests/test_resume.py's subprocesses rely on
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -76,6 +84,10 @@ def main() -> None:
     ap.add_argument("--fsdp", action="store_true", help="shard params/moments/EMA over dp (ZeRO-3 layout; needs --dp > 1)")
     ap.add_argument("--checkpoint", type=str, default="")
     ap.add_argument("--orbax", type=str, default="", help="orbax checkpoint dir (async, full train state)")
+    ap.add_argument("--resume", action="store_true", help="restore from the latest step in --orbax (explicit: an existing checkpoint without --resume is an error, so a stale dir can't silently hijack a fresh run)")
+    ap.add_argument("--until", type=int, default=0, help="train until GLOBAL step N (overrides --steps; with --resume the run does N - restored_step steps — the preemption/resume recipe)")
+    ap.add_argument("--save-every", type=int, default=0, help="orbax-save the full train state every N steps (host-loader mode; async, overlaps compute) — with --resume this is the preemption story")
+    ap.add_argument("--abort-after-step", type=int, default=-1, help="fault injection: SIGKILL this process right after completing global step K (tests/test_resume.py kills a run mid-epoch with this and bit-compares the resumed result)")
     ap.add_argument("--ema-decay", type=float, default=0.9999)
     ap.add_argument("--opt8", action="store_true", help="int8 block-quantized AdamW moments (~2 vs 8 bytes/param of optimizer state; skrample_tpu.optim.adamw8bit)")
     ap.add_argument("--host-loader", action="store_true", help="feed host-resident data via skrample_tpu.data (EpochLoader + prefetch_to_device) instead of the scanned device-resident epoch")
@@ -146,10 +158,25 @@ def main() -> None:
 
     ckpt = TrainCheckpointer(args.orbax) if args.orbax else None
     if ckpt is not None and ckpt.latest_step() is not None:
+        if not args.resume:
+            raise SystemExit(
+                f"{args.orbax} already holds step {ckpt.latest_step()}: pass --resume to continue it"
+            )
+        # `like=` restores each leaf with the live tree's dtype/sharding —
+        # on the fsdp/tp meshes every leaf lands directly as its shard
         state = ckpt.restore(like={"params": params, "opt_state": opt_state, "ema": ema, "step": 0})
         params, opt_state, ema = state["params"], state["opt_state"], state["ema"]
         start_step = int(state["step"])
         print(f"resumed from {args.orbax} at step {start_step}")
+    elif args.resume:
+        print(f"--resume: nothing committed in {args.orbax or '(no --orbax)'}, starting fresh")
+    if args.until:
+        if args.until < start_step:
+            raise SystemExit(f"--until {args.until} is before the restored step {start_step}")
+        args.steps = args.until - start_step
+    if args.save_every or args.abort_after_step >= 0:
+        if not args.host_loader or ckpt is None:
+            raise SystemExit("--save-every/--abort-after-step need --host-loader and --orbax (per-step boundaries)")
 
     # hermetic "dataset": 64 fixed random images
     data = jax.random.normal(jax.random.PRNGKey(42), (64, 4, args.size, args.size), jnp.float32)
@@ -219,11 +246,32 @@ def main() -> None:
             else:
                 place = None
             losses = []
-            batches = itertools.islice(prefetch_to_device(iter(loader), place=place), args.steps)
+            # iter_from(start_step): the O(1) resume cursor — batch n of a
+            # resumed run is bit-identical to batch n of an uninterrupted one
+            batches = itertools.islice(prefetch_to_device(loader.iter_from(start_step), place=place), args.steps)
+            end = start_step + args.steps
             for n, batch in enumerate(batches, start=start_step):
                 key = jax.random.fold_in(jax.random.PRNGKey(1), n)
                 params, opt_state, ema, loss = host_step(base_params, params, opt_state, ema, batch["x0"], key, n)
                 losses.append(loss)
+                done = n + 1  # global steps completed
+                if args.save_every and done % args.save_every == 0 and done != end:
+                    ckpt.save(done, {"params": params, "opt_state": opt_state, "ema": ema, "step": done})
+                if args.abort_after_step == n:
+                    # fault injection: die like a preemption.  Join the last
+                    # boundary save (so a committed step exists to resume
+                    # from), dispatch one more async save, and SIGKILL with
+                    # it likely mid-write — orbax commits atomically, so the
+                    # torn write is discarded on restart ("Removing existing
+                    # directory since it is not finalized") and resume sees
+                    # the last COMPLETE step
+                    import signal
+
+                    ckpt.wait()
+                    if not args.save_every or done % args.save_every:
+                        ckpt.save(done, {"params": params, "opt_state": opt_state, "ema": ema, "step": done})
+                    print(f"aborting after step {n} (fault injection)", flush=True)
+                    os.kill(os.getpid(), signal.SIGKILL)
             losses = np.asarray(jax.device_get(losses))
         else:
             (params, opt_state, ema), losses = epoch(
@@ -231,16 +279,18 @@ def main() -> None:
             )
             losses = np.asarray(losses)
     dt = time.perf_counter() - t0
-    print(f"{args.steps} steps in {dt:.2f}s ({dt / args.steps * 1e3:.2f} ms/step incl. compile)")
-    print(f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
-    assert np.isfinite(losses).all()
+    if args.steps:  # a resume that is already at --until does 0 steps
+        print(f"{args.steps} steps in {dt:.2f}s ({dt / args.steps * 1e3:.2f} ms/step incl. compile)")
+        print(f"loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+        assert np.isfinite(losses).all()
 
     if args.checkpoint:
         save_params(args.checkpoint, params)
         print(f"saved {args.checkpoint}")
     if ckpt is not None:
         end = start_step + args.steps
-        ckpt.save(end, {"params": params, "opt_state": opt_state, "ema": ema, "step": end})
+        if args.steps or ckpt.latest_step() != end:
+            ckpt.save(end, {"params": params, "opt_state": opt_state, "ema": ema, "step": end})
         ckpt.close()  # joins the async save
         print(f"saved orbax step {end} -> {args.orbax} (params + opt state + EMA)")
 

@@ -108,7 +108,13 @@ class ContinuousServingEngine:
         context_like: Any = None,
         ticks_per_dispatch: int = 1,
         mesh: Any | None = None,
+        postprocess: Callable | None = None,
     ):
+        """``postprocess`` (optional): same contract as the batch engine's —
+        a jittable batch -> batch function applied on device to retired
+        latents before the future resolves (e.g. a VAE decode to serve
+        pixels).  Here it runs per retired slot on a ``(1, *item)`` slice,
+        so it traces once and stays off the tick's hot path."""
         if conditioned and context_like is None:
             raise ValueError("conditioned=True needs context_like= (one request's context pytree)")
         if ticks_per_dispatch < 1:
@@ -148,9 +154,15 @@ class ContinuousServingEngine:
         self._tick = jax.jit(self._tick_fn)
         self._admit = jax.jit(self._admit_fn)
         self._prepare = jax.jit(self._prepare_fn)
+        self._postprocess = jax.jit(postprocess) if postprocess is not None else None
 
         self._queue: queue.Queue = queue.Queue()
         self._closed = False
+        # submit/close atomicity: without the lock a submit racing close
+        # could enqueue after the None sentinel and its future would never
+        # resolve; with it, any enqueue happens-before the close (and the
+        # worker's exit drain resolves everything still queued)
+        self._lock = threading.Lock()
         self._worker = threading.Thread(target=self._loop, name="skrample-continuous", daemon=True)
         self._worker.start()
 
@@ -172,8 +184,6 @@ class ContinuousServingEngine:
         the batch engine's bucket-per-start design."""
         if initial is not None:
             raise ValueError("img2img (initial=) is batch-engine territory: one table per start index")
-        if self._closed:
-            raise RuntimeError("engine is closed")
         if self.conditioned and context is None:
             raise ValueError("conditioned engine: every request needs context=")
         if context is not None and not self.conditioned:
@@ -181,17 +191,22 @@ class ContinuousServingEngine:
         if isinstance(key, int):
             key = jax.random.PRNGKey(key)
         fut: Future = Future()
-        self._queue.put((key, context, fut))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("engine is closed")
+            self._queue.put((key, context, fut))
         return fut
 
     def generate(self, key: jax.Array | int, context: Any = None) -> jax.Array:
         return self.submit(key, context=context).result()
 
     def close(self) -> None:
-        if not self._closed:
+        with self._lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(None)
-            self._worker.join()
+        self._worker.join()
 
     def __enter__(self) -> "ContinuousServingEngine":
         return self
@@ -281,9 +296,45 @@ class ContinuousServingEngine:
         )
 
     def _loop(self) -> None:
+        """Worker shell: containment around the scheduling loop.
+
+        Any fault in the loop — trace/compile errors AND runtime device
+        faults surfacing at the ``(slots,)`` readback — fails every
+        in-flight future instead of silently killing the thread; the exit
+        path (normal close or fault) then marks the engine closed and
+        resolves everything still sitting in the queue, so no caller can
+        block forever on a future the pool will never touch."""
         pending: dict[int, Future] = {}
+        try:
+            self._loop_impl(pending)
+        except BaseException as err:
+            for fut in pending.values():
+                if not fut.done():
+                    fut.set_exception(err)
+            raise
+        finally:
+            with self._lock:
+                self._closed = True  # later submits fail fast
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item is None:
+                    continue
+                *_, fut = item
+                if not fut.done():
+                    fut.set_exception(RuntimeError("engine closed before this request was admitted"))
+
+    def _loop_impl(self, pending: dict[int, Future]) -> None:
         free = list(range(self.slots))
         draining = False
+        # host mirror of the step-index vector from the LAST readback:
+        # admissions reset their slot to 0, so the post-tick delta
+        # min(n, steps) - min(n_prev, steps) counts exactly the steps that
+        # advanced a live trajectory (a slot finishing on tick 1 of K, or a
+        # trailing partial scan, no longer counts as K active ticks)
+        n_prev = np.full((self.slots,), self.steps, np.int64)
         while True:
             # -- admit into free slots; block only when fully idle
             while free and not draining:
@@ -308,31 +359,30 @@ class ContinuousServingEngine:
                         fut.set_exception(err)
                     continue
                 pending[slot] = fut
+                n_prev[slot] = 0
             if not pending:
                 if draining:
                     return
                 continue
 
             # -- one device dispatch advances every live slot K steps
-            try:
-                self._x, self._ring, self._n = self._tick(
-                    self._x, self._ring, self._n, self._noisebuf, self._ctx
-                )
-            except Exception as err:  # compile/shape fault: unblock callers, stop the pool
-                self._closed = True  # later submits fail fast instead of queueing forever
-                for fut in pending.values():
-                    if not fut.done():
-                        fut.set_exception(err)
-                raise
+            #    (faults here — and at the readback below — are contained
+            #    by the _loop shell, which fails every in-flight future)
+            self._x, self._ring, self._n = self._tick(
+                self._x, self._ring, self._n, self._noisebuf, self._ctx
+            )
             self.stats.ticks += 1
             k = self.ticks_per_dispatch
             self.stats.slot_steps += self.slots * k
-            self.stats.active_slot_steps += len(pending) * k
             self.stats.bucket_counts[len(pending)] = self.stats.bucket_counts.get(len(pending), 0) + 1
 
             # -- retire finished (and mid-flight-cancelled) slots
             #    (the (slots,) read syncs on this tick only)
-            n_host = np.asarray(self._n)
+            n_host = np.asarray(self._n).astype(np.int64)
+            self.stats.active_slot_steps += int(
+                (np.minimum(n_host, self.steps) - np.minimum(n_prev, self.steps)).sum()
+            )
+            n_prev = n_host.copy()
             for slot, fut in list(pending.items()):
                 if fut.cancelled():
                     # caller gave up: free the slot now — the masked tick
@@ -340,8 +390,11 @@ class ContinuousServingEngine:
                     del pending[slot]
                     free.append(slot)
                 elif n_host[slot] >= self.steps:
+                    out = self._x[slot]
+                    if self._postprocess is not None:
+                        out = self._postprocess(self._x[slot][None])[0]
                     try:
-                        fut.set_result(self._x[slot])
+                        fut.set_result(out)
                     except Exception:  # cancelled in the race window: drop it
                         pass
                     del pending[slot]

@@ -67,11 +67,15 @@ class EpochLoader:
         idx = self._perm(epoch)[n * self.batch : min((n + 1) * self.batch, self.count)]
         return jax.tree.map(lambda leaf: leaf[idx], self.data)
 
-    def __iter__(self) -> Iterator[Any]:
-        step = 0
+    def iter_from(self, start: int) -> Iterator[Any]:
+        "Iterate batches starting at global step ``start`` (O(1) resume cursor)."
+        step = start
         while True:
             yield self.batch_at(step)
             step += 1
+
+    def __iter__(self) -> Iterator[Any]:
+        return self.iter_from(0)
 
 
 def prefetch_to_device(

@@ -103,6 +103,10 @@ class TrainCheckpointer:
         self._ocp = ocp
         self._manager = ocp.CheckpointManager(
             pathlib.Path(directory).absolute(),
+            # an explicit handler lets a restore-only manager (a different
+            # process than the saver) read item_metadata — required for the
+            # topology-independent plain restore below
+            item_handlers=ocp.StandardCheckpointHandler(),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, enable_async_checkpointing=async_save
             ),
@@ -113,22 +117,34 @@ class TrainCheckpointer:
 
     def restore(self, step: int | None = None, like: Any = None) -> Any:
         "Latest (or given) step; ``like`` supplies dtypes/shardings per leaf."
+        import jax
+
         if step is None:
             step = self.latest_step()
             if step is None:
                 raise FileNotFoundError("no checkpoint steps found")
-        args = None
         if like is not None:
-            import jax
-
             abstract = jax.tree.map(
                 lambda leaf: jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=getattr(leaf, "sharding", None))
                 if hasattr(leaf, "shape")
                 else leaf,
                 like,
             )
-            args = self._ocp.args.StandardRestore(abstract)
-        return self._manager.restore(int(step), args=args)
+            return self._manager.restore(int(step), args=self._ocp.args.StandardRestore(abstract))
+        # plain restore: rebuild the abstract tree from the checkpoint's own
+        # metadata with a CONCRETE local sharding per leaf.  Without this,
+        # orbax replays the sharding recorded at save time — a checkpoint
+        # written on a TPU process then fails to restore on a CPU process
+        # ("Device TPU v5 lite0 was not found in jax.local_devices()").
+        meta = self._manager.item_metadata(int(step))
+        if meta is None or not jax.tree.leaves(meta):
+            return self._manager.restore(int(step))
+        local = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=local) if hasattr(m, "shape") else m,
+            meta,
+        )
+        return self._manager.restore(int(step), args=self._ocp.args.StandardRestore(abstract))
 
     def latest_step(self) -> int | None:
         return self._manager.latest_step()

@@ -29,6 +29,15 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def _to_varying(x: Any, axis: str) -> Any:
+    "Mark a replicated value device-varying over `axis` (vma type cast)."
+    # jax >= 0.9 spells this jax.lax.pcast(..., to="varying"); jax.lax.pvary
+    # is its deprecated alias (tests/test_hygiene.py fails on the warning)
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis, to="varying")
+    return jax.lax.pvary(x, (axis,))
+
+
 def pipeline_apply(
     stage_fn: Callable[[Any, Any], Any],
     stage_params: Any,
@@ -53,7 +62,7 @@ def pipeline_apply(
         stage = jax.lax.axis_index(axis)
         # the microbatch stream is replicated input; mark it device-varying so
         # the carry keeps one consistent vma type throughout the loop
-        mb_in = jax.tree.map(lambda leaf: jax.lax.pvary(leaf, (axis,)), mb_in)
+        mb_in = jax.tree.map(lambda leaf: _to_varying(leaf, axis), mb_in)
         count = jax.tree.leaves(mb_in)[0].shape[0]
         ticks = count + stages - 1
 

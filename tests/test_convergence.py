@@ -35,6 +35,8 @@ from skrample_tpu.sampling import interface, structured, tableaux
 from skrample_tpu.sampling import models as sk_models
 from skrample_tpu.sampling.rk_solvers import DynasauRK, RKUltra
 
+pytestmark = pytest.mark.soak  # solver-order sweep (many step counts x solvers): full tier only
+
 SCHEDULE = scheduling.Linear()
 TRANSFORM = sk_models.FlowModel()
 X0 = 0.85

@@ -11,6 +11,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.soak  # full text->image stack (Flux): full tier only
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

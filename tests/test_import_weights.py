@@ -98,6 +98,7 @@ def test_imported_tree_matches_param_spec() -> None:
     jax.tree.map(lambda w, s: None, params, enc.param_spec())  # same structure or raises
 
 
+@pytest.mark.soak  # torch-mirror importer parity: full tier only
 class TestVAE:
     """AutoencoderKL import oracle.
 
@@ -370,6 +371,7 @@ class TestVAE:
         np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(), atol=5e-5)
 
 
+@pytest.mark.soak  # torch-mirror importer parity: full tier only
 class TestSD3:
     """SD3 transformer (MMDiT) import oracle.
 
@@ -700,6 +702,7 @@ class TestSD3:
         assert out.shape == x.shape and bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.soak  # torch-mirror importer parity: full tier only
 class TestCondUNet:
     """UNet2DConditionModel import oracle (SD1.5 / SDXL families).
 
@@ -1151,6 +1154,7 @@ class TestCondUNet:
         assert unet_config(cfg).pooled_dim != 56
 
 
+@pytest.mark.soak  # torch-mirror importer parity: full tier only
 class TestControlNet:
     """ControlNetModel import oracle: the UNet-encoder copy + conditioning
     conv ladder + per-skip 1x1 convs (randomly initialized in the mirror so
@@ -1242,6 +1246,7 @@ class TestControlNet:
             model.apply(params, x, 500.0, jnp.zeros((1, 6, 24)), control=([jnp.zeros((1, 16, 16, 16))], jnp.zeros((1, 32, 8, 8))))
 
 
+@pytest.mark.soak  # torch-mirror importer parity: full tier only
 class TestFlux:
     """FLUX.1 transformer import oracle.
 
@@ -1579,6 +1584,7 @@ class TestFlux:
             flux_config({**self.CFG, "axes_dims_rope": (4, 4, 4)})
 
 
+@pytest.mark.soak  # torch-mirror importer parity: full tier only
 class TestLoRA:
     """State-dict-level LoRA merging: architecture-agnostic because it runs
     BEFORE import (W' = W + scale * (alpha/r) * B @ A on diffusers keys),
@@ -1683,6 +1689,7 @@ class TestLoRA:
             )
 
 
+@pytest.mark.soak  # torch-mirror importer parity: full tier only
 class TestT5:
     T5_CFG = dict(
         vocab_size=120,

@@ -86,6 +86,7 @@ def test_replicated_sharding() -> None:
     assert placed.sharding.is_fully_replicated
 
 
+@pytest.mark.soak  # replays every multichip dryrun stage: full tier only
 def test_graft_entry_single_and_multichip() -> None:
     "The driver entry points must compile and execute."
     import sys

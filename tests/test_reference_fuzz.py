@@ -11,6 +11,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.soak  # live-reference randomized fuzz tier: full tier only
+
 REFERENCE = Path("/root/reference")
 if not (REFERENCE / "skrample").is_dir():
     pytest.skip("reference tree not mounted", allow_module_level=True)

@@ -11,6 +11,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.soak  # reference-suite subprocess tier: full tier only
+
 REFERENCE = Path("/root/reference")
 if not (REFERENCE / "tests").is_dir():
     pytest.skip("reference tree not mounted", allow_module_level=True)

@@ -15,6 +15,8 @@ import numpy as np
 import pytest
 import torch
 
+pytestmark = pytest.mark.soak  # live dual-run vs the reference wrapper: full tier only
+
 REFERENCE = Path("/root/reference")
 if not (REFERENCE / "skrample").is_dir():
     pytest.skip("reference tree not mounted", allow_module_level=True)

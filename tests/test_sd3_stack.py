@@ -12,6 +12,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.soak  # full text->image stack (SD3): full tier only
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -9,6 +9,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.soak  # full text->image stack (SDXL): full tier only
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
