@@ -31,6 +31,7 @@ from .unet import UNet, UNetConfig
 from .unet_cond import CondUNet, CondUNetConfig
 from .vae import VAE, VAEConfig
 from .video_dit import VideoDiT, VideoDiTConfig
+from .video_vae import VideoVAE, VideoVAEConfig
 
 __all__ = [
     "ByteTokenizer",
@@ -60,6 +61,8 @@ __all__ = [
     "VAEConfig",
     "VideoDiT",
     "VideoDiTConfig",
+    "VideoVAE",
+    "VideoVAEConfig",
     "clip_text_config",
     "clip_text_encoder",
     "diffusers_controlnet",

@@ -382,6 +382,21 @@ class Flux:
 
         return model_fn
 
+    def as_served(self, params: dict, guidance: float | None = None):
+        """Conditioned-serving closure ``(x, t, sigma, alpha, context)``.
+
+        The serving-engine analog of :meth:`MMDiT.as_served`: conditioning
+        arrives as a TRACED argument — the pair ``(context, pooled)`` per
+        request, stacked to ``((B, T, D), (B, D))`` by the engine — so one
+        executable serves every prompt.  Flux is guidance-distilled, so
+        there is no CFG doubling; ``guidance`` is the embedded input."""
+
+        def model_fn(x, t, s, a, ctx):
+            context, pooled = ctx
+            return self.apply(params, x, t, context, pooled, guidance=guidance)
+
+        return model_fn
+
 
 def flux_forward_flops(config: FluxConfig, batch: int, h: int, w: int, txt_tokens: int) -> float:
     "Analytic matmul FLOPs of one forward (checked against a traced count in tests/test_flux.py)."

@@ -67,6 +67,12 @@ class VideoDiTConfig:
     compute_dtype: Any = jnp.bfloat16
     attention: str = "flash"
     '``"flash"`` (fused-qkv Pallas kernel) or ``"full"`` (einsum oracle).'
+    context_dim: int = 0
+    """Text-conditioning width (T5/CLIP feature dim).  ``0`` keeps the
+    unconditioned model; ``> 0`` adds a third adaLN-zero gated branch per
+    block — cross-attention from every spatio-temporal token to the text
+    tokens (the Wan/LTX conditioning pattern) — plus a learned null-context
+    row for classifier-free guidance."""
     sequence_parallel: bool = False
     """Ulysses-style sp alternation: shard frames during spatial attention,
     spatial sites during temporal attention (requires ``mesh``)."""
@@ -93,7 +99,8 @@ class VideoDiT:
     def init(self, key: jax.Array) -> dict:
         c = self.config
         patch_dim = c.channels * c.patch * c.patch
-        keys = iter(jax.random.split(key, 6 + 9 * c.depth))
+        keys = iter(jax.random.split(key, 8 + 12 * c.depth))
+        branches = 4 if c.context_dim else 3
 
         params: dict = {
             "patch_in": _dense_init(next(keys), patch_dim, c.dim),
@@ -103,19 +110,25 @@ class VideoDiT:
             "final_out": _dense_init(next(keys), c.dim, patch_dim, scale=0.0),
             "blocks": [],
         }
+        if c.context_dim:
+            # learned null context row: the CFG unconditional branch
+            params["null_ctx"] = jax.random.normal(next(keys), (1, c.context_dim), jnp.float32) * 0.02
         for _ in range(c.depth):
-            params["blocks"].append(
-                {
-                    "qkv_s": _dense_init(next(keys), c.dim, 3 * c.dim),
-                    "proj_s": _dense_init(next(keys), c.dim, c.dim),
-                    "qkv_t": _dense_init(next(keys), c.dim, 3 * c.dim),
-                    "proj_t": _dense_init(next(keys), c.dim, c.dim),
-                    "mlp_in": _dense_init(next(keys), c.dim, c.mlp_ratio * c.dim),
-                    "mlp_out": _dense_init(next(keys), c.mlp_ratio * c.dim, c.dim),
-                    # adaLN-zero: 3 gated residual branches x (shift, gate, scale)
-                    "ada": _dense_init(next(keys), c.dim, 9 * c.dim, scale=0.0),
-                }
-            )
+            block = {
+                "qkv_s": _dense_init(next(keys), c.dim, 3 * c.dim),
+                "proj_s": _dense_init(next(keys), c.dim, c.dim),
+                "qkv_t": _dense_init(next(keys), c.dim, 3 * c.dim),
+                "proj_t": _dense_init(next(keys), c.dim, c.dim),
+                "mlp_in": _dense_init(next(keys), c.dim, c.mlp_ratio * c.dim),
+                "mlp_out": _dense_init(next(keys), c.mlp_ratio * c.dim, c.dim),
+                # adaLN-zero: (3 or 4) gated residual branches x (shift, gate, scale)
+                "ada": _dense_init(next(keys), c.dim, 3 * branches * c.dim, scale=0.0),
+            }
+            if c.context_dim:
+                block["q_x"] = _dense_init(next(keys), c.dim, c.dim)
+                block["kv_c"] = _dense_init(next(keys), c.context_dim, 2 * c.dim)
+                block["proj_x"] = _dense_init(next(keys), c.dim, c.dim, scale=0.0)
+            params["blocks"].append(block)
         return params
 
     def param_spec(self, quantized: bool = False) -> dict:
@@ -135,12 +148,17 @@ class VideoDiT:
             "mlp_out": row,
             "ada": rep,
         }
+        if self.config.context_dim:
+            block["q_x"] = col
+            block["kv_c"] = col
+            block["proj_x"] = row
         return {
             "patch_in": rep,
             "t_mlp1": rep,
             "t_mlp2": rep,
             "final_mod": rep,
             "final_out": rep,
+            **({"null_ctx": P()} if self.config.context_dim else {}),
             "blocks": [dict(block) for _ in range(self.config.depth)],
         }
 
@@ -166,8 +184,11 @@ class VideoDiT:
         site = _timestep_embedding(jnp.arange(N, dtype=jnp.float32), c.dim)  # (N, dim)
         return (frame[:, None] + site[None]) * (1 / math.sqrt(c.dim))  # (F, N, dim)
 
-    def apply(self, params: dict, x: jax.Array, t: jax.Array) -> jax.Array:
-        "(B, C, F, H, W), (B,) or scalar timestep -> prediction of the same shape."
+    def apply(self, params: dict, x: jax.Array, t: jax.Array, context: jax.Array | None = None) -> jax.Array:
+        """(B, C, F, H, W), (B,) or scalar timestep -> prediction of the same
+        shape.  ``context`` (B, T_txt, context_dim) feeds the per-block
+        cross-attention when the model is conditioned; ``None`` on a
+        conditioned model uses the learned null row (the CFG uncond)."""
         c = self.config
         dtype = c.compute_dtype
         B, _C, F, H, W = x.shape
@@ -175,6 +196,12 @@ class VideoDiT:
 
         if jnp.ndim(t) == 0:
             t = jnp.broadcast_to(t, (B,))
+        if c.context_dim:
+            if context is None:
+                context = jnp.broadcast_to(params["null_ctx"][None], (B, 1, c.context_dim))
+            context = context.astype(dtype)
+        elif context is not None:
+            raise ValueError("context= needs VideoDiTConfig(context_dim=...)")
 
         tokens = _dense(params["patch_in"], self.patchify(x).astype(dtype), dtype)
         N = tokens.shape[2]
@@ -184,9 +211,9 @@ class VideoDiT:
         temb = _dense(params["t_mlp2"], jax.nn.silu(_dense(params["t_mlp1"], temb.astype(dtype), dtype)), dtype)
         temb = jax.nn.silu(temb)
 
-        block_fn = _remat_wrap(self._block, c.remat, static_argnums=(3, 4))
+        block_fn = _remat_wrap(self._block, c.remat, static_argnums=(4, 5))
         for block in params["blocks"]:
-            tokens = block_fn(block, tokens, temb, F, N)
+            tokens = block_fn(block, tokens, temb, context, F, N)
 
         shift, scale = jnp.split(_dense(params["final_mod"], temb, dtype), 2, axis=-1)
         tokens = _adaln(tokens, shift, scale)
@@ -231,13 +258,33 @@ class VideoDiT:
         "(B, F, N, ...) sharded over the site axis for temporal attention."
         return self._constrain(a, axis=2)
 
-    def _block(self, block: dict, tokens: jax.Array, temb: jax.Array, F: int, N: int) -> jax.Array:
-        "Spatial attention + temporal attention + MLP, each adaLN-zero gated."
+    def _cross_attend(self, block: dict, q_tokens: jax.Array, context: jax.Array) -> jax.Array:
+        """Every spatio-temporal token attends to the text tokens.  Text is
+        a few dozen tokens, so this is einsum territory — the score tensor
+        is (B, heads, F*N, T_txt), tiny next to the factorized self-attention."""
+        c = self.config
+        B, S, _ = q_tokens.shape
+        q = _dense(block["q_x"], q_tokens, q_tokens.dtype).reshape(B, S, c.heads, c.head_dim)
+        kv = _dense(block["kv_c"], context, q_tokens.dtype)
+        k, v = jnp.split(kv.reshape(B, context.shape[1], 2, c.heads, c.head_dim), 2, axis=2)
+        k, v = k[:, :, 0], v[:, :, 0]
+        s = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s / math.sqrt(c.head_dim), axis=-1).astype(q_tokens.dtype)
+        out = jnp.einsum("bhst,bthd->bshd", p, v, preferred_element_type=jnp.float32)
+        return out.astype(q_tokens.dtype).reshape(B, S, c.dim)
+
+    def _block(
+        self, block: dict, tokens: jax.Array, temb: jax.Array, context: jax.Array | None, F: int, N: int
+    ) -> jax.Array:
+        "Spatial + temporal (+ text cross) attention + MLP, each adaLN-zero gated."
         c = self.config
         dtype = c.compute_dtype
         B = tokens.shape[0]
         mods = _dense(block["ada"], temb, dtype)
-        (s_sp, g_sp, c_sp, s_t, g_t, c_t, s_m, g_m, c_m) = jnp.split(mods, 9, axis=-1)
+        if context is not None:
+            (s_sp, g_sp, c_sp, s_t, g_t, c_t, s_x, g_x, c_x, s_m, g_m, c_m) = jnp.split(mods, 12, axis=-1)
+        else:
+            (s_sp, g_sp, c_sp, s_t, g_t, c_t, s_m, g_m, c_m) = jnp.split(mods, 9, axis=-1)
 
         # spatial: frames fold into batch — a pure reshape (frame-major order)
         qkv = _dense(block["qkv_s"], _adaln(tokens, s_sp, c_sp), dtype)
@@ -253,6 +300,12 @@ class VideoDiT:
         qkv = self._constrain_sites(qkv.reshape(B, F, N, 3 * c.dim))
         out = self._temporal_attend(qkv).reshape(B, F * N, c.dim)
         tokens = tokens + g_t[:, None] * _dense(block["proj_t"], out, dtype)
+
+        # text cross-attention (conditioned models): context is replicated
+        # under sp, so the branch needs no extra constraint
+        if context is not None:
+            out = self._cross_attend(block, _adaln(tokens, s_x, c_x), context)
+            tokens = tokens + g_x[:, None] * _dense(block["proj_x"], out, dtype)
 
         h = _adaln(tokens, s_m, c_m)
         h = _dense(block["mlp_out"], jax.nn.gelu(_dense(block["mlp_in"], h, dtype)), dtype)
@@ -270,25 +323,78 @@ class VideoDiT:
             params, exclude=frozenset({"ada", "final_mod", "t_mlp1", "t_mlp2", "patch_in", "final_out"})
         )
 
-    def as_sampleable(self, params: dict):
-        "Adapter to the sampling closure signature (x, t, sigma, alpha) -> pred."
+    def as_sampleable(self, params: dict, context: jax.Array | None = None, guidance_scale: float = 1.0):
+        """Adapter to the sampling closure signature (x, t, sigma, alpha).
+
+        With ``context`` and ``guidance_scale != 1`` the closure runs
+        classifier-free guidance against the learned null context, both
+        branches in one doubled-batch forward (conditioning bound at
+        closure time — one executable per prompt; see :meth:`as_served`
+        for the serving path)."""
+
+        from .conditioning import per_item
 
         def model_fn(x: jax.Array, t: jax.Array, s: jax.Array, a: jax.Array) -> jax.Array:
-            return self.apply(params, x, t)
+            B = x.shape[0]
+            if context is None:
+                return self.apply(params, x, t)
+            ctx = per_item(context, B, 2)
+            if guidance_scale == 1.0:
+                return self.apply(params, x, t, ctx)
+            null = jnp.broadcast_to(params["null_ctx"][None], (B, ctx.shape[1], ctx.shape[2]))
+            both = self.apply(
+                params,
+                jnp.concatenate([x, x]),
+                jnp.concatenate([jnp.broadcast_to(t, (B,)), jnp.broadcast_to(t, (B,))]),
+                jnp.concatenate([ctx, null]),
+            )
+            c_out, u_out = both[:B], both[B:]
+            return u_out + guidance_scale * (c_out - u_out)
+
+        return model_fn
+
+    def as_served(self, params: dict, guidance_scale: float = 1.0):
+        """Conditioned-serving closure ``(x, t, sigma, alpha, context)`` —
+        context as a TRACED per-request argument (the engines stack it to
+        ``(B, T_txt, D)``), so one executable serves every prompt."""
+
+        def model_fn(x, t, s, a, context=None):
+            B = x.shape[0]
+            if context is None or guidance_scale == 1.0:
+                return self.apply(params, x, t, context)
+            null = jnp.broadcast_to(params["null_ctx"][None], (B, context.shape[1], context.shape[2]))
+            t = jnp.broadcast_to(t, (B,)) if jnp.ndim(t) == 0 else t
+            both = self.apply(
+                params,
+                jnp.concatenate([x, x]),
+                jnp.concatenate([t, t]),
+                jnp.concatenate([context.astype(x.dtype), null.astype(x.dtype)]),
+            )
+            c_out, u_out = both[:B], both[B:]
+            return u_out + guidance_scale * (c_out - u_out)
 
         return model_fn
 
 
-def video_dit_forward_flops(config: VideoDiTConfig, batch: int, frames: int, h: int, w: int) -> float:
+def video_dit_forward_flops(
+    config: VideoDiTConfig, batch: int, frames: int, h: int, w: int, txt_tokens: int = 0
+) -> float:
     "Analytic matmul FLOPs of one forward (factorized attention counted exactly)."
     c = config
     n = (h // c.patch) * (w // c.patch)
     s = frames * n
     d = c.dim
+    branches = 4 if c.context_dim else 3
     total = 0.0
     # per block: 2 qkv (3d) + 2 proj + mlp in/out + ada head
     total += c.depth * 2.0 * batch * s * d * d * (2 * (3 + 1) + 2 * c.mlp_ratio)
-    total += c.depth * 2.0 * batch * d * 9 * d
+    total += c.depth * 2.0 * batch * d * 3 * branches * d
+    if c.context_dim and txt_tokens:
+        # cross branch: q_x + proj_x on s tokens, kv_c on text tokens,
+        # scores + combine against txt_tokens keys
+        total += c.depth * 2.0 * batch * s * d * d * 2
+        total += c.depth * 2.0 * batch * txt_tokens * c.context_dim * 2 * d
+        total += c.depth * 4.0 * batch * s * txt_tokens * d
     # factorized attention: scores + combine for each axis
     total += c.depth * batch * (4.0 * frames * n * n * d + 4.0 * n * frames * frames * d)
     patch_dim = c.channels * c.patch * c.patch
