@@ -111,18 +111,27 @@ def main(steps: int = 25) -> None:
             flush=True,
         )
 
-    # Int8 serving tree: the Transformer2D matmuls (the 31.5 ms dense/proj
-    # residue in the profile_sdxl.py ablation) go W8A8; convs + the
-    # conditioning pathway stay bf16/f32 (see CondUNet.quantize_params).
-    qparams = jax.jit(model.quantize_params, donate_argnums=0)(params)
-    del params
-    for label, fn, flops in (("int8 forward", uncond, fwd), ("int8 CFG (doubled batch)", cfg, 2 * fwd)):
-        sec = slope_time(fn, x, args=(qparams,))
-        print(
-            f"{label:28s} {sec * 1e6:9.1f} us/step   bf16-equiv {flops / sec / 1e12:6.1f} TF/s  "
-            f"({flops / sec / PEAK_BF16:.2f}x bf16 peak)   {BATCH / (sec * steps):5.2f} img/s marginal @ {steps} steps",
-            flush=True,
-        )
+    # Int8 serving trees, scope A/B (see CondUNet.quantize_params):
+    #   deep — only the >=4-block Transformer2D stages (the default; keeps
+    #          the conv-interleaved width-320/640 stages in bf16 fusion)
+    #   all  — the round-3 every-dense tree (measured slower than bf16:
+    #          fusion/layout loss around ~450 conv-interleaved int8 dots)
+    for scope in ("deep", "all"):
+        donate = (0,) if scope == "all" else ()  # last user frees the bf16 tree
+        qparams = jax.jit(lambda p, s=scope: model.quantize_params(p, scope=s), donate_argnums=donate)(params)
+        if donate:
+            del params
+        for label, fn, flops in (
+            (f"int8[{scope}] forward", uncond, fwd),
+            (f"int8[{scope}] CFG (doubled batch)", cfg, 2 * fwd),
+        ):
+            sec = slope_time(fn, x, args=(qparams,))
+            print(
+                f"{label:28s} {sec * 1e6:9.1f} us/step   bf16-equiv {flops / sec / 1e12:6.1f} TF/s  "
+                f"({flops / sec / PEAK_BF16:.2f}x bf16 peak)   {BATCH / (sec * steps):5.2f} img/s marginal @ {steps} steps",
+                flush=True,
+            )
+        del qparams
 
 
 if __name__ == "__main__":

@@ -46,8 +46,23 @@ def report(label: str, sec: float, flops: float) -> None:
     print(f"{label:58s} {sec * 1e6:9.1f} us   {flops / sec / 1e12:6.1f} TF/s  mfu {flops / sec / PEAK:.3f}", flush=True)
 
 
-def bench_dense_chain(N: int, C: int) -> None:
-    """One Transformer2D basic block with attention math replaced by identity."""
+def bench_dense_chain(N: int, C: int, variant: str = "base") -> None:
+    """One Transformer2D basic block with attention math replaced by identity.
+
+    ``variant`` isolates the elementwise interludes (the --chain-ablation
+    mode): "noln" removes every LayerNorm, "pallas_ln" routes LN through
+    the fused adaLN kernel, "f32gelu" applies the GEGLU in the matmul's
+    f32 accumulator before the cast.  Measured (v5e, 2026-08-20):
+
+        N=4096 C=640   base 0.654   pallas_ln 0.623  noln 0.620  f32gelu 0.680
+        N=1024 C=1280  base 0.755   pallas_ln 0.762  noln 0.790  f32gelu 0.760
+
+    Removing ALL norms recovers at most ~3 MFU points (and is NEGATIVE at
+    C=640), so the ~20-25%% gap to the bare-matmul ceiling is NOT fusable
+    elementwise work — it is matmul-boundary structure (pipeline drains +
+    casts + residual adds between six dependent kernels at modest shapes).
+    Recorded in BASELINE.md as the structural attribution for the SDXL
+    dense/LN residue."""
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
     dt = jnp.bfloat16
@@ -64,11 +79,20 @@ def bench_dense_chain(N: int, C: int) -> None:
     }
     ctx = jax.random.normal(ks[7], (1, CTX_N, CTX_D), dt)
 
-    def ln(x):
+    def ln_f32(x):
         x32 = x.astype(jnp.float32)
         mu = x32.mean(-1, keepdims=True)
         var = x32.var(-1, keepdims=True)
         return ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]).astype(x.dtype)
+
+    def ln_pallas(x):
+        from skrample_tpu.ops.adaln import adaln_modulate
+
+        scale = jnp.broadcast_to(p["g"][None] - 1.0, (x.shape[0], C))
+        shift = jnp.broadcast_to(p["b"][None], (x.shape[0], C))
+        return adaln_modulate(x, shift, scale)
+
+    ln = {"base": ln_f32, "pallas_ln": ln_pallas, "noln": lambda x: x, "f32gelu": ln_f32}[variant]
 
     def mm(x, w):
         return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
@@ -80,15 +104,20 @@ def bench_dense_chain(N: int, C: int) -> None:
         q = mm(ln(h), p["q2"])
         kv = mm(ctx, p["kv2"])
         h = h + mm(q, p["out2"]) + kv.sum(1).mean() * 0
-        ff = mm(ln(h), p["ffi"])
-        gate, act = jnp.split(ff, 2, axis=-1)
-        h = h + mm(gate * jax.nn.gelu(act, approximate=False), p["ffo"])
+        if variant == "f32gelu":
+            ff32 = jnp.dot(ln(h), p["ffi"], preferred_element_type=jnp.float32)
+            gate, act = jnp.split(ff32, 2, axis=-1)
+            h = h + mm((gate * jax.nn.gelu(act, approximate=False)).astype(h.dtype), p["ffo"])
+        else:
+            ff = mm(ln(h), p["ffi"])
+            gate, act = jnp.split(ff, 2, axis=-1)
+            h = h + mm(gate * jax.nn.gelu(act, approximate=False), p["ffo"])
         return tick(h, t)
 
     x = jax.random.normal(key, (1, N, C), dt)
     sec = slope_time(step, x, lengths=LENGTHS)
     flops = 2 * N * C * C * 18 + 2 * CTX_N * CTX_D * 2 * C
-    report(f"dense chain N={N} C={C}", sec, flops)
+    report(f"dense chain N={N} C={C} [{variant}]", sec, flops)
 
 
 def bench_flash(N: int, heads: int, d: int = 64) -> None:
@@ -234,5 +263,17 @@ def main() -> None:
     bench_einsum_attn(1024, 20)
 
 
+def main_chain_ablation() -> None:
+    print("=== dense-chain elementwise-interlude ablation (see bench_dense_chain doc) ===", flush=True)
+    for N, C in ((4096, 640), (1024, 1280)):
+        for variant in ("base", "pallas_ln", "noln", "f32gelu"):
+            bench_dense_chain(N, C, variant)
+
+
 if __name__ == "__main__":
-    main_int8() if "--int8" in sys.argv else main()
+    if "--int8" in sys.argv:
+        main_int8()
+    elif "--chain-ablation" in sys.argv:
+        main_chain_ablation()
+    else:
+        main()

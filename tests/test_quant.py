@@ -221,3 +221,66 @@ def test_quant_rows_local_caps_block_for_wide_rows(monkeypatch) -> None:
     assert picked[(4096, 12288)] * 12288 <= 1 << 20, picked
     quant._quant_rows_local(jnp.zeros((4096, 2048), jnp.bfloat16), interpret=True)
     assert picked[(4096, 2048)] == 256, picked  # DiT widths keep the original block
+
+
+def test_condunet_quantize_scope() -> None:
+    """CondUNet's per-family int8 default ("deep") quantizes ONLY the
+    >=4-block Transformer2D stages; "all" is the every-dense tree and
+    "none" is identity — the guard against the measured SDXL regression
+    (scripts/bench_sdxl.py: conv-interleaved int8 dots lose fusion)."""
+    from skrample_tpu.models import CondUNet, CondUNetConfig
+
+    model = CondUNet(
+        CondUNetConfig(
+            widths=(128, 128),
+            layers_per_block=1,
+            transformer_layers=(1, 4),
+            heads=(2, 2),
+            context_dim=64,
+            pooled_dim=0,
+            groups=8,
+            compute_dtype=jnp.float32,
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0))
+
+    def has_quant(tree) -> bool:
+        found = False
+
+        def walk(node):
+            nonlocal found
+            if isinstance(node, dict):
+                if "w_q" in node:
+                    found = True
+                for v in node.values():
+                    walk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v)
+
+        walk(tree)
+        return found
+
+    deep = model.quantize_params(params)  # default scope="deep"
+    assert not has_quant(deep["down"][0]), "shallow stage must stay bf16/f32"
+    assert has_quant(deep["down"][1]), "the 4-block stage must quantize"
+    assert has_quant(deep["mid"]), "the deep mid stage must quantize"
+    assert not has_quant({"r": deep["down"][0]["resnets"]}), "convs never quantize"
+    # up path: up[0] is the DEEPEST level (reversed order)
+    assert has_quant(deep["up"][0])
+    assert not has_quant(deep["up"][-1])
+
+    allq = model.quantize_params(params, scope="all")
+    assert has_quant(allq["down"][0]) and has_quant(allq["down"][1])
+
+    none = model.quantize_params(params, scope="none")
+    assert none is params
+
+    with pytest.raises(ValueError, match="scope"):
+        model.quantize_params(params, scope="bogus")
+
+    # the scoped trees still run
+    x = jnp.zeros((1, 4, 8, 8), jnp.float32)
+    ctx = jnp.zeros((1, 5, 64), jnp.float32)
+    out = model.apply(deep, x, jnp.full((1,), 400.0), ctx)
+    assert out.shape == x.shape
