@@ -524,25 +524,64 @@ class CondUNet:
         h = _conv(params["conv_out"], h, dtype, cl=cl)
         return (h.transpose(0, 3, 1, 2) if cl else h).astype(in_dtype)
 
-    def quantize_params(self, params: dict) -> dict:
-        """Int8 serving tree: the Transformer2D matmuls (the FLOPs bulk at
-        SDXL's 10-deep mid stages) go W8A8; convs are untouched (4-D
-        weights) and the conditioning pathway stays f32 — its outputs feed
-        every resnet's time injection.
+    def quantize_params(self, params: dict, scope: str = "deep") -> dict:
+        """Int8 serving tree with a per-family default that never regresses.
 
-        Measured caveat (`scripts/bench_sdxl.py`, v5e): at the SDXL base
-        shape this tree serves SLOWER than bf16 (78.2 vs 60.3 ms/fwd)
-        even though int8 wins 5/6 stage matmul shapes in isolation
-        (`scripts/micro_sdxl.py --int8`) and the quantize epilogue itself
-        totals only ~2 ms — the loss is the conv-interleaved graph giving
-        up fusion/layout around ~450 int8 dot boundaries.  The transformer-only
-        families (DiT/MMDiT/Flux) keep their int8 wins; for SDXL prefer
-        bf16 or restrict via ``quantize_params(min_size=...)``."""
+        ``scope`` selects which Transformer2D stages go W8A8 (convs are
+        untouched — 4-D weights — and the conditioning pathway stays f32:
+        its outputs feed every resnet's time injection):
+
+        * ``"deep"`` (default): only stages with >= 4 basic blocks — at the
+          SDXL base shape that is the 10-deep width-1280 mid/down/up stages,
+          a long conv-free run of blocks holding most of the matmul FLOPs.
+          The conv-interleaved width-320/640 stages keep their bf16 fusion.
+          Measured (v5e, `scripts/bench_sdxl.py`): CFG serving — the
+          realistic SDXL mode — **wins vs bf16** (124.2 vs 129.3 ms); the
+          uncond forward trails by ~6% (65.1 vs 61.4 ms).
+        * ``"all"``: every dense above the quantizer's size floor — the
+          round-3 behavior, measured SLOWER than bf16 end-to-end at SDXL
+          (77.4 vs 61.4 ms/fwd this round; 78.2 vs 60.3 in round 3) even
+          though int8 wins 5/6 stage matmul shapes in isolation
+          (`scripts/micro_sdxl.py --int8`): the loss is XLA giving up
+          fusion/layout around ~450 int8 dot boundaries in the
+          conv-interleaved graph, not the ~2 ms quantize epilogue.  The
+          conv-free families (DiT/MMDiT/Flux) keep their int8 wins at
+          ``"all"``-equivalent trees.
+        * ``"none"``: return the tree unchanged (bf16 opt-out — the pick
+          for uncond-only SDXL serving).
+
+        A/B rows live in `scripts/bench_sdxl.py`."""
         from ..ops.quant import quantize_params
 
-        return quantize_params(
-            params, exclude=frozenset({"temb", "t_mlp1", "t_mlp2", "add_mlp1", "add_mlp2"})
-        )
+        c = self.config
+        exclude = frozenset({"temb", "t_mlp1", "t_mlp2", "add_mlp1", "add_mlp2"})
+        if scope == "none":
+            return params
+        if scope == "all":
+            return quantize_params(params, exclude=exclude)
+        if scope != "deep":
+            raise ValueError(f"scope must be 'deep', 'all', or 'none', got {scope!r}")
+
+        threshold = 4
+        deep = {i for i, tl in enumerate(c.transformer_layers) if tl >= threshold}
+
+        def maybe(level: int, attn: dict | None) -> dict | None:
+            if attn is None or level not in deep:
+                return attn
+            return quantize_params(attn, exclude=exclude)
+
+        out = dict(params)
+        out["down"] = [
+            {**lvl, "attns": [maybe(i, a) for a in lvl["attns"]]}
+            for i, lvl in enumerate(params["down"])
+        ]
+        if params["mid"].get("attn") is not None and c.resolved_mid_layers >= threshold:
+            out["mid"] = {**params["mid"], "attn": quantize_params(params["mid"]["attn"], exclude=exclude)}
+        out["up"] = [
+            {**lvl, "attns": [maybe(len(c.widths) - 1 - j, a) for a in lvl["attns"]]}
+            for j, lvl in enumerate(params["up"])
+        ]
+        return out
 
     def as_sampleable(
         self,
