@@ -101,6 +101,97 @@ def main(steps: int = 25) -> None:
         flush=True,
     )
 
+    # text-conditioned CFG serving (cross-attention + learned-null uncond,
+    # both branches in one doubled-batch forward) — the text2video workload
+    ctx_tokens = 64
+    ccfg = VideoDiTConfig(
+        dim=512, depth=8, heads=4, channels=16, context_dim=512, compute_dtype=jnp.bfloat16
+    )
+    cmodel = VideoDiT(ccfg)
+    cparams = jax.tree.map(
+        lambda leaf: leaf + 0.02 * jax.random.normal(jax.random.PRNGKey(7), leaf.shape, leaf.dtype),
+        cmodel.init(jax.random.PRNGKey(0)),
+    )
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (BATCH, ctx_tokens, 512), jnp.float32)
+    cfg_fn = cmodel.as_sampleable(cparams, ctx, guidance_scale=3.0)
+    cfg_flops = 2.0 * video_dit_forward_flops(ccfg, BATCH, FRAMES, HW, HW, txt_tokens=ctx_tokens)
+    sec = slope_time(lambda y, t: y - 0.02 * cfg_fn(y, t, 1.0, 0.0), x)
+    print(
+        f"{'CFG cross-attn (doubled batch)':36s} {sec * 1e6:8.1f} us/step   "
+        f"eff {cfg_flops / sec / 1e12:6.1f} TF/s  mfu {cfg_flops / sec / PEAK_BF16:.3f}   "
+        f"{BATCH / (sec * steps):6.2f} videos/s marginal @ {steps} steps",
+        flush=True,
+    )
+
+
+def count_vae_flops(vae, params, z) -> float:
+    "Matmul-equivalent FLOPs of one VideoVAE decode, traced with counting wrappers."
+    from skrample_tpu.models import video_vae as vv_mod
+
+    total = 0.0
+    orig_conv, orig_dense, orig_tconv = vv_mod._conv, vv_mod._dense, vv_mod._tconv
+
+    def conv(p, xx, dtype, stride=1, cl=False, pad="SAME"):
+        nonlocal total
+        out = orig_conv(p, xx, dtype, stride, cl, pad)
+        co, ci, k, _ = p["w"].shape
+        total += 2.0 * k * k * ci * co * (out.size // co)
+        return out
+
+    def dense(p, xx, dtype):
+        nonlocal total
+        total += 2.0 * p["w"].shape[0] * p["w"].shape[1] * (xx.size // xx.shape[-1])
+        return orig_dense(p, xx, dtype)
+
+    def tconv(p, xx, dtype, stride=1):
+        nonlocal total
+        out = orig_tconv(p, xx, dtype, stride)
+        k, ci, co = p["w"].shape
+        total += 2.0 * k * ci * co * (out.size // co)
+        return out
+
+    vv_mod._conv, vv_mod._dense, vv_mod._tconv = conv, dense, tconv
+    try:
+        jax.eval_shape(lambda: vae.decode(params, z))
+    finally:
+        vv_mod._conv, vv_mod._dense, vv_mod._tconv = orig_conv, orig_dense, orig_tconv
+    return total
+
+
+def main_vae() -> None:
+    """The causal VideoVAE pixel bridge at a Wan-class shape: decode a
+    16-frame 512x512 clip from (16, 4, 64, 64) latents (8x spatial, 4x
+    temporal compression)."""
+    from skrample_tpu.models import VideoVAE, VideoVAEConfig
+
+    config = VideoVAEConfig(base=64, levels=4, temporal_levels=2, blocks_per_level=2, groups=16)
+    vae = VideoVAE(config)
+    params = vae.init(jax.random.PRNGKey(0))  # weights cast to bf16 at use
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 4, 64, 64), jnp.bfloat16)
+    flops = count_vae_flops(vae, params, z)
+    out_shape = (1, 3, 4 * config.temporal_factor, 64 * config.downsample_factor, 64 * config.downsample_factor)
+    print(
+        f"VideoVAE base={config.base} levels={config.levels} tlevels={config.temporal_levels}: "
+        f"decode {tuple(z.shape)} -> {out_shape}; traced {flops / 1e9:.1f} GFLOP/decode",
+        flush=True,
+    )
+
+    def step(y, t):
+        px = vae.decode(params, y * (1 + 1e-6 * t).astype(y.dtype))
+        # fold pixels back to latent shape so the scan carry stays small
+        return y + 1e-12 * px.astype(jnp.float32).mean()
+
+    sec = slope_time(step, z)
+    frames = out_shape[2]
+    print(
+        f"{'causal decode':36s} {sec * 1e6:8.1f} us/clip   eff {flops / sec / 1e12:6.1f} TF/s  "
+        f"mfu {flops / sec / PEAK_BF16:.3f}   {frames / sec:6.1f} pixel-frames/s",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 25)
+    if "--vae" in sys.argv:
+        main_vae()
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 25)
