@@ -109,11 +109,18 @@ def _sanitize_compile_cache(path: str | Path) -> int:
                 if fh.read(4) != b"\x28\xb5\x2f\xfd":
                     continue  # not a zstd frame (other compressor); leave it
                 fh.seek(0)
-                for _ in zstandard.ZstdDecompressor().read_to_iter(fh, read_size=1 << 22):
-                    pass
+                # decompressobj + .eof, NOT read_to_iter: the streaming
+                # iterator stops silently at EOF on a truncated frame
+                # (verified), which is exactly the r03 corruption mode
+                obj = zstandard.ZstdDecompressor().decompressobj()
+                while chunk := fh.read(1 << 22):
+                    obj.decompress(chunk)
+                complete = obj.eof
         except OSError:
             continue
         except Exception:  # noqa: BLE001 — any decode fault means corrupt
+            complete = False
+        if not complete:
             try:
                 f.unlink(missing_ok=True)
                 dropped += 1
