@@ -113,15 +113,19 @@ def main(steps: int = 25) -> None:
         cmodel.init(jax.random.PRNGKey(0)),
     )
     ctx = jax.random.normal(jax.random.PRNGKey(2), (BATCH, ctx_tokens, 512), jnp.float32)
-    cfg_fn = cmodel.as_sampleable(cparams, ctx, guidance_scale=3.0)
     cfg_flops = 2.0 * video_dit_forward_flops(ccfg, BATCH, FRAMES, HW, HW, txt_tokens=ctx_tokens)
-    sec = slope_time(lambda y, t: y - 0.02 * cfg_fn(y, t, 1.0, 0.0), x)
-    print(
-        f"{'CFG cross-attn (doubled batch)':36s} {sec * 1e6:8.1f} us/step   "
-        f"eff {cfg_flops / sec / 1e12:6.1f} TF/s  mfu {cfg_flops / sec / PEAK_BF16:.3f}   "
-        f"{BATCH / (sec * steps):6.2f} videos/s marginal @ {steps} steps",
-        flush=True,
-    )
+    # sequential (the family default) vs doubled-batch A/B: the factorized
+    # temporal attention is MXU-granularity-bound, so batch doubling is
+    # superlinearly slower here — see VideoDiT.as_sampleable
+    for label, batched in (("CFG cross-attn (sequential)", False), ("CFG cross-attn (doubled batch)", True)):
+        cfg_fn = cmodel.as_sampleable(cparams, ctx, guidance_scale=3.0, cfg_batched=batched)
+        sec = slope_time(lambda y, t, f=cfg_fn: y - 0.02 * f(y, t, 1.0, 0.0), x)
+        print(
+            f"{label:36s} {sec * 1e6:8.1f} us/step   "
+            f"eff {cfg_flops / sec / 1e12:6.1f} TF/s  mfu {cfg_flops / sec / PEAK_BF16:.3f}   "
+            f"{BATCH / (sec * steps):6.2f} videos/s marginal @ {steps} steps",
+            flush=True,
+        )
 
 
 def count_vae_flops(vae, params, z) -> float:
@@ -158,13 +162,15 @@ def count_vae_flops(vae, params, z) -> float:
     return total
 
 
-def main_vae() -> None:
+def main_vae(base: int = 64) -> None:
     """The causal VideoVAE pixel bridge at a Wan-class shape: decode a
     16-frame 512x512 clip from (16, 4, 64, 64) latents (8x spatial, 4x
-    temporal compression)."""
+    temporal compression).  ``--base128`` runs the lane-filling width for
+    attribution: base=64 puts 64 channels on the 128-wide lane axis at the
+    finest (most expensive) level, so half the vector tile idles there."""
     from skrample_tpu.models import VideoVAE, VideoVAEConfig
 
-    config = VideoVAEConfig(base=64, levels=4, temporal_levels=2, blocks_per_level=2, groups=16)
+    config = VideoVAEConfig(base=base, levels=4, temporal_levels=2, blocks_per_level=2, groups=16)
     vae = VideoVAE(config)
     params = vae.init(jax.random.PRNGKey(0))  # weights cast to bf16 at use
     z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 4, 64, 64), jnp.bfloat16)
@@ -178,8 +184,8 @@ def main_vae() -> None:
 
     def step(y, t):
         px = vae.decode(params, y * (1 + 1e-6 * t).astype(y.dtype))
-        # fold pixels back to latent shape so the scan carry stays small
-        return y + 1e-12 * px.astype(jnp.float32).mean()
+        # fold pixels back into the carry so the scan carry stays small
+        return (y + 1e-12 * px.astype(jnp.float32).mean()).astype(y.dtype)
 
     sec = slope_time(step, z)
     frames = out_shape[2]
@@ -192,6 +198,6 @@ def main_vae() -> None:
 
 if __name__ == "__main__":
     if "--vae" in sys.argv:
-        main_vae()
+        main_vae(base=128 if "--base128" in sys.argv else 64)
     else:
         main(int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 25)

@@ -27,7 +27,10 @@ enable_compilation_cache("/tmp/skrample_tpu_xla_cache")
 from skrample_tpu.models import VideoDiT, VideoDiTConfig
 from skrample_tpu.models.video_dit import video_dit_forward_flops
 
-BATCH, FRAMES, HW = 1, 16, 64
+# batch settable from argv: `profile_video.py 2` attributes the measured
+# batch-2 MFU drop (0.646 -> 0.522 at B=2; kernel-independent)
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 1
+FRAMES, HW = 16, 64
 LENGTHS = (2, 10)
 PEAK_BF16 = 197e12
 

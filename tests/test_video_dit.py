@@ -375,3 +375,19 @@ def test_text_to_video_end_to_end() -> None:
     np.testing.assert_array_equal(np.asarray(pixels), np.asarray(again))
     swapped = jax.jit(text2video)(ids[::-1], x)
     assert np.abs(np.asarray(pixels) - np.asarray(swapped)).max() > 0
+
+
+def test_cfg_sequential_matches_batched() -> None:
+    """The default sequential CFG (two B=1 passes — 22% faster on this
+    family, see as_sampleable) is the same math as the doubled batch."""
+    model = VideoDiT(conditioned_config())
+    params = wake_params(model, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 2, 16, 16), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 96), jnp.float32)
+    seq = model.as_sampleable(params, ctx, guidance_scale=3.0)(x, 400.0, 1.0, 0.0)
+    bat = model.as_sampleable(params, ctx, guidance_scale=3.0, cfg_batched=True)(x, 400.0, 1.0, 0.0)
+    np.testing.assert_allclose(np.asarray(seq), np.asarray(bat), rtol=2e-5, atol=2e-5)
+    sseq = model.as_served(params, guidance_scale=3.0)(x, 400.0, 1.0, 0.0, ctx)
+    sbat = model.as_served(params, guidance_scale=3.0, cfg_batched=True)(x, 400.0, 1.0, 0.0, ctx)
+    np.testing.assert_allclose(np.asarray(sseq), np.asarray(sbat), rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(sseq))
