@@ -225,3 +225,21 @@ def test_guidance_contract() -> None:
     sp = schnell.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="guidance"):
         schnell.apply(sp, x, t, ctx, pooled, guidance=3.5)  # schnell forbids it
+
+
+def test_as_served_matches_as_sampleable() -> None:
+    """The traced-context serving closure (`as_served`, what the
+    conditioned engines call with per-request (context, pooled) pairs)
+    computes exactly what the bound-context closure does."""
+    model = Flux(small_config())
+    params = model.init(jax.random.PRNGKey(0))
+    params = jax.tree.map(
+        lambda leaf: leaf + 0.02 * jax.random.normal(jax.random.PRNGKey(7), leaf.shape, leaf.dtype), params
+    )
+    x, t, ctx, pooled = inputs()
+    bound = model.as_sampleable(params, ctx, pooled, guidance=3.5)(x, t, 1.0, 0.0)
+    served = model.as_served(params, guidance=3.5)(x, t, 1.0, 0.0, (ctx, pooled))
+    np.testing.assert_array_equal(np.asarray(served), np.asarray(bound))
+    # per-request contexts actually matter
+    other = model.as_served(params, guidance=3.5)(x, t, 1.0, 0.0, (ctx + 1.0, pooled))
+    assert np.abs(np.asarray(other) - np.asarray(served)).max() > 0
