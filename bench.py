@@ -87,14 +87,20 @@ class Budget:
         return self.left() > need_s
 
 
-def _sanitize_compile_cache(path: str | Path) -> int:
+def _sanitize_compile_cache(path: str | Path, budget_s: float = 75.0, max_bytes: int = 16 << 30) -> int:
     """Evict corrupted persistent-cache entries (truncated zstd frames).
 
     A bench run killed by the driver's external timeout leaves half-written
     entries behind; jax then warns (``ZstdError: ... did not decompress full
     frame``) and recompiles on every later run — the exact r03 failure tail.
-    Validating each frame up front costs seconds; a corrupt entry costs
-    minutes of recompilation."""
+
+    The cache grows multi-GB across a round (22 GB observed), so validation
+    is NEWEST-FIRST under a time budget: torn entries are precisely the
+    newest ones (the write in flight at kill time), so the likely-corrupt
+    tail is always checked and older entries are left unvalidated when the
+    budget runs out (a missed torn oldie costs one warn+recompile, not the
+    run).  Entries beyond ``max_bytes`` cumulative (oldest first) are LRU-
+    pruned outright to bound both disk and future sanitize cost."""
     root = Path(path)
     if not root.is_dir():
         return 0
@@ -102,8 +108,28 @@ def _sanitize_compile_cache(path: str | Path) -> int:
         import zstandard
     except ImportError:  # jax would be on the zlib path; nothing to check
         return 0
+    try:
+        files = sorted(root.glob("*-cache"), key=lambda f: f.stat().st_mtime, reverse=True)
+    except OSError:
+        return 0
     dropped = 0
-    for f in root.glob("*-cache"):
+    total = 0
+    t0 = time.monotonic()
+    for f in files:
+        try:
+            size = f.stat().st_size
+        except OSError:
+            continue
+        total += size
+        if total > max_bytes:  # LRU prune: oldest entries past the cap
+            try:
+                f.unlink(missing_ok=True)
+                dropped += 1
+            except OSError:
+                pass
+            continue
+        if time.monotonic() - t0 > budget_s:
+            continue  # keep, unvalidated — the likely-torn newest are done
         try:
             with f.open("rb") as fh:
                 if fh.read(4) != b"\x28\xb5\x2f\xfd":

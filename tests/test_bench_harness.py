@@ -101,3 +101,35 @@ def test_headline_fields_contract(bench) -> None:
         assert key in src
     # the required sections must print BEFORE any optional section runs
     assert src.index("emit()  # the artifact exists") < src.index('("dispatch"')
+
+
+def test_sanitize_lru_prunes_beyond_cap(bench, tmp_path: Path) -> None:
+    "Oldest entries beyond max_bytes go; newest stay validated/kept."
+    files = []
+    for i in range(4):
+        f = tmp_path / f"jit_{i}-cache"
+        f.write_bytes(_zstd_bytes(_incompressible(1 << 14)))
+        os_utime = __import__("os").utime
+        os_utime(f, (1_000_000 + i, 1_000_000 + i))  # i=3 newest
+        files.append(f)
+    size = files[0].stat().st_size
+    dropped = bench._sanitize_compile_cache(tmp_path, max_bytes=int(2.5 * size))
+    assert dropped == 2
+    assert files[3].exists() and files[2].exists()  # newest two kept
+    assert not files[0].exists() and not files[1].exists()
+
+
+def test_sanitize_time_budget_keeps_unvalidated(bench, tmp_path: Path) -> None:
+    "Budget exhaustion must KEEP older entries, not drop them."
+    good_old = tmp_path / "jit_old-cache"
+    good_old.write_bytes(_zstd_bytes(_incompressible(1 << 14)))
+    __import__("os").utime(good_old, (1_000_000, 1_000_000))
+    torn_new = tmp_path / "jit_new-cache"
+    torn_new.write_bytes(_zstd_bytes(_incompressible(1 << 16))[:1000])
+    dropped = bench._sanitize_compile_cache(tmp_path, budget_s=0.0)
+    # the invariant: budget exhaustion skips VALIDATION, never deletes —
+    # unvalidated entries survive (a torn oldie costs one warn+recompile)
+    assert good_old.exists()
+    assert dropped <= 1  # the newest may or may not have been reached in time
+    if dropped == 0:
+        assert torn_new.exists()
