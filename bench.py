@@ -911,12 +911,14 @@ def main() -> None:
     emit()  # the artifact exists from this point on, whatever happens below
 
     # --- optional sections, gated on remaining budget -----------------------
-    # (name, estimated cost to be worth starting, callable)
+    # (name, estimated cost to be worth starting, callable) — ordered by
+    # scoreboard value: serving MFU > training > conditioned MMDiT > the
+    # dispatch decomposition (round-2/3 continuity data, cheap but last)
     optional = [
-        ("dispatch", 90.0, lambda: run_section(dispatch_section, jax, jnp, sampler, schedule, transform, shape, budget, required=False)),
         ("serving", 180.0, lambda: run_section(serving_section, jax, jnp, budget, required=False)),
         ("training", 150.0, lambda: run_section(training_section, jax, jnp, budget, required=False)),
         ("mmdit", 120.0, lambda: run_section(mmdit_section, jax, jnp, budget, required=False)),
+        ("dispatch", 90.0, lambda: run_section(dispatch_section, jax, jnp, sampler, schedule, transform, shape, budget, required=False)),
     ]
     only = os.environ.get("SKRAMPLE_BENCH_SECTIONS")  # comma list, for debugging
     for name, estimate, thunk in optional:
