@@ -21,7 +21,7 @@ either half is usable without the other's dependencies.
 from . import common, scheduling
 from .common import DeltaPoint, MergeStrategy, Point, Step
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "DeltaPoint",
