@@ -62,15 +62,102 @@ BASELINE_US = 5.0  # BASELINE.json target: fused step < 5 us on TPU v5e
 HEADLINE_LENGTHS = (1000, 6000, 11000, 16000)
 AB_LENGTHS = (1000, 16000)
 
+# The driver keeps only a ~2000-char TAIL of stdout and parses the last
+# {"metric": ...} JSON line out of it.  Round 4's cumulative line grew past
+# that window, the front (metric/value/vs_baseline) was clipped off, and the
+# scoreboard recorded `parsed: null` despite rc 0.  Contract since round 5:
+# after every cumulative print, a COMPACT summary line (hard cap below,
+# pinned by tests/test_bench_harness.py) is printed LAST, so the final line
+# always parses inside the window whatever the full artifact grows to.
+COMPACT_MAX_CHARS = 1500
+_COMPACT_KEYS = (
+    # identity + headline (the driver's four parse targets lead)
+    "metric", "value", "unit", "vs_baseline",
+    "spread_us", "headline_variant", "fit_reps", "ab_us",
+    # correctness guards
+    "max_dsigma_vs_reference", "max_dsigma_random_stacks_live", "latent_mse_vs_f64_oracle",
+    # cross-round drift vs the committed expected ranges
+    "regressions",
+    # scoreboard summaries of the optional sections
+    "mfu_model_fwd_marginal_bf16", "mfu_model_fwd_marginal_int8", "img_per_s_marginal_int8",
+    "request_constant_ms_bf16", "request_constant_is_tunnel",
+    "ms_train_step_bf16", "mfu_train_step_bf16", "mfu_model_fwd_mmdit_cfg",
+    # run health
+    "bench_interrupted_signal", "bench_elapsed_s", "backend",
+)
+
+# Expected ranges from BASELINE.md's validated on-chip runs (rounds 2-4),
+# widened for the dev tunnel's documented timing variance.  A metric outside
+# its range lands in the artifact's `regressions` list — the guard the round-4
+# verdict asked for after pallas_bf16 drifted 0.91 -> 1.16 us unremarked.
+# Dotted keys index into nested dicts (ab_us.*).
+EXPECTED_RANGES: dict[str, tuple[float, float]] = {
+    "value": (0.4, 1.4),                      # pallas_f32 headline: 0.65-1.25 observed
+    "ab_us.pallas_bf16": (0.5, 1.3),          # 0.91-1.16 observed; >1.3 = real drift
+    "ab_us.xla_f32": (1.6, 2.8),              # 2.18-2.43 observed
+    "ab_us.xla_bf16": (1.4, 2.4),             # 1.84-1.95 observed
+    "max_dsigma_vs_reference": (0.0, 0.0),    # bit-exact, always
+    "latent_mse_vs_f64_oracle": (0.0, 1e-12),
+    "mfu_model_fwd_marginal_bf16": (0.65, 1.0),   # 0.79-0.80 observed
+    "mfu_model_fwd_marginal_int8": (0.75, 1.25),  # 0.93-1.01 (bf16-peak denom)
+    "ms_train_step_bf16": (6.0, 10.0),        # 7.49-8.1 observed
+    "mfu_model_fwd_mmdit_cfg": (0.55, 0.85),  # 0.689-0.735 observed
+}
+
 _RESULT: dict = {}
 
 
+def _lookup(doc: dict, dotted: str):
+    for part in dotted.split("."):
+        if not isinstance(doc, dict) or part not in doc:
+            return None
+        doc = doc[part]
+    return doc
+
+
+def check_regressions(doc: dict) -> list[str]:
+    """Metrics outside their committed expected range, as compact strings.
+
+    Only metrics PRESENT in the artifact are checked (budget-skipped sections
+    never count as regressions); the list is capped so it cannot blow the
+    compact line's budget."""
+    out = []
+    for key, (lo, hi) in EXPECTED_RANGES.items():
+        v = _lookup(doc, key)
+        if v is None or not isinstance(v, (int, float)):
+            continue
+        if not lo <= v <= hi:
+            out.append(f"{key}={v:.4g} outside [{lo:g}, {hi:g}]")
+    if len(out) > 5:
+        out = out[:5] + [f"+{len(out) - 5} more"]
+    return out
+
+
+def compact_line() -> str:
+    """The <= COMPACT_MAX_CHARS summary JSON printed LAST on every emit.
+
+    Keys are dropped from the back of _COMPACT_KEYS (never the driver's four
+    parse targets) until the line fits; in practice it fits with everything."""
+    doc = {k: _RESULT[k] for k in _COMPACT_KEYS if k in _RESULT}
+    doc["regressions"] = check_regressions(_RESULT)
+    line = json.dumps(doc)
+    drop = [k for k in reversed(_COMPACT_KEYS) if k not in ("metric", "value", "unit", "vs_baseline")]
+    while len(line) > COMPACT_MAX_CHARS and drop:
+        doc.pop(drop.pop(0), None)
+        line = json.dumps(doc)
+    return line
+
+
 def emit(update: dict | None = None) -> None:
-    "(Re-)print the cumulative result as one flushed JSON line."
+    """(Re-)print the cumulative artifact, then the compact summary line.
+
+    Both are complete valid JSON artifacts; the compact one is always LAST so
+    the driver's bounded tail window always contains a parseable headline."""
     if update:
         _RESULT.update(update)
     if "value" in _RESULT:
         print(json.dumps(_RESULT), flush=True)
+        print(compact_line(), flush=True)
 
 
 class Budget:
@@ -148,6 +235,11 @@ def _sanitize_compile_cache(path: str | Path, budget_s: float = 75.0, max_bytes:
             complete = False
         if not complete:
             try:
+                # a frame still being WRITTEN by a concurrent run has exactly
+                # the torn signature; leave very fresh files alone (a real
+                # torn oldie costs one warn+recompile, not the run)
+                if time.time() - f.stat().st_mtime < 10.0:
+                    continue
                 f.unlink(missing_ok=True)
                 dropped += 1
             except OSError:
@@ -532,6 +624,13 @@ def serving_section(jax, jnp, budget: Budget, batch: int = 4, steps: int = 25, h
             out[f"us_per_model_step_marginal_{tag}"] = round(marginal * 1e6, 1)
             out[f"img_per_s_marginal_{tag}"] = round(batch / (marginal * steps), 3)
             out[f"request_constant_ms_{tag}"] = round(constant * 1e3, 3)
+            # attribution: the ~30 ms constant is the dev tunnel's per-request
+            # dispatch floor (~0 on a locally attached chip), so the
+            # full-request mfu_model_fwd_* rows above are floored by it —
+            # the *_marginal rows are the steady-state serving ceiling, and
+            # continuous batching amortizes the constant in production
+            out["request_constant_is_tunnel"] = True
+            out["full_request_rows_include_dispatch_constant"] = True
             if peak_bf16:
                 out[f"mfu_model_fwd_marginal_{tag}"] = round(
                     dit_forward_flops(config, batch, hw, hw) / marginal / peak_bf16, 4
@@ -838,10 +937,13 @@ def main() -> None:
     budget = Budget(float(os.environ.get("SKRAMPLE_BENCH_BUDGET_S", "900")))
 
     def _emergency(signum, frame):  # noqa: ARG001 — signal handler signature
-        # external kill (driver timeout) or own alarm: save what we measured
+        # external kill (driver timeout) or own alarm: save what we measured,
+        # but exit NONZERO (3) so callers can tell an interrupted run from a
+        # clean one by rc alone — the bench_interrupted_signal key carries the
+        # detail for artifact readers (advisor round-4 finding)
         _RESULT.setdefault("bench_interrupted_signal", signum)
         emit()
-        sys.exit(0 if "value" in _RESULT else 1)
+        sys.exit(3 if "value" in _RESULT else 1)
 
     signal.signal(signal.SIGTERM, _emergency)
     signal.signal(signal.SIGALRM, _emergency)

@@ -44,6 +44,9 @@ def _incompressible(n: int) -> bytes:
 
 
 def test_sanitize_drops_truncated_entries_only(bench, tmp_path: Path) -> None:
+    import os
+    import time
+
     good = tmp_path / "jit_f-aaaa-cache"
     good.write_bytes(_zstd_bytes(b"x" * 4096))
     corrupt = tmp_path / "jit_g-bbbb-cache"
@@ -51,6 +54,8 @@ def test_sanitize_drops_truncated_entries_only(bench, tmp_path: Path) -> None:
     # compressible one fits its whole frame in the prefix and read paths
     # that stop silently at EOF — the r03 corruption mode — pass it)
     corrupt.write_bytes(_zstd_bytes(_incompressible(1 << 16))[:1000])
+    old = time.time() - 600  # past the concurrent-writer grace window
+    os.utime(corrupt, (old, old))
     foreign = tmp_path / "jit_h-cccc-cache"
     foreign.write_bytes(b"not-zstd-at-all")  # other compressor: leave it
     unrelated = tmp_path / "notes.txt"
@@ -60,6 +65,15 @@ def test_sanitize_drops_truncated_entries_only(bench, tmp_path: Path) -> None:
     assert dropped == 1
     assert good.exists() and foreign.exists() and unrelated.exists()
     assert not corrupt.exists()
+
+
+def test_sanitize_spares_fresh_torn_entries(bench, tmp_path: Path) -> None:
+    """A torn frame with a NOW mtime is a concurrent run's write in flight,
+    not r03 corruption — it must be left alone (advisor round-4 finding)."""
+    in_flight = tmp_path / "jit_w-dddd-cache"
+    in_flight.write_bytes(_zstd_bytes(_incompressible(1 << 16))[:1000])
+    assert bench._sanitize_compile_cache(tmp_path) == 0
+    assert in_flight.exists()
 
 
 def test_sanitize_missing_dir_is_noop(bench, tmp_path: Path) -> None:
@@ -76,7 +90,8 @@ def test_budget_counts_down(bench) -> None:
 
 
 def test_emit_is_cumulative_and_always_complete(bench) -> None:
-    "Every print is a full valid artifact; the LAST line is the most complete."
+    """Every print is a full valid artifact; each emit ends with the compact
+    summary line, so the LAST line always parses inside the driver's window."""
     out = io.StringIO()
     with redirect_stdout(out):
         bench.emit({"metric": "m"})  # no value yet: must stay silent
@@ -84,12 +99,111 @@ def test_emit_is_cumulative_and_always_complete(bench) -> None:
         bench.emit({"value": 1.25, "unit": "us"})
         bench.emit({"extra_section": 7})
     lines = [ln for ln in out.getvalue().splitlines() if ln.strip()]
-    assert len(lines) == 2
-    first, last = (json.loads(ln) for ln in (lines[0], lines[-1]))
-    for doc in (first, last):  # both parse as complete artifacts
+    assert len(lines) == 4  # (cumulative, compact) x 2 emits
+    docs = [json.loads(ln) for ln in lines]
+    for doc in docs:  # every line parses as a complete artifact
         assert doc["metric"] == "m" and doc["value"] == 1.25
-    assert "extra_section" not in first
-    assert last["extra_section"] == 7
+    assert "extra_section" not in docs[0]
+    assert docs[2]["extra_section"] == 7  # cumulative carries everything
+    assert len(lines[-1]) <= bench.COMPACT_MAX_CHARS  # compact is LAST
+
+
+def _stuffed_result(bench) -> None:
+    "Fill _RESULT to beyond-round-4 size: a ~4k-char cumulative artifact."
+    bench._RESULT.update(
+        {
+            "metric": (
+                "fused sampler step (DPM++2M, FlowShift(Linear), SDXL 1x4x128x128 "
+                "f32, pallas_f32, least-squares marginal in scan)"
+            ),
+            "value": 0.95,
+            "unit": "us",
+            "vs_baseline": 5.27,
+            "spread_us": 0.13,
+            "headline_variant": "pallas_f32",
+            "fit_reps": 3,
+            "ab_us": {
+                "pallas_f32": 0.95, "pallas_f32_spread": 0.1,
+                "pallas_bf16": 1.16, "pallas_bf16_spread": 0.1,
+                "xla_f32": 2.2, "xla_f32_spread": 0.2,
+                "xla_bf16": 1.9, "xla_bf16_spread": 0.2,
+            },
+            "max_dsigma_vs_reference": 0.0,
+            "latent_mse_vs_f64_oracle": 1.2e-14,
+            "mfu_model_fwd_marginal_bf16": 0.794,
+            "mfu_model_fwd_marginal_int8": 0.93,
+            "ms_train_step_bf16": 7.49,
+            "mfu_model_fwd_mmdit_cfg": 0.735,
+            "bench_elapsed_s": 598.5,
+            "backend": "tpu",
+            **{f"padding_section_key_{i}": "x" * 64 for i in range(48)},
+        }
+    )
+
+
+def test_compact_line_fits_window_with_required_keys(bench) -> None:
+    """THE round-4 gating flaw: the last line must fit the driver's ~2000-char
+    tail window and carry the parse targets, however big the artifact gets."""
+    _stuffed_result(bench)
+    out = io.StringIO()
+    with redirect_stdout(out):
+        bench.emit({"one_more": 1})
+    lines = [ln for ln in out.getvalue().splitlines() if ln.strip()]
+    assert len(json.dumps(bench._RESULT)) > 2000  # the cumulative would clip
+    last = lines[-1]
+    assert len(last) <= bench.COMPACT_MAX_CHARS
+    doc = json.loads(last)
+    for key in ("metric", "value", "unit", "vs_baseline", "spread_us",
+                "headline_variant", "max_dsigma_vs_reference",
+                "latent_mse_vs_f64_oracle", "regressions", "bench_elapsed_s"):
+        assert key in doc, key
+    assert doc["value"] == 0.95 and doc["vs_baseline"] == 5.27
+    assert "padding_section_key_0" not in doc  # bulk stays on the cumulative
+
+
+def test_compact_line_sheds_optional_keys_under_pressure(bench) -> None:
+    "A pathologically long metric string still yields a fitting, parseable line."
+    bench._RESULT.update(
+        {"metric": "m" * 1400, "value": 1.0, "unit": "us", "vs_baseline": 5.0,
+         "ab_us": {"pallas_f32": 1.0}, "bench_elapsed_s": 1.0}
+    )
+    line = bench.compact_line()
+    assert len(line) <= bench.COMPACT_MAX_CHARS
+    doc = json.loads(line)
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in doc
+
+
+def test_regression_guard_flags_out_of_range(bench) -> None:
+    doc = {
+        "value": 0.95,
+        "ab_us": {"pallas_bf16": 1.6},  # above [0.5, 1.3]: the r04 drift case
+        "max_dsigma_vs_reference": 0.0,
+        "ms_train_step_bf16": 7.49,
+    }
+    flagged = bench.check_regressions(doc)
+    assert flagged == ["ab_us.pallas_bf16=1.6 outside [0.5, 1.3]"]
+
+
+def test_regression_guard_ignores_absent_sections(bench) -> None:
+    "Budget-skipped sections must not read as regressions."
+    assert bench.check_regressions({"value": 0.95}) == []
+    # sigma guard: any nonzero is a regression
+    assert bench.check_regressions({"value": 0.95, "max_dsigma_vs_reference": 1e-9})
+
+
+def test_regression_guard_caps_its_length(bench) -> None:
+    doc = {k: -1e9 for k in ("value", "ms_train_step_bf16", "mfu_model_fwd_mmdit_cfg",
+                             "max_dsigma_vs_reference", "latent_mse_vs_f64_oracle",
+                             "mfu_model_fwd_marginal_bf16", "mfu_model_fwd_marginal_int8")}
+    flagged = bench.check_regressions(doc)
+    assert len(flagged) == 6 and flagged[-1].startswith("+")
+
+
+def test_interrupted_run_exits_nonzero(bench) -> None:
+    "rc must distinguish an interrupted run from a clean one (advisor finding)."
+    src = (Path(__file__).parent.parent / "bench.py").read_text()
+    assert 'sys.exit(3 if "value" in _RESULT else 1)' in src
 
 
 def test_headline_fields_contract(bench) -> None:
