@@ -202,10 +202,14 @@ class ContinuousServingEngine:
 
     def close(self) -> None:
         with self._lock:
-            if self._closed:
-                return
-            self._closed = True
-            self._queue.put(None)
+            if not self._closed:
+                self._closed = True
+                self._queue.put(None)
+        # ALWAYS join, even when _closed was already set: after a worker
+        # fault the worker's own finally sets _closed, and close() must not
+        # return while the worker is still draining the queue (a queued
+        # future could otherwise resolve after close()).  join() is
+        # idempotent and cheap on a finished thread.
         self._worker.join()
 
     def __enter__(self) -> "ContinuousServingEngine":

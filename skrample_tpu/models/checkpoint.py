@@ -131,14 +131,20 @@ class TrainCheckpointer:
                 like,
             )
             return self._manager.restore(int(step), args=self._ocp.args.StandardRestore(abstract))
-        # plain restore: rebuild the abstract tree from the checkpoint's own
-        # metadata with a CONCRETE local sharding per leaf.  Without this,
-        # orbax replays the sharding recorded at save time — a checkpoint
-        # written on a TPU process then fails to restore on a CPU process
-        # ("Device TPU v5 lite0 was not found in jax.local_devices()").
-        meta = self._manager.item_metadata(int(step))
-        if meta is None or not jax.tree.leaves(meta):
+        # plain restore: try the save-time sharding replay FIRST — on the
+        # same topology it restores a sharded state sharded (no single-device
+        # gather that could OOM a large state).  Only when the replay fails —
+        # a checkpoint written on a TPU process restored by a CPU process
+        # ("Device TPU v5 lite0 was not found in jax.local_devices()") —
+        # rebuild the abstract tree from the checkpoint's own metadata with a
+        # CONCRETE local single-device sharding per leaf (callers with a
+        # sharded target on a NEW topology should pass ``like=``).
+        try:
             return self._manager.restore(int(step))
+        except Exception:  # noqa: BLE001 — recorded devices absent here
+            meta = self._manager.item_metadata(int(step))
+            if meta is None or not jax.tree.leaves(meta):
+                raise  # no metadata to rebuild from: surface the replay failure
         local = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
         abstract = jax.tree.map(
             lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=local) if hasattr(m, "shape") else m,

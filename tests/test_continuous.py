@@ -200,6 +200,23 @@ class TestMechanics:
         with pytest.raises(RuntimeError):
             engine.submit(0)
 
+    def test_close_after_worker_fault_still_joins_worker(self):
+        """A worker fault sets _closed in its own finally; a later close()
+        must STILL join the worker (advisor round-4: the early-return made
+        close() race the worker's queue drain)."""
+
+        def bad_model(x, t, sigma, alpha):
+            raise RuntimeError("injected fault")
+
+        engine = ContinuousServingEngine(bad_model, (4, 8, 8), steps=4, slots=2)
+        fut = engine.submit(0)
+        with pytest.raises(Exception):
+            fut.result(timeout=60)
+        engine.close()
+        assert not engine._worker.is_alive()
+        with pytest.raises(RuntimeError):
+            engine.submit(1)
+
     def test_stats_track_occupancy(self):
         with make_engine(slots=4) as engine:
             futs = [engine.submit(k) for k in range(2)]
