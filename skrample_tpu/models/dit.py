@@ -224,8 +224,10 @@ class DiT:
             # touch ICI
             from jax.sharding import NamedSharding
 
+            from ..parallel import batch_axis_of
+
             tokens = jax.lax.with_sharding_constraint(
-                tokens, NamedSharding(self.mesh, P(None, c.sp_axis, None))
+                tokens, NamedSharding(self.mesh, P(batch_axis_of(self.mesh), c.sp_axis, None))
             )
 
         temb = _timestep_embedding(t, 256)
@@ -298,6 +300,7 @@ class DiT:
         mesh: Any,
         microbatch: int,
         axis: str = "pp",
+        batch_axis: str | None = None,
     ) -> jax.Array:
         """Pipeline-parallel forward: blocks split into ``mesh.shape[axis]``
         consecutive stages, microbatches streamed through with the GPipe-lite
@@ -339,7 +342,7 @@ class DiT:
 
         count = B // microbatch
         as_mb = lambda a: a.reshape(count, microbatch, *a.shape[1:])  # noqa: E731
-        toks, _ = pipeline_apply(stage_fn, staged, (as_mb(tokens), as_mb(temb)), mesh, axis)
+        toks, _ = pipeline_apply(stage_fn, staged, (as_mb(tokens), as_mb(temb)), mesh, axis, batch_axis=batch_axis)
         tokens = toks.reshape(B, *toks.shape[2:])
 
         shift, scale = jnp.split(_dense(params["final_mod"], temb, dtype), 2, axis=-1)

@@ -338,7 +338,9 @@ class MMDiT:
             # attention's ring hops / all-to-alls touch ICI
             from jax.sharding import NamedSharding
 
-            sharding = NamedSharding(self.mesh, P(None, c.sp_axis, None))
+            from ..parallel import batch_axis_of
+
+            sharding = NamedSharding(self.mesh, P(batch_axis_of(self.mesh), c.sp_axis, None))
             img = jax.lax.with_sharding_constraint(img, sharding)
             txt = jax.lax.with_sharding_constraint(txt, sharding)
 
@@ -379,6 +381,7 @@ class MMDiT:
         context: jax.Array | None = None,
         pooled: jax.Array | None = None,
         axis: str = "pp",
+        batch_axis: str | None = None,
     ) -> jax.Array:
         """Pipeline-parallel forward (GPipe-lite over the ``pp`` axis).
 
@@ -411,7 +414,9 @@ class MMDiT:
 
         count = B // microbatch
         as_mb = lambda a: a.reshape(count, microbatch, *a.shape[1:])  # noqa: E731
-        img_out, _txt, _cd = pipeline_apply(stage_fn, staged, (as_mb(img), as_mb(txt), as_mb(cond)), mesh, axis)
+        img_out, _txt, _cd = pipeline_apply(
+            stage_fn, staged, (as_mb(img), as_mb(txt), as_mb(cond)), mesh, axis, batch_axis=batch_axis
+        )
         img = img_out.reshape(B, *img_out.shape[2:])
         return self._finalize(params, img, cond, H, W, in_dtype)
 

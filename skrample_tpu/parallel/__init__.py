@@ -98,6 +98,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
+def batch_axis_of(mesh: Mesh, name: str = "dp") -> str | None:
+    """The data-parallel axis name when present and nontrivial, else None.
+
+    The sequence-parallel shard_maps / constraints put this on the leading
+    (batch) dim of their specs so sp composes with dp on a multi-axis mesh —
+    a spec of ``P(None, 'sp', ...)`` on a dp-sharded activation would force
+    an all-gather of the batch at the shard_map boundary."""
+    return name if name in mesh.axis_names and mesh.shape[name] > 1 else None
+
+
 def shard_batch(mesh: Mesh, array: jax.Array, spatial_axis: int | None = None) -> jax.Array:
     "Place an array with the standard latent sharding."
     return jax.device_put(array, latent_sharding(mesh, 0, spatial_axis, array.ndim))

@@ -118,7 +118,9 @@ def joint_sp_attention(
 
         return merge_heads(oa), merge_heads(ob)
 
-    spec = P(None, axis, None)
+    from . import batch_axis_of
+
+    spec = P(batch_axis_of(mesh), axis, None)  # dp on batch when composed
     # check_vma=False: pallas_call does not declare varying-mesh-axes metadata
     return jax.shard_map(
         per_device, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec), check_vma=False

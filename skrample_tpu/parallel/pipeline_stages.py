@@ -44,6 +44,7 @@ def pipeline_apply(
     microbatches: Any,
     mesh: Mesh,
     axis: str = "pp",
+    batch_axis: str | None = None,
 ) -> Any:
     """Run ``microbatches`` through S pipeline stages.
 
@@ -53,7 +54,14 @@ def pipeline_apply(
     ``(tokens, conditioning)`` pair when every stage needs the conditioning
     vector alongside the residual stream.  ``stage_fn(params, x)`` maps one
     microbatch pytree through one stage, structure- and shape-preserving.
-    Returns the (M, mb, ...) outputs of the final stage."""
+    Returns the (M, mb, ...) outputs of the final stage.
+
+    ``batch_axis`` composes pp with dp: when set (e.g. ``"dp"``), each
+    microbatch's item dim is sharded over that mesh axis — every dp slice
+    runs its own pipeline over the same stage weights, no cross-dp comm.
+    The tick loop is a ``lax.scan`` (static trip count), so the whole thing
+    is reverse-differentiable: ``ppermute``/``psum`` transpose to their
+    inverses and a pp x dp *training* step works under ``jax.grad``."""
     stages = mesh.shape[axis]
 
     def per_device(params, mb_in):
@@ -66,7 +74,7 @@ def pipeline_apply(
         count = jax.tree.leaves(mb_in)[0].shape[0]
         ticks = count + stages - 1
 
-        def tick(t, carry):
+        def tick(carry, t):
             active, outputs = carry
             # stage 0 ingests microbatch t (garbage when t >= count; masked later)
             feed = jax.tree.map(lambda leaf: leaf[jnp.minimum(t, count - 1)], mb_in)
@@ -89,11 +97,12 @@ def pipeline_apply(
                 lambda act: jax.lax.ppermute(act, axis, [(i, (i + 1) % stages) for i in range(stages)]),
                 active,
             )
-            return active, outputs
+            return (active, outputs), None
 
         active0 = jax.tree.map(lambda leaf: jnp.zeros_like(leaf[0]), mb_in)
         outputs0 = jax.tree.map(jnp.zeros_like, mb_in)
-        _, outputs = jax.lax.fori_loop(0, ticks, tick, (active0, outputs0))
+        # scan, not fori_loop: same lowering, but reverse-differentiable
+        (_, outputs), _ = jax.lax.scan(tick, (active0, outputs0), jnp.arange(ticks))
         # only the last stage holds real outputs; psum broadcasts them
         outputs = jax.tree.map(
             lambda out: jnp.where(stage == stages - 1, out, jnp.zeros_like(out)), outputs
@@ -101,11 +110,12 @@ def pipeline_apply(
         return jax.lax.psum(outputs, axis)
 
     spec_params = jax.tree.map(lambda _: P(axis), stage_params)
+    mb_spec = P(None, batch_axis) if batch_axis is not None else P()
     return jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(spec_params, P()),
-        out_specs=P(),
+        in_specs=(spec_params, mb_spec),
+        out_specs=mb_spec,
     )(stage_params, microbatches)
 
 

@@ -46,7 +46,9 @@ def ring_attention(
     def per_device(q_loc, k_loc, v_loc):
         return ring_attention_local(q_loc, k_loc, v_loc, axis, ring, block_op)
 
-    spec = P(None, None, axis, None)
+    from . import batch_axis_of
+
+    spec = P(batch_axis_of(mesh), None, axis, None)  # dp on batch when composed
     # check_vma=False: pallas_call does not declare varying-mesh-axes
     # metadata, so the flash block kernel would trip the vma validator
     return jax.shard_map(

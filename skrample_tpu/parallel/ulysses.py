@@ -60,7 +60,9 @@ def ulysses_attention(
         # inverse: scatter tokens, gather heads -> (B, H, N/S, d)
         return jax.lax.all_to_all(out, axis, split_axis=2, concat_axis=1, tiled=True)
 
-    spec = P(None, None, axis, None)
+    from . import batch_axis_of
+
+    spec = P(batch_axis_of(mesh), None, axis, None)  # dp on batch when composed
     # check_vma=False: pallas_call does not declare varying-mesh-axes metadata
     return jax.shard_map(
         per_device, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False

@@ -639,3 +639,147 @@ class TestJointSP:
         with mesh:
             out = np.asarray(jax.jit(sharded.apply)(params, x, t, ctx))
         np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-6)
+
+
+class TestComposedAxes:
+    """3-axis composition: the round-4 n=7 spec-normalization bug was only
+    visible under axis *composition*; these pin dp x tp x sp sampling and
+    pp x dp training on the virtual mesh (matching dryrun stages in
+    __graft_entry__._dryrun_composed)."""
+
+    @pytest.mark.parametrize("scheme", ["ulysses", "ring"])
+    def test_mmdit_dp_tp_sp_matches_single(self, scheme):
+        "dp=2 x tp=2 x sp=2 CFG sampling == single device, dp kept on the output."
+        from skrample_tpu.models import MMDiT, MMDiTConfig
+        from skrample_tpu.sampling import models as sk_models
+
+        mesh = make_mesh(dp=2, sp=2, extra_axes={"tp": 2})
+        kwargs = dict(
+            dim=128, depth=2, heads=2, context_dim=96, context_tokens=128, compute_dtype=jnp.float32
+        )
+        base = MMDiT(MMDiTConfig(**kwargs, attention="full"))
+        params = base.init(jax.random.PRNGKey(0))
+        params = jax.tree.map(
+            lambda leaf: leaf + 0.02 * jax.random.normal(jax.random.PRNGKey(7), leaf.shape, leaf.dtype),
+            params,
+        )
+        batch = 4
+        x = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, 16, 16), jnp.float32)
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, 96), jnp.float32)
+        compiled = compile_sampler(
+            structured.DPM(order=2), scheduling.FlowShift(scheduling.Linear()), models.FlowModel(), 3
+        )
+        denoiser = CompiledDenoiser.build(compiled, dtype=jnp.float32)
+        single = denoiser.run(base.as_sampleable(params, ctx, guidance_scale=2.0), x)
+
+        sharded_model = MMDiT(MMDiTConfig(**kwargs, attention=scheme), mesh=mesh)
+        ps = jax.tree.map(
+            lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+            params,
+            sharded_model.param_spec(),
+            is_leaf=lambda z: isinstance(z, jax.Array | np.ndarray),
+        )
+        xs = jax.device_put(x, NamedSharding(mesh, PartitionSpec("dp")))
+        cs = jax.device_put(ctx, NamedSharding(mesh, PartitionSpec("dp")))
+        with mesh:
+            model_fn = sharded_model.as_sampleable(ps, cs, guidance_scale=2.0)
+            out = jax.jit(lambda xx: denoiser.run(model_fn, xx))(xs)
+            out.block_until_ready()
+        np.testing.assert_allclose(np.asarray(out), np.asarray(single), rtol=3e-5, atol=3e-6)
+        # composition must KEEP dp on the batch: a silent all-gather at the
+        # sp shard_map boundary would replicate it (the bug class this pins).
+        # XLA may additionally propagate sp onto a spatial dim — fine.
+        spec = getattr(out.sharding, "spec", ())
+        batch_entry = spec[0] if len(spec) else None
+        assert batch_entry in ("dp", ("dp",)), out.sharding
+
+    def test_pipeline_grads_match_sequential(self):
+        "lax.scan tick loop: grads THROUGH the pp ring == sequential grads."
+        from skrample_tpu.parallel.pipeline_stages import pipeline_apply
+
+        stages, count, dim = 4, 4, 16
+        mesh = Mesh(np.asarray(jax.devices()[:stages]), ("pp",))
+        key = jax.random.PRNGKey(11)
+        params = {
+            "w": jax.random.normal(key, (stages, dim, dim), jnp.float32) * 0.3,
+            "b": jax.random.normal(jax.random.fold_in(key, 1), (stages, dim), jnp.float32) * 0.1,
+        }
+        mbs = jax.random.normal(jax.random.fold_in(key, 2), (count, 2, dim), jnp.float32)
+        target = jnp.ones((count, 2, dim), jnp.float32)
+
+        def stage_fn(local, x):
+            return jnp.tanh(x @ local["w"] + local["b"])
+
+        def loss_pp(p):
+            out = pipeline_apply(stage_fn, p, mbs, mesh, axis="pp")
+            return jnp.mean((out - target) ** 2)
+
+        def loss_seq(p):
+            out = mbs
+            for s in range(stages):
+                out = jnp.tanh(out @ p["w"][s] + p["b"][s])
+            return jnp.mean((out - target) ** 2)
+
+        with mesh:
+            l_pp, g_pp = jax.value_and_grad(loss_pp)(params)
+        l_seq, g_seq = jax.value_and_grad(loss_seq)(params)
+        np.testing.assert_allclose(float(l_pp), float(l_seq), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+            g_pp,
+            g_seq,
+        )
+
+    def test_pipeline_training_composed_pp_dp(self):
+        "pp=2 x dp=2 train step (loss + grads through the ring) == sequential."
+        from skrample_tpu.parallel.pipeline_stages import pipeline_apply
+
+        stages, dp, count, mb, dim = 2, 2, 3, 4, 16
+        mesh = Mesh(np.asarray(jax.devices()[: stages * dp]).reshape(stages, dp), ("pp", "dp"))
+        key = jax.random.PRNGKey(23)
+        params = {
+            "w": jax.random.normal(key, (stages, dim, dim), jnp.float32) * 0.3,
+            "b": jax.random.normal(jax.random.fold_in(key, 1), (stages, dim), jnp.float32) * 0.1,
+        }
+        mbs = jax.random.normal(jax.random.fold_in(key, 2), (count, mb, dim), jnp.float32)
+        target = jax.random.normal(jax.random.fold_in(key, 3), (count, mb, dim), jnp.float32)
+
+        def stage_fn(local, x):
+            return jnp.tanh(x @ local["w"] + local["b"])
+
+        def loss_pp(p, xin):
+            out = pipeline_apply(stage_fn, p, xin, mesh, axis="pp", batch_axis="dp")
+            return jnp.mean((out - target) ** 2)
+
+        def loss_seq(p, xin):
+            out = xin
+            for s in range(stages):
+                out = jnp.tanh(out @ p["w"][s] + p["b"][s])
+            return jnp.mean((out - target) ** 2)
+
+        ps = jax.device_put(params, NamedSharding(mesh, PartitionSpec("pp")))
+        xs = jax.device_put(mbs, NamedSharding(mesh, PartitionSpec(None, "dp")))
+        with mesh:
+            l_pp, g_pp = jax.jit(jax.value_and_grad(loss_pp))(ps, xs)
+        l_seq, g_seq = jax.value_and_grad(loss_seq)(params, mbs)
+        np.testing.assert_allclose(float(l_pp), float(l_seq), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7),
+            g_pp,
+            g_seq,
+        )
+
+    def test_dit_pipelined_composed_pp_dp_matches_apply(self):
+        "A real DiT forward under pp=2 x dp=2 (batch_axis='dp') == plain apply."
+        stages, dp = 2, 2
+        mesh = Mesh(np.asarray(jax.devices()[: stages * dp]).reshape(stages, dp), ("pp", "dp"))
+        config = DiTConfig(patch=2, channels=4, dim=64, depth=4, heads=4, compute_dtype=jnp.float32)
+        model = DiT(config)
+        params = model.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 8, 8), jnp.float32)
+        t = jnp.linspace(100.0, 900.0, 8)
+
+        ref = np.asarray(jax.jit(model.apply)(params, x, t))
+        with mesh:
+            out = model.apply_pipelined(params, x, t, mesh, microbatch=2, batch_axis="dp")
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=1e-5)
