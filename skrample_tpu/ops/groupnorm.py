@@ -69,6 +69,53 @@ def groupnorm_reference(
     return y.astype(x.dtype)
 
 
+def groupnorm_eager_bign(
+    x: jax.Array,
+    groups: int,
+    fuse_silu: bool = False,
+    eps: float = _EPS,
+    scale: jax.Array | None = None,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Three-HBM-pass eager grouped norm for slices too big for the kernel.
+
+    The centered reference is 4+ passes (mean reduce, then a centered
+    variance reduce that DEPENDS on the mean, then normalize): at the video
+    VAE's finest decode level ((16, 512*512, 64) — far past the whole-slice
+    kernel's VMEM cap) that eager chain was 45% of decode time.  Here the
+    sum and sum-of-squares reduce in ONE pass (sibling multi-output fusion —
+    neither depends on the other), and normalize(+affine)(+SiLU) is the
+    second read + only write: 3 passes total, the floor for any
+    separately-computed norm.  Variance is the uncentered ``E[x^2] - mu^2``
+    in f32 — fine for post-conv activation scales (|x| ~ O(10)); the
+    whole-slice kernel keeps the centered form, and bf16 output rounding
+    swallows the f32 stat difference (tested).
+
+    Stats reduce over N per CHANNEL first — (B, C) — and only then combine
+    channels into groups on the tiny (B, C) array: no lane-axis reshapes of
+    the big tensor (the layout trap the whole-slice kernel's group-matmul
+    also avoids)."""
+    B, N, C = x.shape
+    cg = C // groups
+    x32 = x.astype(jnp.float32)
+    s1 = jnp.sum(x32, axis=1)  # (B, C); fuses with s2 into one input pass
+    s2 = jnp.sum(x32 * x32, axis=1)
+    gs1 = s1.reshape(B, groups, cg).sum(-1)  # tiny group combine
+    gs2 = s2.reshape(B, groups, cg).sum(-1)
+    cnt = float(N * cg)
+    mean = gs1 / cnt
+    var = jnp.maximum(gs2 / cnt - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, cg, axis=-1)[:, None, :]  # (B, 1, C)
+    inv_c = jnp.repeat(inv, cg, axis=-1)[:, None, :]
+    y = (x32 - mean_c) * inv_c
+    if scale is not None:
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if fuse_silu:
+        y = y * jax.lax.logistic(y)
+    return y.astype(x.dtype)
+
+
 def _group_matrix(C: int, groups: int, N: int) -> np.ndarray:
     "M[i, j] = 1/(N * C/g) iff channel i and j share a group: sums -> broadcast means."
     c = C // groups
@@ -226,7 +273,13 @@ def groupnorm_cl(
     B, C = shape[0], shape[-1]
     n = x.size // (B * C)
     if jax.default_backend() != "tpu" or not fits_kernel(n, C) or C % groups:
-        y = groupnorm_reference(x.reshape(B, n, C), groups, fuse_silu, eps, scale, bias)
+        # slices past the kernel's VMEM envelope take the 3-pass eager path
+        # on TPU (uncentered f32 stats; the video VAE's finest decode levels
+        # live here); CPU stays the centered reference, bit-identical to the
+        # NCHW path
+        big = jax.default_backend() == "tpu" and not fits_kernel(n, C) and C % groups == 0
+        fn = groupnorm_eager_bign if big else groupnorm_reference
+        y = fn(x.reshape(B, n, C), groups, fuse_silu, eps, scale, bias)
         return y.reshape(shape)
     affine = scale is not None
     s = jnp.ones((C,), jnp.float32) if scale is None else scale

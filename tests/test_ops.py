@@ -915,6 +915,22 @@ def test_groupnorm_kernel_matches_eager(dtype, fuse_silu, shape, groups) -> None
     np.testing.assert_allclose(np.asarray(fused, np.float32), np.asarray(eager, np.float32), atol=atol)
 
 
+@pytest.mark.parametrize("fuse_silu", [False, True])
+@pytest.mark.parametrize(("shape", "groups"), [((2, 4096, 64), 16), ((1, 2048, 128), 32)])
+def test_groupnorm_eager_bign_matches_reference(fuse_silu, shape, groups) -> None:
+    """The 3-pass big-slice path (uncentered f32 stats, one fused sum+sumsq
+    reduction) agrees with the centered reference to bf16 rounding."""
+    from skrample_tpu.ops.groupnorm import groupnorm_eager_bign, groupnorm_reference
+
+    key = jax.random.PRNGKey(hash(shape) % 2**31)
+    x = (jax.random.normal(key, shape) * 3.0 + 1.7).astype(jnp.bfloat16)
+    scale = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (shape[-1],))
+    bias = 0.1 * jax.random.normal(jax.random.fold_in(key, 2), (shape[-1],))
+    got = groupnorm_eager_bign(x, groups, fuse_silu, scale=scale, bias=bias)
+    want = groupnorm_reference(x, groups, fuse_silu, scale=scale, bias=bias)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want, np.float32), atol=2e-2)
+
+
 def test_groupnorm_kernel_affine_fused() -> None:
     "Learned scale/bias apply in f32 inside the kernel, before the SiLU."
     from skrample_tpu.ops.groupnorm import groupnorm_forward, groupnorm_reference
