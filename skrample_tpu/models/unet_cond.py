@@ -346,11 +346,23 @@ class CondUNet:
         d = D // heads
         kv_len = k.shape[1]
 
-        # big self-attention (the 64x64-grid stages at SDXL scale) rides the
-        # Pallas flash kernel via head-dim zero-padding to the 128-lane tile:
-        # padded q/k lanes add zero logits and padded v lanes slice away, so
-        # the result is EXACT; q pre-scales by sqrt(d_pad/d) to cancel the
-        # kernel's 1/sqrt(d_pad).  This keeps the (N, N) score matrix out of
+        # big self-attention (the 64x64-grid stages at SDXL scale) rides a
+        # Pallas kernel.  Preferred: the head-PAIR kernel — two d=64 heads
+        # share each 128-lane tile, reading the packed projections AS-IS
+        # (the padded path below materializes 2x-size zero-padded q/k/v in
+        # HBM around the custom call plus a padded output round-trip; MXU
+        # cycles are identical either way — the 64-deep contraction is the
+        # documented structural ceiling).
+        if kv_len == N and d == 64 and heads % 2 == 0 and N >= 1024:
+            from ..ops.flash_attention import flash_attention_pairs, pairs_kernel_fits
+
+            if pairs_kernel_fits(N, heads, d):
+                return flash_attention_pairs(q, k, v, heads)
+
+        # fallback: zero-pad each head to the 128-lane tile — padded q/k
+        # lanes add zero logits and padded v lanes slice away, so the
+        # result is EXACT; q pre-scales by sqrt(d_pad/d) to cancel the
+        # kernel's 1/sqrt(d_pad).  Keeps the (N, N) score matrix out of
         # HBM (640 MB per stage at 4096 tokens) for 2x padded-lane FLOPs.
         if kv_len == N and N % 128 == 0 and d <= 128 and 128 % d == 0 and N >= 1024:
             from ..ops.flash_attention import flash_attention_packed

@@ -102,6 +102,17 @@ class VideoVAEConfig:
     "Latent normalization (see :class:`VAEConfig.scaling_factor`)."
     shift_factor: float = 0.0
     compute_dtype: Any = jnp.bfloat16
+    fused_decode: Any = "auto"
+    """``decode`` via the norm-into-conv Pallas kernels
+    (``ops/fused_conv.py``): GroupNorm+SiLU fold into each conv's input
+    read and the next norm's statistics come from each conv's output
+    epilogue, so the normalized tensor never round-trips HBM (decode is
+    bandwidth-bound: 12.3% -> >20% MFU at base=64, BASELINE.md).  ``"auto"``
+    enables it on TPU; ``False`` keeps the reference composition
+    (bit-identical to the NCHW image-VAE recipe); ``True`` forces it (CPU
+    runs use kernel interpret mode).  Statistics are the uncentered-f32
+    kind (``ops/groupnorm.groupnorm_eager_bign``); outputs agree with the
+    unfused path to activation-dtype rounding (tested)."""
 
     def __post_init__(self) -> None:
         if self.temporal_levels > self.levels - 1:
@@ -281,6 +292,102 @@ class VideoVAE:
             z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape, jnp.float32)
         return ((z - self.config.shift_factor) * self.config.scaling_factor).astype(x.dtype)
 
+    # -- fused decode building blocks (norm-into-conv, ops/fused_conv.py) --
+
+    def _use_fused_decode(self) -> bool:
+        mode = self.config.fused_decode
+        if mode == "auto":
+            return jax.default_backend() == "tpu"
+        return bool(mode)
+
+    def _finalize(self, raw: jax.Array, hw: int) -> jax.Array:
+        from ..ops.fused_conv import finalize_group_stats
+
+        return finalize_group_stats(raw, self.config.groups, hw)
+
+    def _resblock_fused(self, p: dict, x5: jax.Array, raw: jax.Array, dtype: Any):
+        "conv1/conv2 with input GN+SiLU; skip added in conv2's epilogue."
+        from ..ops.fused_conv import conv3x3_gn_silu
+
+        B, T, H, W, C = x5.shape
+        x = x5.reshape(B * T, H, W, C).astype(dtype)
+        hwio = lambda w: w.transpose(2, 3, 1, 0)  # noqa: E731 — params stay OIHW
+        h1, raw1 = conv3x3_gn_silu(x, hwio(p["conv1"]["w"]), p["conv1"]["b"], stats=self._finalize(raw, H * W))
+        if p["skip"] is not None:
+            skip = self._sconv(p["skip"], x5, dtype).reshape(B * T, H, W, -1)
+        else:
+            skip = x
+        out, raw_out = conv3x3_gn_silu(
+            h1, hwio(p["conv2"]["w"]), p["conv2"]["b"], stats=self._finalize(raw1, H * W), residual=skip
+        )
+        return out.reshape(B, T, H, W, -1), raw_out
+
+    def _tresblock_fused(self, p: dict, x5: jax.Array, raw: jax.Array, dtype: Any):
+        from ..ops.fused_conv import tconv_causal_gn_silu
+
+        B, T, H, W, C = x5.shape
+        xt = x5.reshape(B, T, H * W, C).astype(dtype)
+        raw_t = raw.reshape(B, T, 2, C)
+        h1, raw1 = tconv_causal_gn_silu(xt, p["tconv1"]["w"], p["tconv1"]["b"], stats=self._finalize(raw_t, H * W))
+        out, raw_out = tconv_causal_gn_silu(
+            h1, p["tconv2"]["w"], p["tconv2"]["b"], stats=self._finalize(raw1, H * W), residual=xt
+        )
+        return out.reshape(B, T, H, W, C), raw_out.reshape(B * T, 2, C)
+
+    def _decode_fused(self, params: dict, z: jax.Array, in_dtype: Any) -> jax.Array:
+        """Decode with the stats chain threaded producer -> consumer.
+
+        Small mid-level tensors reseed the chain with an XLA stats read
+        where a non-fused op (attention, resize) breaks it; the big
+        finest-level tensors flow kernel-to-kernel with zero norm passes."""
+        from ..ops.fused_conv import channel_stats, conv3x3_gn_silu, tconv_causal_gn_silu
+
+        c = self.config
+        dtype = c.compute_dtype
+        dec = params["decoder"]
+        hwio = lambda w: w.transpose(2, 3, 1, 0)  # noqa: E731
+
+        h = self._sconv(dec["in_conv"], z, dtype)
+        B, T = h.shape[:2]
+        raw = channel_stats(h.reshape(B * T, -1, h.shape[-1]))
+        h, raw = self._resblock_fused(dec["mid1"], h, raw, dtype)
+        h = self._attention(dec["mid_attn"], h, dtype)  # small; keeps its own norm
+        raw = channel_stats(h.reshape(B * T, -1, h.shape[-1]))
+        h, raw = self._tresblock_fused(dec["mid_t"], h, raw, dtype)
+        h, raw = self._resblock_fused(dec["mid2"], h, raw, dtype)
+        for level in dec["up"]:
+            for block in level["blocks"]:
+                h, raw = self._resblock_fused(block, h, raw, dtype)
+            h, raw = self._tresblock_fused(level["tblock"], h, raw, dtype)
+            if level["tup"] is not None:
+                B, T, H, W, C = h.shape
+                ht, raw_t = tconv_causal_gn_silu(
+                    h.reshape(B, T, H * W, C), level["tup"]["w"], level["tup"]["b"], repeat_in=2
+                )
+                T = 2 * T
+                h = ht.reshape(B, T, H, W, C)
+                raw = raw_t.reshape(B * T, 2, C)
+            if level["upsample"] is not None:
+                B, T, H, W, C = h.shape
+                h = jax.image.resize(h, (B, T, 2 * H, 2 * W, C), method="nearest")
+                hu, raw = conv3x3_gn_silu(
+                    h.reshape(B * T, 2 * H, 2 * W, C),
+                    hwio(level["upsample"]["w"]),
+                    level["upsample"]["b"],
+                )
+                h = hu.reshape(B, T, 2 * H, 2 * W, C)
+        # final norm reuses the chained stats (one normalize pass; the
+        # 3-channel out_conv stays on XLA — a Co=3 tile would idle the MXU)
+        from ..ops.fused_conv import _normalize_silu
+
+        B, T, H, W, C = h.shape
+        st = self._finalize(raw, H * W)  # (B*T, 2, C) [mean, inv]
+        mean = st[:, 0].reshape(B, T, 1, 1, C)
+        inv = st[:, 1].reshape(B, T, 1, 1, C)
+        h = _normalize_silu(h.astype(jnp.float32), mean, inv).astype(dtype)
+        h = self._sconv(dec["out_conv"], h, dtype)
+        return h.transpose(0, 4, 1, 2, 3).astype(in_dtype)
+
     def decode(self, params: dict, z: jax.Array) -> jax.Array:
         "Scaled latent (B, lc, t, h, w) -> pixels (B, C, t*ft, h*f, w*f)."
         c = self.config
@@ -290,6 +397,8 @@ class VideoVAE:
 
         z = (z.astype(jnp.float32) / c.scaling_factor + c.shift_factor).astype(dtype)
         h = z.transpose(0, 2, 3, 4, 1)  # (B, T, H, W, C)
+        if self._use_fused_decode():
+            return self._decode_fused(params, h, in_dtype)
         h = self._sconv(dec["in_conv"], h, dtype)
         h = self._resblock(dec["mid1"], h, dtype)
         h = self._attention(dec["mid_attn"], h, dtype)

@@ -758,6 +758,101 @@ def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array, heads: int)
     return _flash_packed_vjp(q, k, v, heads)
 
 
+def _pairs_softmax_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Two d=64 heads per 128-lane tile, one-pass softmax each.
+
+    A 64-deep contraction can never fill the 128-wide systolic array — the
+    MXU cycles here equal the zero-padded path's (documented structural
+    ≤0.5 ceiling, BASELINE.md SDXL rows).  What pairing buys is the MEMORY
+    side: the kernel reads the packed (B, N, heads*64) projections as-is
+    and writes the same layout back, where the padded path materializes a
+    2x-size zero-padded q/k/v in HBM (pallas custom calls don't fuse the
+    pad away) and a 2x padded output that then round-trips a slice."""
+    q = q_ref[0]  # (block_q, 128): heads (2h, 2h+1) side by side
+    k = k_ref[0]  # (N, 128)
+    v = v_ref[0]
+    halves = []
+    for h in range(2):
+        qh = q[:, 64 * h : 64 * (h + 1)]
+        kh = k[:, 64 * h : 64 * (h + 1)]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * (scale * _LOG2E)
+        p = jnp.exp2(s - jnp.max(s, axis=1, keepdims=True))
+        vh = v[:, 64 * h : 64 * (h + 1)]
+        o = jax.lax.dot(p.astype(vh.dtype), vh, preferred_element_type=jnp.float32)
+        halves.append(o / jnp.sum(p, axis=1, keepdims=True))
+    o_ref[0] = jnp.concatenate(halves, axis=1).astype(o_ref.dtype)
+
+
+def pairs_kernel_fits(N: int, heads: int, d: int) -> bool:
+    "Shapes the head-pair kernel tiles: even d=64 heads, one-pass row budget."
+    return (
+        d == 64
+        and heads % 2 == 0
+        and N % _LANE == 0
+        and 2 * _LANE * N * 4 <= _SCORE_TILE_BUDGET  # bq=128 floor still fits
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "block_q", "interpret"))
+def flash_attention_pairs_forward(
+    q: jax.Array, k: jax.Array, v: jax.Array, heads: int, block_q: int = 512, interpret: bool = False
+) -> jax.Array:
+    """d=64 head-PAIR attention on the packed ``(B, N, heads*64)`` layout.
+
+    Grid (batch, head-pair, q-tile); each cell holds the pair's full K/V
+    rows (N*128*2B — 1 MB at N=4096) and runs two one-pass softmaxes.
+    ``block_q`` shrinks until the two (block_q, N) f32 score tiles fit the
+    VMEM budget.  Requires :func:`pairs_kernel_fits`."""
+    B, N, D = q.shape
+    d = D // heads
+    if not pairs_kernel_fits(N, heads, d) or D % _LANE:
+        raise ValueError(f"pairs kernel needs even d=64 heads and tileable N, got heads={heads}, d={d}, N={N}")
+    bq = _fit_block(N, block_q)
+    while bq > _LANE and 2 * bq * N * 4 > _SCORE_TILE_BUDGET:
+        bq = _fit_block(N, bq - _LANE)
+    q_spec = pl.BlockSpec((1, bq, 2 * 64), lambda b, h, i: (b, i, h), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, N, 2 * 64), lambda b, h, i: (b, 0, h), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_pairs_softmax_kernel, scale=1.0 / math.sqrt(d)),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),
+        grid=(B, heads // 2, N // bq),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_pairs_vjp(q, k, v, heads):
+    return flash_attention_pairs_forward(q, k, v, heads, interpret=jax.default_backend() != "tpu")
+
+
+def _flash_pairs_fwd(q, k, v, heads):
+    return _flash_pairs_vjp(q, k, v, heads), (q, k, v)
+
+
+def _flash_pairs_bwd(heads, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda a, b, c: _packed_reference(a, b, c, heads), q, k, v)
+    return vjp(g)
+
+
+_flash_pairs_vjp.defvjp(_flash_pairs_fwd, _flash_pairs_bwd)
+
+
+def flash_attention_pairs(q: jax.Array, k: jax.Array, v: jax.Array, heads: int) -> jax.Array:
+    """Head-pair d=64 packed attention with exact gradients; falls back to
+    the einsum reference for shapes the kernel can't tile (trace-time)."""
+    B, N, D = q.shape
+    if D % heads or not pairs_kernel_fits(N, heads, D // heads):
+        return _packed_reference(q, k, v, heads)
+    return _flash_pairs_vjp(q, k, v, heads)
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Flash attention with exact gradients.
 

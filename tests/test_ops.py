@@ -1110,3 +1110,122 @@ def test_rope_spmd_shards_batch() -> None:
         out.block_until_ready()
     assert "dp" in str(out.sharding.spec), out.sharding
     np.testing.assert_allclose(np.asarray(out), np.asarray(single), atol=1e-5)
+
+
+class TestFusedConv:
+    """Norm-into-conv kernels (ops/fused_conv.py) vs their eager oracles in
+    interpret mode: outputs, epilogue statistics, and custom_vjp grads."""
+
+    @pytest.mark.parametrize("shape", [(3, 16, 8, 8, 8), (2, 128, 8, 8, 8), (1, 192, 8, 8, 16)])
+    @pytest.mark.parametrize("use_stats", [False, True])
+    @pytest.mark.parametrize("use_res", [False, True])
+    def test_conv3x3_matches_ref(self, shape, use_stats, use_res) -> None:
+        from skrample_tpu.ops.fused_conv import channel_stats, conv3x3_gn_silu, conv3x3_ref, finalize_group_stats
+
+        N, H, W, C, Co = shape
+        key = jax.random.PRNGKey(hash(shape) % 2**31)
+        x = jax.random.normal(key, (N, H, W, C), jnp.float32) * 2 + 0.5
+        w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, C, Co), jnp.float32) * 0.2
+        b = jax.random.normal(jax.random.fold_in(key, 2), (Co,), jnp.float32) * 0.1
+        res = jax.random.normal(jax.random.fold_in(key, 3), (N, H, W, Co), jnp.float32) if use_res else None
+        stats = finalize_group_stats(channel_stats(x), groups=4, count=H * W) if use_stats else None
+        got, graw = conv3x3_gn_silu(x, w, b, stats=stats, residual=res, interpret=True)
+        want, wraw = conv3x3_ref(x, w, b, stats, res, use_stats)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(graw), np.asarray(wraw), rtol=2e-4, atol=2e-3)
+
+    @pytest.mark.parametrize("use_stats", [False, True])
+    @pytest.mark.parametrize("use_res", [False, True])
+    def test_tconv_matches_ref(self, use_stats, use_res) -> None:
+        from skrample_tpu.ops.fused_conv import (
+            channel_stats,
+            finalize_group_stats,
+            tconv_causal_gn_silu,
+            tconv_causal_ref,
+        )
+
+        B, T, S, C, Co, k = 2, 4, 32, 8, 8, 3
+        key = jax.random.PRNGKey(11)
+        x = jax.random.normal(key, (B, T, S, C), jnp.float32) * 1.5 + 0.2
+        w = jax.random.normal(jax.random.fold_in(key, 4), (k, C, Co), jnp.float32) * 0.3
+        b = jax.random.normal(jax.random.fold_in(key, 5), (Co,), jnp.float32) * 0.1
+        res = jax.random.normal(jax.random.fold_in(key, 6), (B, T, S, Co), jnp.float32) if use_res else None
+        stats = finalize_group_stats(channel_stats(x, sample_dims=2), groups=4, count=S) if use_stats else None
+        got, graw = tconv_causal_gn_silu(x, w, b, stats=stats, residual=res, interpret=True)
+        want, wraw = tconv_causal_ref(x, w, b, stats, res, use_stats, 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(graw), np.asarray(wraw), rtol=2e-4, atol=2e-3)
+
+    def test_tconv_repeat_folds_frame_upsample(self) -> None:
+        from skrample_tpu.ops.fused_conv import tconv_causal_gn_silu, tconv_causal_ref
+
+        B, T, S, C, Co, k = 2, 4, 32, 8, 8, 3
+        key = jax.random.PRNGKey(12)
+        x = jax.random.normal(key, (B, T, S, C), jnp.float32)
+        w = jax.random.normal(jax.random.fold_in(key, 4), (k, C, Co), jnp.float32) * 0.3
+        b = jnp.zeros((Co,), jnp.float32)
+        got, graw = tconv_causal_gn_silu(x, w, b, repeat_in=2, interpret=True)
+        want, wraw = tconv_causal_ref(x, w, b, None, None, False, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(graw), np.asarray(wraw), rtol=2e-4, atol=2e-3)
+
+    def test_conv3x3_vjp_matches_ref(self) -> None:
+        from skrample_tpu.ops.fused_conv import channel_stats, conv3x3_gn_silu, conv3x3_ref, finalize_group_stats
+
+        key = jax.random.PRNGKey(13)
+        x = jax.random.normal(key, (2, 16, 8, 8), jnp.float32)
+        res = jax.random.normal(jax.random.fold_in(key, 3), (2, 16, 8, 8), jnp.float32)
+        w = jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 8, 8), jnp.float32) * 0.2
+        b = jnp.zeros((8,), jnp.float32)
+        stats = finalize_group_stats(channel_stats(x), groups=4, count=16 * 8)
+
+        def loss(fn):
+            def inner(xx, ww):
+                o, r = fn(xx, ww)
+                return (o.astype(jnp.float32) ** 2).mean() + (r**2).sum() * 1e-6
+
+            return inner
+
+        g1 = jax.grad(loss(lambda xx, ww: conv3x3_gn_silu(xx, ww, b, stats=stats, residual=res, interpret=True)))(x, w)
+        g2 = jax.grad(loss(lambda xx, ww: conv3x3_ref(xx, ww, b, stats, res, True)))(x, w)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+class TestFlashPairs:
+    """d=64 head-pair packed attention (two heads per 128-lane tile) vs the
+    einsum reference — the SDXL/CondUNet head shape without the padded
+    path's 2x HBM traffic."""
+
+    @pytest.mark.parametrize(("B", "N", "heads"), [(2, 256, 4), (1, 1024, 10), (1, 512, 2)])
+    def test_matches_reference(self, B, N, heads) -> None:
+        from skrample_tpu.ops.flash_attention import (
+            _packed_reference,
+            flash_attention_pairs_forward,
+            pairs_kernel_fits,
+        )
+
+        D = heads * 64
+        key = jax.random.PRNGKey(N + heads)
+        q = jax.random.normal(key, (B, N, D), jnp.float32)
+        k = jax.random.normal(jax.random.fold_in(key, 1), (B, N, D), jnp.float32)
+        v = jax.random.normal(jax.random.fold_in(key, 2), (B, N, D), jnp.float32)
+        assert pairs_kernel_fits(N, heads, 64)
+        got = flash_attention_pairs_forward(q, k, v, heads, interpret=True)
+        want = _packed_reference(q, k, v, heads)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def test_gradients_match_reference(self) -> None:
+        from skrample_tpu.ops.flash_attention import _packed_reference, flash_attention_pairs
+
+        q = jax.random.normal(jax.random.PRNGKey(3), (1, 256, 256), jnp.float32)
+        g1 = jax.grad(lambda x: flash_attention_pairs(x, q, q, 4).sum())(q)
+        g2 = jax.grad(lambda x: _packed_reference(x, q, q, 4).sum())(q)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+    def test_odd_heads_fall_back(self) -> None:
+        from skrample_tpu.ops.flash_attention import flash_attention_pairs, pairs_kernel_fits
+
+        assert not pairs_kernel_fits(256, 5, 64)
+        q = jax.random.normal(jax.random.PRNGKey(4), (1, 256, 320), jnp.float32)
+        out = flash_attention_pairs(q, q, q, 5)  # einsum fallback, no raise
+        assert out.shape == q.shape

@@ -161,3 +161,58 @@ def test_scaling_and_shift_factors() -> None:
 def test_temporal_levels_validated() -> None:
     with pytest.raises(ValueError, match="temporal_levels"):
         VideoVAEConfig(levels=2, temporal_levels=2)
+
+
+class TestFusedDecode:
+    """The norm-into-conv fused decode (ops/fused_conv.py) against the
+    reference composition: same params, same latent, activation-dtype
+    agreement.  The fused path replaces every GroupNorm HBM pass with
+    normalize-on-conv-input-read + stats-from-conv-epilogue; statistics are
+    the uncentered f32 kind, so agreement is to rounding, not bit-exact."""
+
+    @pytest.mark.parametrize("levels,tlevels", [(2, 1), (3, 2)])
+    def test_fused_matches_reference(self, levels, tlevels) -> None:
+        kw = dict(
+            base=16, levels=levels, temporal_levels=tlevels, blocks_per_level=1,
+            groups=4, latent_channels=8, compute_dtype=jnp.float32,
+        )
+        ref_vae = VideoVAE(VideoVAEConfig(**kw, fused_decode=False))
+        fused_vae = VideoVAE(VideoVAEConfig(**kw, fused_decode=True))
+        params = ref_vae.init(jax.random.PRNGKey(0))
+        t = 2 ** tlevels
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 8, t, 8, 8), jnp.float32)
+        want = np.asarray(ref_vae.decode(params, z))
+        got = np.asarray(fused_vae.decode(params, z))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_fused_decode_prefix_causality(self) -> None:
+        "Streaming soundness survives the fusion: prefix decode == decode prefix."
+        cfg = VideoVAEConfig(
+            base=16, levels=2, temporal_levels=1, blocks_per_level=1,
+            groups=4, latent_channels=8, compute_dtype=jnp.float32, fused_decode=True,
+        )
+        vae = VideoVAE(cfg)
+        params = vae.init(jax.random.PRNGKey(0))
+        z = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 4, 8, 8), jnp.float32)
+        full = np.asarray(vae.decode(params, z))
+        half = np.asarray(vae.decode(params, z[:, :, :2]))
+        np.testing.assert_allclose(half, full[:, :, : half.shape[2]], rtol=1e-4, atol=1e-4)
+
+    def test_fused_loss_grads_match_reference(self) -> None:
+        "custom_vjp backward (eager composition) == reference grads."
+        kw = dict(
+            base=16, levels=2, temporal_levels=1, blocks_per_level=1,
+            groups=4, latent_channels=8, compute_dtype=jnp.float32,
+        )
+        ref_vae = VideoVAE(VideoVAEConfig(**kw, fused_decode=False))
+        fused_vae = VideoVAE(VideoVAEConfig(**kw, fused_decode=True))
+        params = ref_vae.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 2, 16, 16), jnp.float32)
+
+        gr = jax.grad(lambda p: ref_vae.loss(p, x, jax.random.PRNGKey(7))[0])(params)
+        gf = jax.grad(lambda p: fused_vae.loss(p, x, jax.random.PRNGKey(7))[0])(params)
+        flat_r = jax.tree.leaves(gr)
+        flat_f = jax.tree.leaves(gf)
+        for a, b in zip(flat_r, flat_f):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
