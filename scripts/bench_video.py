@@ -130,7 +130,15 @@ def main(steps: int = 25) -> None:
 
 def count_vae_flops(vae, params, z) -> float:
     "Matmul-equivalent FLOPs of one VideoVAE decode, traced with counting wrappers."
+    import dataclasses
+
     from skrample_tpu.models import video_vae as vv_mod
+
+    # count on the REFERENCE composition: the fused-decode path routes its
+    # convs through ops/fused_conv.py, which these wrappers don't see — the
+    # two paths compute identical math, so the count transfers
+    if vae._use_fused_decode():
+        vae = vv_mod.VideoVAE(dataclasses.replace(vae.config, fused_decode=False))
 
     total = 0.0
     orig_conv, orig_dense, orig_tconv = vv_mod._conv, vv_mod._dense, vv_mod._tconv

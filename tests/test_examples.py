@@ -32,7 +32,25 @@ HERMETIC = [
     "text_to_video.py",
     "controlnet_guided.py",
     "pixel_space_serving.py",
+    # round-5: every remaining example that needs no weights or network
+    "functional_rk.py",
+    "adaptive_device_loop.py",
+    "streaming_preview.py",
+    "serve_dynamic_batching.py",
+    "serve_int8.py",
+    "text_conditioned_serving.py",
+    "sharded_generation.py",
+    "video_latents_sharded.py",
+    "train_flow_matching.py",
 ]
+
+# examples demonstrating multi-chip sharding get a virtual 8-device host
+VIRTUAL_MESH = {"sharded_generation.py", "video_latents_sharded.py"}
+
+# examples with a CLI: pass flags that keep the CPU smoke small
+EXTRA_ARGV = {
+    "train_flow_matching.py": ["--steps", "40"],
+}
 
 
 @pytest.mark.parametrize("name", HERMETIC)
@@ -43,11 +61,15 @@ def test_example_runs(name: str) -> None:
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")
     }
     env["JAX_PLATFORMS"] = "cpu"
+    if name in VIRTUAL_MESH:
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     # the runpy + jax.config recipe: the dev host pins the backend through a
     # site hook that env vars alone do not override (docs/ROUND3 timing
     # notes) — configure jax BEFORE the example module runs
+    argv = [str(EXAMPLES / name), *EXTRA_ARGV.get(name, [])]
     script = (
-        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.argv = {argv!r}; "
         f"import runpy; runpy.run_path({str(EXAMPLES / name)!r}, run_name='__main__')"
     )
     result = subprocess.run(
