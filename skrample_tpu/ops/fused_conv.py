@@ -23,13 +23,14 @@ Two Pallas kernels, both of which
 Kernels:
 
 * :func:`conv3x3_gn_silu` — spatial SAME conv on channels-last
-  ``(N, H, W, C)``.  The grid walks (sample, row-tile); each step manually
-  DMAs a ``(Th+2, W+2, C)`` halo window from HBM into VMEM scratch (halos
-  are not expressible as non-overlapping BlockSpec blocks), normalizes,
-  masks the SAME-padding border to zero *after* the norm (matching
-  ``conv(gn_silu(x))``, whose conv pads the normalized tensor), and
-  accumulates the nine taps as shifted ``(Th*(W+2), C) @ (C, Co)``
-  matmuls on the MXU.
+  ``(N, H, W, C)``.  The grid walks (sample, row-tile); the halo arrives
+  as two 1-row sliver BlockSpecs with edge-clamped index maps (manual DMA
+  is out: Mosaic requires DMA slice offsets on the tiled dims to be
+  tile-aligned, which a 1-column shift or a 64-lane array cannot satisfy),
+  the kernel normalizes, masks the SAME-padding border to zero *after*
+  the norm (matching ``conv(gn_silu(x))``, whose conv pads the normalized
+  tensor), and accumulates the nine taps as shifted
+  ``(Th*(W+2), C) @ (C, Co)`` matmuls on the MXU.
 * :func:`tconv_causal_gn_silu` — the causal temporal conv
   (``models/video_vae._tconv`` semantics) on ``(B, T, S, C)`` with frames
   resident per block: taps become frame-shifted matmuls of one flattened
@@ -109,15 +110,15 @@ def _normalize_silu(x32: jax.Array, mean: jax.Array, inv: jax.Array) -> jax.Arra
 
 
 def _conv3x3_kernel(
-    x_hbm,
+    x_ref,
+    top_ref,
+    bot_ref,
     w_ref,
     b_ref,
     stats_ref,
     res_ref,
     o_ref,
     os_ref,
-    scratch,
-    sem,
     *,
     H: int,
     W: int,
@@ -127,73 +128,44 @@ def _conv3x3_kernel(
     apply_gn: bool,
     has_residual: bool,
 ):
-    n = pl.program_id(0)
     ht = pl.program_id(1)
-    last = pl.num_programs(1) - 1
-    dtype = scratch.dtype
+    dtype = x_ref.dtype
 
-    # -- halo load: xpad[j] holds absolute row (ht*Th - 1 + j), borders zero.
-    # Row Th+2 exists only so every dy's (Th+1)-row flatten slab is in
-    # bounds; its content reaches nothing but discarded border outputs —
-    # zeroed anyway so no stray NaN can ride into the (masked-off) lanes.
-    scratch[:, 0:1, :] = jnp.zeros((Th + 3, 1, C), dtype)
-    scratch[:, W + 1 : W + 2, :] = jnp.zeros((Th + 3, 1, C), dtype)
-    scratch[Th + 2 : Th + 3, 1 : W + 1, :] = jnp.zeros((1, W, C), dtype)
+    # -- halo assembly, all in the VALUE domain (no manual DMA: Mosaic
+    # requires DMA slice offsets/sizes on the tiled dims to be tile-aligned,
+    # which a 1-column shift or a 64-lane array cannot satisfy).  The two
+    # 1-row halo slivers arrive via their own BlockSpecs whose index maps
+    # CLAMP at the image edge (see _conv3x3_fused); the absolute-row mask
+    # below zeroes the duplicated content there, so clamping is harmless.
+    # Window rows: [ht*Th - 1, ht*Th + Th + 1), plus one extra zero row so
+    # every dy's (Th+1)-row flatten slab is in bounds (its content only
+    # ever reaches discarded border outputs).
+    window = jnp.concatenate([top_ref[0], x_ref[0], bot_ref[0]], axis=0)  # (Th+2, W, C)
     r0 = ht * Th - 1
-
-    # pl.when only GATES execution — every branch still traces, so the
-    # statically-impossible ones must be dropped in Python (a (Th+1)-row
-    # copy does not typecheck against an H == Th input)
-    if H // Th == 1:
-        scratch[0:1, 1 : W + 1, :] = jnp.zeros((1, W, C), dtype)
-        scratch[Th + 1 : Th + 2, 1 : W + 1, :] = jnp.zeros((1, W, C), dtype)
-        cp = pltpu.make_async_copy(x_hbm.at[n, pl.ds(0, Th)], scratch.at[pl.ds(1, Th), pl.ds(1, W)], sem)
-        cp.start()
-        cp.wait()
-    else:
-
-        @pl.when(ht == 0)
-        def _():
-            scratch[0:1, 1 : W + 1, :] = jnp.zeros((1, W, C), dtype)
-            cp = pltpu.make_async_copy(
-                x_hbm.at[n, pl.ds(0, Th + 1)], scratch.at[pl.ds(1, Th + 1), pl.ds(1, W)], sem
-            )
-            cp.start()
-            cp.wait()
-
-        @pl.when((ht > 0) & (ht < last))
-        def _():
-            cp = pltpu.make_async_copy(
-                x_hbm.at[n, pl.ds(r0, Th + 2)], scratch.at[pl.ds(0, Th + 2), pl.ds(1, W)], sem
-            )
-            cp.start()
-            cp.wait()
-
-        @pl.when((ht == last) & (ht > 0))
-        def _():
-            scratch[Th + 1 : Th + 2, 1 : W + 1, :] = jnp.zeros((1, W, C), dtype)
-            cp = pltpu.make_async_copy(
-                x_hbm.at[n, pl.ds(r0, Th + 1)], scratch.at[pl.ds(0, Th + 1), pl.ds(1, W)], sem
-            )
-            cp.start()
-            cp.wait()
 
     mean = stats_ref[0, 0].astype(jnp.float32)
     inv = stats_ref[0, 1].astype(jnp.float32)
+    w32 = window.astype(jnp.float32)
+    y = _normalize_silu(w32, mean, inv) if apply_gn else w32
+    rio = jax.lax.broadcasted_iota(jnp.int32, (Th + 2, W, 1), 0) + r0
+    y = jnp.where((rio >= 0) & (rio < H), y, 0.0).astype(dtype)
+    # two zero-pad columns at the END: they double as the LEFT pad of the
+    # next row's w=0 tap once flattened (see the slice offsets below)
+    y = jnp.concatenate([y, jnp.zeros((Th + 2, 2, C), dtype)], axis=1)
+    y = jnp.concatenate([y, jnp.zeros((1, W + 2, C), dtype)], axis=0)  # (Th+3, W+2, C)
 
-    # -- nine taps as shifted flat matmuls; SAME padding = zero AFTER norm
+    # -- nine taps as shifted flat matmuls; SAME padding = zero AFTER norm.
+    # ONE padded flat buffer serves all nine taps (per-dy copies blew the
+    # Mosaic value stack at the fine levels): output q = h*(W+2) + w
+    # (w in [0, W)) with tap (dy, dx) reads flat position
+    # (dy+1)*(W+2) + q + dx - 1 of [one zero row ++ the flattened window].
+    flat = jnp.concatenate([jnp.zeros((W + 2, C), dtype), y.reshape((Th + 3) * (W + 2), C)], axis=0)
     acc = jnp.zeros((Th * (W + 2), Co), jnp.float32)
     for dy in range(3):
-        slab = scratch[dy : dy + Th + 1]  # (Th+1, W+2, C)
-        s32 = slab.astype(jnp.float32)
-        y = _normalize_silu(s32, mean, inv) if apply_gn else s32
-        rio = jax.lax.broadcasted_iota(jnp.int32, (Th + 1, W + 2, 1), 0) + (r0 + dy)
-        cio = jax.lax.broadcasted_iota(jnp.int32, (Th + 1, W + 2, 1), 1)
-        valid = (rio >= 0) & (rio < H) & (cio >= 1) & (cio <= W)
-        flat = jnp.where(valid, y, 0.0).astype(dtype).reshape((Th + 1) * (W + 2), C)
         for dx in range(3):
+            base = (dy + 1) * (W + 2) + dx - 1
             acc += jax.lax.dot_general(
-                flat[dx : dx + Th * (W + 2)],
+                flat[base : base + Th * (W + 2)],
                 w_ref[dy, dx].astype(dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -216,16 +188,20 @@ def _conv3x3_kernel(
 
 
 def _pick_th(H: int, W: int, C: int, Co: int, itemsize: int) -> int:
+    """Largest row tile whose Mosaic value stack fits scoped VMEM.
+
+    Empirically calibrated on-chip: the (Th=32, W=128, C=Co=64, bf16)
+    instance reported a 16.3 MB scoped allocation — ~32x the naive
+    Th*W*C*itemsize block size (double-buffered in/out/residual blocks,
+    the f32 normalize copy, the padded flat buffer, the f32 accumulator,
+    and Mosaic's inability to alias across the concats).  The single
+    shared flat buffer cut several copies; the multiplier below keeps a
+    conservative margin under the 16 MB scoped limit."""
+    per_row = 24 * W * max(C, Co) * max(itemsize, 2)
     for th in (64, 32, 16, 8, 4, 2):
         if H % th:
             continue
-        vmem = (
-            (th + 2) * (W + 2) * C * itemsize  # scratch
-            + 4 * (th + 1) * (W + 2) * C  # one f32 normalized slab
-            + 4 * th * (W + 2) * Co  # acc
-            + 2 * th * W * Co * itemsize  # out + residual blocks
-        )
-        if vmem <= _VMEM_BUDGET:
+        if th * per_row <= 13 * 1024 * 1024:
             return th
     return 0
 
@@ -263,13 +239,20 @@ def _conv3x3_fused(x, w, b, stats, residual, apply_gn: bool, has_residual: bool,
         return conv3x3_ref(x, w, b, stats, residual if has_residual else None, apply_gn)
     res = residual
     rt, rw = (Th, W) if has_residual else (1, 1)
+    # halo slivers: 1-row blocks at (ht*Th - 1) and ((ht+1)*Th), index maps
+    # CLAMPED into range — the kernel's absolute-row mask zeroes the
+    # duplicated edge content, so clamping is exact
+    top_spec = pl.BlockSpec((1, 1, W, C), lambda n, h: (n, jnp.maximum(h * Th - 1, 0), 0, 0))
+    bot_spec = pl.BlockSpec((1, 1, W, C), lambda n, h: (n, jnp.minimum((h + 1) * Th, H - 1), 0, 0))
     out, raw = pl.pallas_call(
         functools.partial(
             _conv3x3_kernel, H=H, W=W, C=C, Co=Co, Th=Th, apply_gn=apply_gn, has_residual=has_residual
         ),
         grid=(N, H // Th),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, Th, W, C), lambda n, h: (n, h, 0, 0)),
+            top_spec,
+            bot_spec,
             pl.BlockSpec((3, 3, C, Co), lambda n, h: (0, 0, 0, 0)),
             pl.BlockSpec((1, Co), lambda n, h: (0, 0)),
             pl.BlockSpec((1, 2, C), lambda n, h: (n, 0, 0)),
@@ -283,10 +266,9 @@ def _conv3x3_fused(x, w, b, stats, residual, apply_gn: bool, has_residual: bool,
             jax.ShapeDtypeStruct((N, H, W, Co), x.dtype),
             jax.ShapeDtypeStruct((N, 2, Co), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((Th + 3, W + 2, C), x.dtype), pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x, w, b.reshape(1, Co), stats, res)
+    )(x, x, x, w, b.reshape(1, Co), stats, res)
     return out, raw
 
 
@@ -407,11 +389,14 @@ def _tconv_kernel(
 
 
 def _pick_ts(S: int, T: int, k: int, C: int, Co: int, itemsize: int) -> int:
+    """Largest site tile whose Mosaic value stack fits scoped VMEM — the
+    same conservative empirical multiplier as :func:`_pick_th` (double-
+    buffered blocks, f32 normalize copy, padded flat, f32 accumulator)."""
+    per_site = 24 * (T + k) * max(C, Co) * max(itemsize, 2)
     for ts in (2048, 1024, 512, 256, 128, 64):
         if S % ts:
             continue
-        vmem = (T + k) * ts * C * itemsize + 4 * (T + k) * ts * C + 4 * T * ts * Co + 2 * T * ts * Co * itemsize
-        if vmem <= _VMEM_BUDGET:
+        if ts * per_site <= 13 * 1024 * 1024:
             return ts
     return 0
 
