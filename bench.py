@@ -83,7 +83,7 @@ _COMPACT_KEYS = (
     "request_constant_ms_bf16", "request_constant_is_tunnel",
     "ms_train_step_bf16", "mfu_train_step_bf16", "mfu_model_fwd_mmdit_cfg",
     # run health
-    "bench_interrupted_signal", "bench_elapsed_s", "backend",
+    "headline_provisional", "bench_interrupted_signal", "bench_elapsed_s", "backend",
 )
 
 # Expected ranges from BASELINE.md's validated on-chip runs (rounds 2-4),
@@ -258,8 +258,15 @@ def _median_spread(slopes: list[float]) -> tuple[float, float]:
     return value, spread
 
 
-def headline_section(jax, jnp, sampler, schedule, transform, shape, budget: Budget) -> dict:
-    """Least-squares marginal step time, Pallas/XLA x f32/bf16 interleaved."""
+def headline_section(jax, jnp, sampler, schedule, transform, shape, budget: Budget, provisional=None) -> dict:
+    """Least-squares marginal step time, Pallas/XLA x f32/bf16 interleaved.
+
+    ``provisional``: callback fired with a rough 2-point us/step estimate as
+    soon as the headline variant's FIRST two executables are compiled —
+    main() emits it as a provisional artifact, so a cold compile cache (a
+    validation run this round lost every executable to the cache's LRU cap
+    and the external timeout killed the run with NOTHING printed) can no
+    longer lose the round's scoreboard line."""
     from skrample_tpu.ops import CompiledDenoiser, compile_sampler
 
     on_tpu = jax.default_backend() == "tpu"
@@ -276,23 +283,35 @@ def headline_section(jax, jnp, sampler, schedule, transform, shape, budget: Budg
 
     # Compile every (variant, length) executable up front so timing runs are
     # interleaved back-to-back with no compile work between them.  The
-    # headline variant compiles first; A/B variants compile only while the
-    # budget holds, so a slow cold-cache start degrades to a headline-only
-    # section instead of losing the artifact.
+    # headline variant compiles first — its extreme lengths FIRST so the
+    # provisional slope can be taken after two compiles; A/B variants
+    # compile only while the budget holds, so a slow cold-cache start
+    # degrades to a headline-only section instead of losing the artifact.
     runners: dict[tuple[str, int], tuple] = {}
     ab_dropped: list[str] = []
+    head_order = sorted(HEADLINE_LENGTHS, key=lambda n: (n != min(HEADLINE_LENGTHS), n != max(HEADLINE_LENGTHS)))
     for name in [headline, *[v for v in variants if v != headline]]:
         if name != headline and not budget.ok(45):
             ab_dropped.append(name)
             continue
         kernel, dtype = variants[name]
-        for steps in HEADLINE_LENGTHS if name == headline else AB_LENGTHS:
+        for steps in head_order if name == headline else AB_LENGTHS:
             compiled = compile_sampler(sampler, schedule, transform, steps)
             denoiser = CompiledDenoiser.build(compiled, dtype=dtype, kernel=kernel)
             xd = jnp.ones(shape, dtype)
             run = jax.jit(lambda x, d=denoiser: d.run(model_fn, x))
             np.asarray(run(xd))  # compile + warm; forced host transfer (see below)
             runners[(name, steps)] = (run, xd)
+            if provisional is not None and len(runners) == 2:
+                (lo, hi) = sorted(n for _, n in runners)
+                ts = {}
+                for n in (lo, hi):
+                    t0 = time.perf_counter()
+                    np.asarray(runners[(name, n)][0](runners[(name, n)][1]))
+                    ts[n] = time.perf_counter() - t0
+                rough = (ts[hi] - ts[lo]) / (hi - lo) * 1e6
+                if rough > 0:
+                    provisional(round(rough, 4), headline)
     for name in ab_dropped:
         del variants[name]
 
@@ -988,7 +1007,28 @@ def main() -> None:
         return None  # unreachable
 
     # --- required sections: headline + correctness guards, then PRINT ------
-    head = run_section(headline_section, jax, jnp, sampler, schedule, transform, shape, budget, required=True)
+    def _provisional(rough_us: float, variant: str) -> None:
+        # an artifact exists from the FIRST two compiles on: a cold compile
+        # cache + external kill can cost precision, never the scoreboard line
+        _RESULT.update(
+            {
+                "metric": (
+                    "fused sampler step (DPM++2M, FlowShift(Linear), SDXL 1x4x128x128 f32, "
+                    f"{variant}, PROVISIONAL 2-point slope; full fit follows)"
+                ),
+                "value": rough_us,
+                "unit": "us",
+                "vs_baseline": round(BASELINE_US / rough_us, 3),
+                "headline_provisional": True,
+                "backend": jax.default_backend(),
+            }
+        )
+        emit()
+
+    head = run_section(
+        headline_section, jax, jnp, sampler, schedule, transform, shape, budget, required=True, provisional=_provisional
+    )
+    _RESULT.pop("headline_provisional", None)
     guards = sigma_guards()
     latent_mse = oracle_guard(jax, jnp, sampler, schedule, transform)
 

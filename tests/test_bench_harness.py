@@ -247,3 +247,45 @@ def test_sanitize_time_budget_keeps_unvalidated(bench, tmp_path: Path) -> None:
     assert dropped <= 1  # the newest may or may not have been reached in time
     if dropped == 0:
         assert torn_new.exists()
+
+
+def test_provisional_headline_emits_after_two_compiles(bench) -> None:
+    """A cold compile cache + external kill must still leave an artifact:
+    the provisional callback fires from the headline section after two
+    executables and produces a complete, parseable line."""
+    import jax
+    import jax.numpy as jnp
+
+    from skrample_tpu import scheduling
+    from skrample_tpu.sampling import models, structured
+
+    calls = []
+    out = io.StringIO()
+    with redirect_stdout(out):
+
+        def provisional(rough, variant):
+            calls.append((rough, variant))
+            bench._RESULT.update(
+                {"metric": f"provisional {variant}", "value": rough, "unit": "us",
+                 "vs_baseline": round(5.0 / rough, 3), "headline_provisional": True}
+            )
+            bench.emit()
+
+        head = bench.headline_section(
+            jax,
+            jnp,
+            structured.DPM(order=2),
+            scheduling.FlowShift(scheduling.Linear()),
+            models.FlowModel(),
+            (1, 4, 16, 16),
+            bench.Budget(600.0),
+            provisional=provisional,
+        )
+    assert len(calls) == 1 and calls[0][0] > 0
+    lines = [ln for ln in out.getvalue().splitlines() if ln.strip()]
+    assert lines, "provisional emit must print"
+    doc = json.loads(lines[-1])
+    assert doc["headline_provisional"] is True and doc["value"] > 0
+    assert head["value"] > 0  # the full fit still lands afterwards
+    # the provisional marker must reach the compact line for BENCH readers
+    assert '"headline_provisional"' in lines[-1]
