@@ -68,6 +68,15 @@ class VAEConfig:
     quant_convs: bool = False
     """AutoencoderKL's 1x1 ``quant_conv``/``post_quant_conv`` around the
     latent.  Off by default; on for imported diffusers checkpoints."""
+    fused_decode: Any = "auto"
+    """Decode via the norm-into-conv Pallas kernels (``ops/fused_conv.py``,
+    shared with :class:`VideoVAE`): GroupNorm(+affine)+SiLU folds into each
+    conv's input read and the next norm's statistics come from each conv's
+    output epilogue — the 512-1024^2 pixel-space decode is bandwidth-bound
+    exactly like the video case.  ``"auto"`` enables it on TPU when the
+    interior is channels-last; ``False`` keeps the reference composition;
+    ``True`` forces it (CPU runs use kernel interpret mode).  Outputs agree
+    with the unfused path to activation-dtype rounding (tested)."""
 
     @property
     def resolved_layout(self) -> str:
@@ -244,6 +253,67 @@ class VAE:
             z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape, jnp.float32)
         return ((z - self.config.shift_factor) * self.config.scaling_factor).astype(x.dtype)
 
+    # -- fused decode (norm-into-conv kernels, shared with VideoVAE) -------
+
+    def _use_fused_decode(self, cl: bool) -> bool:
+        mode = self.config.fused_decode
+        if mode == "auto":
+            return cl and jax.default_backend() == "tpu"
+        return bool(mode) and cl
+
+    def _finalize(self, raw: jax.Array, hw: int, affine: dict | None) -> jax.Array:
+        from ..ops.fused_conv import finalize_group_stats
+
+        scale = affine["g"] if affine is not None else None
+        bias = affine["b"] if affine is not None else None
+        return finalize_group_stats(raw, self.config.groups, hw, scale=scale, bias=bias)
+
+    def _resblock_fused(self, p: dict, x: jax.Array, raw: jax.Array, dtype: Any):
+        "conv1/conv2 with input GN(+affine)+SiLU; skip added in conv2's epilogue."
+        from ..ops.fused_conv import conv3x3_gn_silu
+
+        _B, H, W, _C = x.shape
+        hwio = lambda w: w.transpose(2, 3, 1, 0)  # noqa: E731 — params stay OIHW
+        h1, raw1 = conv3x3_gn_silu(
+            x, hwio(p["conv1"]["w"]), p["conv1"]["b"], stats=self._finalize(raw, H * W, p.get("norm1"))
+        )
+        skip = _conv(p["skip"], x, dtype, cl=True) if p["skip"] is not None else x
+        return conv3x3_gn_silu(
+            h1, hwio(p["conv2"]["w"]), p["conv2"]["b"], stats=self._finalize(raw1, H * W, p.get("norm2")), residual=skip
+        )
+
+    def _decode_fused(self, params: dict, h: jax.Array, in_dtype: Any) -> jax.Array:
+        "NHWC decode with the stats chain threaded producer -> consumer."
+        from ..ops.fused_conv import _normalize_silu, channel_stats, conv3x3_gn_silu
+
+        c = self.config
+        dtype = c.compute_dtype
+        dec = params["decoder"]
+        hwio = lambda w: w.transpose(2, 3, 1, 0)  # noqa: E731
+
+        if "post_quant_conv" in dec:
+            h = _conv(dec["post_quant_conv"], h, dtype, cl=True)
+        h = _conv(dec["in_conv"], h, dtype, cl=True)
+        raw = channel_stats(h.reshape(h.shape[0], -1, h.shape[-1]))
+        h, raw = self._resblock_fused(dec["mid1"], h, raw, dtype)
+        h = self._attention(dec["mid_attn"], h, dtype, True)  # small; keeps its own norm
+        raw = channel_stats(h.reshape(h.shape[0], -1, h.shape[-1]))
+        h, raw = self._resblock_fused(dec["mid2"], h, raw, dtype)
+        for level in dec["up"]:
+            for block in level["blocks"]:
+                h, raw = self._resblock_fused(block, h, raw, dtype)
+            if level["upsample"] is not None:
+                B, H, W, C = h.shape
+                h = jax.image.resize(h, (B, 2 * H, 2 * W, C), method="nearest")
+                h, raw = conv3x3_gn_silu(h, hwio(level["upsample"]["w"]), level["upsample"]["b"])
+        # final norm reuses the chained stats; the 3-channel out_conv stays
+        # on XLA (a Co=3 tile would idle the MXU)
+        B, H, W, C = h.shape
+        st = self._finalize(raw, H * W, dec.get("norm_out"))
+        h = _normalize_silu(h.astype(jnp.float32), st[:, None, None, 0, :], st[:, None, None, 1, :]).astype(dtype)
+        h = _conv(dec["out_conv"], h, dtype, cl=True)
+        return h.transpose(0, 3, 1, 2).astype(in_dtype)
+
     def decode(self, params: dict, z: jax.Array) -> jax.Array:
         "Scaled latent (B, latent, h, w) -> pixels (B, C, h*f, w*f)."
         c = self.config
@@ -254,6 +324,8 @@ class VAE:
 
         z = (z.astype(jnp.float32) / c.scaling_factor + c.shift_factor).astype(dtype)
         h = z.transpose(0, 2, 3, 1) if cl else z
+        if self._use_fused_decode(cl):
+            return self._decode_fused(params, h, in_dtype)
         if "post_quant_conv" in dec:
             h = _conv(dec["post_quant_conv"], h, dtype, cl=cl)
         h = _conv(dec["in_conv"], h, dtype, cl=cl)

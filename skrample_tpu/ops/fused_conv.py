@@ -79,14 +79,26 @@ def channel_stats(x: jax.Array, sample_dims: int = 1) -> jax.Array:
     return jnp.stack([x32.sum(-2), (x32 * x32).sum(-2)], axis=-2)
 
 
-def finalize_group_stats(raw: jax.Array, groups: int, count: int, eps: float = 1e-6) -> jax.Array:
+def finalize_group_stats(
+    raw: jax.Array,
+    groups: int,
+    count: int,
+    eps: float = 1e-6,
+    scale: jax.Array | None = None,
+    bias: jax.Array | None = None,
+) -> jax.Array:
     """Raw ``(..., 2, C)`` [sum, sumsq] -> ``(..., 2, C)`` [mean, inv].
 
     ``count`` is the number of elements each channel's sums ran over (the
     spatial extent); group statistics pool ``C // groups`` adjacent
     channels, and mean/inv broadcast back per channel — all on an O(C)
     tensor.  Variance is the uncentered f32 form (see
-    ``groupnorm_eager_bign``)."""
+    ``groupnorm_eager_bign``).
+
+    A learned GroupNorm affine (AutoencoderKL checkpoints) FOLDS into the
+    pair — ``(x - mean)*inv*g + b == (x - mean')*inv'`` with
+    ``inv' = inv*g`` and ``mean' = mean - b/inv'`` — so the fused kernels
+    apply it for free.  Pass the per-channel ``scale``/``bias``."""
     C = raw.shape[-1]
     cg = C // groups
     lead = raw.shape[:-2]
@@ -97,7 +109,12 @@ def finalize_group_stats(raw: jax.Array, groups: int, count: int, eps: float = 1
     var = jnp.maximum(g2 / n - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     rep = lambda a: jnp.repeat(a, cg, axis=-1)  # noqa: E731
-    return jnp.stack([rep(mean), rep(inv)], axis=-2)
+    mean_c, inv_c = rep(mean), rep(inv)
+    if scale is not None:
+        inv_a = inv_c * scale.astype(jnp.float32)
+        mean_c = mean_c - bias.astype(jnp.float32) / inv_a
+        inv_c = inv_a
+    return jnp.stack([mean_c, inv_c], axis=-2)
 
 
 def _normalize_silu(x32: jax.Array, mean: jax.Array, inv: jax.Array) -> jax.Array:

@@ -115,3 +115,58 @@ def test_logvar_clipped(vae) -> None:
     x = 1e6 * jax.random.normal(jax.random.PRNGKey(11), (1, 3, 16, 16), jnp.float32)
     _, logvar = model.posterior(params, x)
     assert bool((logvar <= 20.0).all()) and bool((logvar >= -30.0).all())
+
+
+class TestFusedDecode:
+    """The norm-into-conv fused decode (shared with VideoVAE) against the
+    reference composition — incl. the AutoencoderKL learned-affine fold
+    (``finalize_group_stats(scale=, bias=)``)."""
+
+    @pytest.mark.parametrize("norm_affine", [False, True])
+    def test_fused_matches_reference(self, norm_affine) -> None:
+        kw = dict(
+            base=16, levels=2, blocks_per_level=1, groups=4,
+            compute_dtype=jnp.float32, layout="nhwc", norm_affine=norm_affine,
+        )
+        ref_vae = VAE(VAEConfig(**kw, fused_decode=False))
+        fused_vae = VAE(VAEConfig(**kw, fused_decode=True))
+        params = ref_vae.init(jax.random.PRNGKey(0))
+        if norm_affine:
+            # perturb the affines so the fold is actually exercised
+            def bump(tree, s):
+                for k, v in tree.items():
+                    if isinstance(v, dict):
+                        if "g" in v and "b" in v and v["g"].ndim == 1:
+                            v["g"] = v["g"] + 0.2 * jax.random.normal(jax.random.PRNGKey(s), v["g"].shape)
+                            v["b"] = v["b"] + 0.1 * jax.random.normal(jax.random.PRNGKey(s + 1), v["b"].shape)
+                        else:
+                            bump(v, s + 7)
+                    elif isinstance(v, list):
+                        for item in v:
+                            if isinstance(item, dict):
+                                bump(item, s + 13)
+
+            bump(params["decoder"], 3)
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8), jnp.float32)
+        want = np.asarray(ref_vae.decode(params, z))
+        got = np.asarray(fused_vae.decode(params, z))
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+    def test_fused_loss_grads_match_reference(self) -> None:
+        kw = dict(base=16, levels=2, blocks_per_level=1, groups=4, compute_dtype=jnp.float32, layout="nhwc")
+        ref_vae = VAE(VAEConfig(**kw, fused_decode=False))
+        fused_vae = VAE(VAEConfig(**kw, fused_decode=True))
+        params = ref_vae.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 16, 16), jnp.float32)
+        gr = jax.grad(lambda p: ref_vae.loss(p, x, jax.random.PRNGKey(7))[0])(params)
+        gf = jax.grad(lambda p: fused_vae.loss(p, x, jax.random.PRNGKey(7))[0])(params)
+        for a, b in zip(jax.tree.leaves(gr), jax.tree.leaves(gf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
+
+    def test_nchw_config_ignores_fused_flag(self) -> None:
+        "fused decode is NHWC-only; NCHW configs stay on the reference path."
+        vae = VAE(VAEConfig(base=16, levels=2, blocks_per_level=1, groups=4,
+                            compute_dtype=jnp.float32, layout="nchw", fused_decode=True))
+        params = vae.init(jax.random.PRNGKey(0))
+        out = vae.decode(params, jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8, 8), jnp.float32))
+        assert out.shape == (1, 3, 16, 16)
