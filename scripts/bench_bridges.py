@@ -107,14 +107,20 @@ def bench_vae(batch: int, hw: int) -> None:
     "SD-scale VAE: levels=4 (f=8), base=128 — the AutoencoderKL shape."
     config = VAEConfig(base=128, levels=4, blocks_per_level=2, compute_dtype=jnp.bfloat16)
     model = VAE(config)
+    # reference composition for the A/B row AND for FLOP counting (the fused
+    # decode routes its convs through ops/fused_conv.py, which the counting
+    # wrappers don't see — identical math, so the count transfers)
+    import dataclasses
+
+    ref_model = VAE(dataclasses.replace(config, fused_decode=False))
     params = model.init(jax.random.PRNGKey(0))
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     f = config.downsample_factor
     z = jax.random.normal(jax.random.PRNGKey(1), (batch, config.latent_channels, hw // f, hw // f), jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(2), (batch, 3, hw, hw), jnp.float32)
 
-    dec_flops = count_vae_flops(model.decode, params, z)
-    enc_flops = count_vae_flops(model.posterior, params, x)
+    dec_flops = count_vae_flops(ref_model.decode, params, z)
+    enc_flops = count_vae_flops(ref_model.posterior, params, x)
     print(
         f"VAE base=128 levels=4 ({n_params / 1e6:.1f}M params, batch {batch}, {hw}x{hw} pixels, "
         f"decode {dec_flops / 1e9:.0f} / encode {enc_flops / 1e9:.0f} GFLOP)",
@@ -133,6 +139,13 @@ def bench_vae(batch: int, hw: int) -> None:
 
     sec = slope(decode_step, z)
     report(f"  decode ({hw // f}x{hw // f} latent -> {hw}x{hw} pixels)", sec, dec_flops)
+
+    def decode_ref_step(c, _):
+        out = ref_model.decode(params, c)
+        return c + 1e-38 * out[:, :1, ::f, ::f].astype(c.dtype), None
+
+    sec = slope(decode_ref_step, z)
+    report("  decode, unfused reference (A/B)", sec, dec_flops)
     sec = slope(encode_step, x)
     report(f"  encode ({hw}x{hw} pixels -> posterior)", sec, enc_flops)
 
