@@ -70,13 +70,17 @@ class VAEConfig:
     latent.  Off by default; on for imported diffusers checkpoints."""
     fused_decode: Any = "auto"
     """Decode via the norm-into-conv Pallas kernels (``ops/fused_conv.py``,
-    shared with :class:`VideoVAE`): GroupNorm(+affine)+SiLU folds into each
-    conv's input read and the next norm's statistics come from each conv's
-    output epilogue — the 512-1024^2 pixel-space decode is bandwidth-bound
-    exactly like the video case.  ``"auto"`` enables it on TPU when the
-    interior is channels-last; ``False`` keeps the reference composition;
-    ``True`` forces it (CPU runs use kernel interpret mode).  Outputs agree
-    with the unfused path to activation-dtype rounding (tested)."""
+    shared with :class:`VideoVAE`).  **Measured negative result at
+    base=128** (`scripts/bench_bridges.py` A/B: fused 22.0 vs unfused 19.1
+    ms for the 512^2 decode): with every level lane-filling (C >= 128),
+    XLA's conv lowering beats the kernel's implicit GEMM and the unfused
+    path already gets the 3-pass big-slice GroupNorm — the kernels' win
+    lives at half-lane widths (the video VAE's base=64: 2.16x at the
+    finest level).  ``"auto"`` therefore enables the fused path only for
+    channels-last interiors with ``base < 128`` on TPU; ``True`` forces it
+    anywhere (CPU runs use kernel interpret mode); ``False`` keeps the
+    reference composition.  Outputs agree with the unfused path to
+    activation-dtype rounding (tested)."""
 
     @property
     def resolved_layout(self) -> str:
@@ -258,7 +262,8 @@ class VAE:
     def _use_fused_decode(self, cl: bool) -> bool:
         mode = self.config.fused_decode
         if mode == "auto":
-            return cl and jax.default_backend() == "tpu"
+            # only half-lane widths win (see the config docstring's A/B)
+            return cl and self.config.base < 128 and jax.default_backend() == "tpu"
         return bool(mode) and cl
 
     def _finalize(self, raw: jax.Array, hw: int, affine: dict | None) -> jax.Array:
