@@ -79,17 +79,30 @@ def count_vae_flops(fn, *args) -> float:
     return total
 
 
-def slope(step_fn, carry) -> float:
-    "us-per-call via best-of-4 interleaved scan-length slope, forced transfers."
+def slope(step_fn, carry, params=None) -> float:
+    """us-per-call via best-of-4 interleaved scan-length slope, forced transfers.
+
+    ``params``: threaded through jit as an ARGUMENT when given — a closure
+    capture lowers a ~340 MB param tree as constants, which the remote
+    compile service rejects with HTTP 413 (the round-3 Flux lesson; the
+    service's limit now bites these bridge models too).  ``step_fn`` then
+    takes ``(params, carry, _)``."""
     runners = {}
     for n in LENGTHS:
-        runners[n] = jax.jit(lambda c, n=n: jax.lax.scan(step_fn, c, None, length=n)[0])
-        jax.tree.map(np.asarray, runners[n](carry))
+        if params is None:
+            fn = jax.jit(lambda c, n=n: jax.lax.scan(step_fn, c, None, length=n)[0])
+            args = (carry,)
+        else:
+            fn = jax.jit(lambda p, c, n=n: jax.lax.scan(lambda cc, x: step_fn(p, cc, x), c, None, length=n)[0])
+            args = (params, carry)
+        runners[n] = (fn, args)
+        jax.tree.map(np.asarray, fn(*args))
     best = {n: float("inf") for n in LENGTHS}
     for _ in range(4):
         for n in LENGTHS:
+            fn, args = runners[n]
             t0 = time.perf_counter()
-            jax.tree.map(np.asarray, runners[n](carry))
+            jax.tree.map(np.asarray, fn(*args))
             best[n] = min(best[n], time.perf_counter() - t0)
     lo, hi = LENGTHS
     return (best[hi] - best[lo]) / (hi - lo)
@@ -164,12 +177,12 @@ def bench_text_encoder(batch: int) -> None:
         flush=True,
     )
 
-    def step(c, _):
-        feats = model.apply(params, c)
+    def step(p, c, _):
+        feats = model.apply(p, c)
         bump = (feats.mean() * 1e-30).astype(jnp.int32)  # 0 at runtime, opaque to XLA
         return jnp.clip(c + bump, 0, config.vocab_size - 1), None
 
-    sec = slope(step, ids)
+    sec = slope(step, ids, params=params)
     report("  forward (prompt batch -> context features)", sec, flops)
 
 
@@ -190,12 +203,12 @@ def bench_t5(batch: int) -> None:
         flush=True,
     )
 
-    def step(c, _):
-        feats = model.apply(params, c)
+    def step(p, c, _):
+        feats = model.apply(p, c)
         bump = (feats.mean() * 1e-30).astype(jnp.int32)
         return jnp.clip(c + bump, 0, config.vocab_size - 1), None
 
-    sec = slope(step, ids)
+    sec = slope(step, ids, params=params)
     report("  forward (bidirectional context features)", sec, flops)
 
 
